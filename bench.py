@@ -1,0 +1,110 @@
+"""Benchmark: end-to-end index build + query throughput on the synthetic
+10k×128 config (BASELINE.json config #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline metric is query QPS on the λ-aware blended search (the
+reference's hot query path, src_legacy/core.rs:1156-1193) over a built index.
+``vs_baseline`` compares against a NumPy implementation of the reference's
+single-query full-scan on the same host (the reference itself publishes no
+numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _numpy_baseline_qps(X, norms, lambdas, queries, q_lams, alpha=0.7):
+    """Reference-style full scan per query (rayon loop → numpy vector ops:
+    generous to the baseline)."""
+    t0 = time.perf_counter()
+    for q, ql in zip(queries, q_lams):
+        qn = np.linalg.norm(q)
+        cos = (X @ q) / np.maximum(norms * qn, 1e-12)
+        lam_sim = 1.0 - np.minimum(np.abs(lambdas - ql), 1.0)
+        scores = alpha * cos + (1 - alpha) * lam_sim
+        np.argpartition(scores, -10)[-10:]
+    dt = time.perf_counter() - t0
+    return len(queries) / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.ops import search as search_ops
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    N, F, K = 10_000, 128, 10
+    data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
+
+    # ---- build ----------------------------------------------------------
+    t0 = time.perf_counter()
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=64, radius=25.0)
+        .with_sampling(None)
+    )
+    aspace, gl = b.build(data)
+    jax.block_until_ready(aspace.lambdas)
+    build_s = time.perf_counter() - t0
+
+    # ---- query throughput ----------------------------------------------
+    n_queries = 256
+    rng = np.random.default_rng(7)
+    q_idx = rng.integers(0, N, n_queries)
+    queries = jnp.asarray(data[q_idx])
+    q_lams = jnp.asarray(np.asarray(aspace.lambdas)[q_idx])
+
+    batched = jax.jit(
+        jax.vmap(
+            lambda q, ql: search_ops.search_lambda_aware(
+                aspace.data, aspace.norms, aspace.lambdas, q, ql, K
+            )
+        )
+    )
+    # Warm-up / compile.
+    jax.block_until_ready(batched(queries, q_lams))
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        out = batched(queries, q_lams)
+    jax.block_until_ready(out)
+    qps = n_queries * reps / (time.perf_counter() - t0)
+
+    # Recall sanity: self-queries must return themselves.
+    idx0 = np.asarray(out[0])[:, 0]
+    self_recall = float((idx0 == q_idx).mean())
+
+    # ---- numpy baseline --------------------------------------------------
+    base_qps = _numpy_baseline_qps(
+        data, np.linalg.norm(data, axis=1), np.asarray(aspace.lambdas),
+        data[q_idx[:64]], np.asarray(q_lams[:64]),
+    )
+
+    result = {
+        "metric": "query_qps_10k_128d_lambda_aware_top10",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / base_qps, 2),
+        "extra": {
+            "build_seconds": round(build_s, 2),
+            "self_recall_at_1": self_recall,
+            "baseline_numpy_qps": round(base_qps, 1),
+            "n_items": N,
+            "n_features": F,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

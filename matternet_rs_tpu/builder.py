@@ -1,0 +1,258 @@
+"""ArrowSpaceBuilder: the fluent build API (eigen pipeline).
+
+Rebuilds the reference builder (``/root/reference/surfface-pipeline/src/
+builder.rs:52-1080``): config surface (λ-graph eps/k/topk/p/σ, normalise,
+sampling, synthesis TauMode, cluster overrides, JL reduction, persistence),
+clustering front-end, and the 4-stage eigen build:
+
+  1. optimal-K incremental clustering with inline sampling (+ optional JL),
+  2. feature-space Laplacian from centroids,
+  3. optional F×F spectral "signals" Laplacian,
+  4. taumode λ + normalization + sorted-λ index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu import clustering as clus
+from matternet_rs_tpu import eigenmaps as em
+from matternet_rs_tpu.core import ArrowSpace, TAUDEFAULT, TauMode
+from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+from matternet_rs_tpu.reduction import (
+    ImplicitProjection,
+    compute_jl_dimension,
+    project_matrix,
+)
+from matternet_rs_tpu.sampling import InlineSampler, make_sampler
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ArrowSpaceBuilder:
+    """Fluent builder (defaults mirror builder.rs:95-125)."""
+
+    # λ-graph parameters
+    lambda_eps: float = 1e-3
+    lambda_k: int = 6
+    lambda_topk: int = 3
+    lambda_p: float = 2.0
+    lambda_sigma: Optional[float] = None
+    normalise: bool = False
+    sparsity_check: bool = False
+
+    # synthetic index
+    synthesis: TauMode = TAUDEFAULT
+    prebuilt_spectral: bool = False
+
+    # sampling: (kind, rate); reference default Simple(0.6)
+    sampling: Optional[tuple[str, float]] = ("simple", 0.6)
+
+    # clustering
+    cluster_max_clusters: Optional[int] = None
+    cluster_radius: float = 1.0
+    clustering_seed: Optional[int] = None
+    deterministic_clustering: bool = False
+
+    # dimensionality reduction
+    use_dims_reduction: bool = False
+    rp_eps: float = 0.3
+
+    # persistence (name, dir)
+    persistence: Optional[tuple[str, Path]] = None
+
+    # ---------------- fluent config (builder.rs:629-779) ----------------
+    def with_lambda_graph(
+        self, eps: float, k: int, p: float = 2.0, sigma: Optional[float] = None
+    ) -> "ArrowSpaceBuilder":
+        self.lambda_eps, self.lambda_k = eps, k
+        self.lambda_p, self.lambda_sigma = p, sigma
+        return self
+
+    def with_synthesis(self, taumode: TauMode) -> "ArrowSpaceBuilder":
+        self.synthesis = taumode
+        return self
+
+    def with_spectral(self, enabled: bool = True) -> "ArrowSpaceBuilder":
+        self.prebuilt_spectral = enabled
+        return self
+
+    def with_normalisation(self, enabled: bool) -> "ArrowSpaceBuilder":
+        self.normalise = enabled
+        return self
+
+    def with_sparsity_check(self, enabled: bool) -> "ArrowSpaceBuilder":
+        self.sparsity_check = enabled
+        return self
+
+    def with_sampling(self, kind_rate: Optional[tuple[str, float]]) -> "ArrowSpaceBuilder":
+        self.sampling = kind_rate
+        return self
+
+    def with_cluster_params(
+        self, max_clusters: Optional[int] = None, radius: Optional[float] = None
+    ) -> "ArrowSpaceBuilder":
+        if max_clusters is not None:
+            self.cluster_max_clusters = max_clusters
+        if radius is not None:
+            self.cluster_radius = radius
+        return self
+
+    def with_seed(self, seed: int) -> "ArrowSpaceBuilder":
+        self.clustering_seed = seed
+        return self
+
+    def with_deterministic_clustering(self, enabled: bool = True) -> "ArrowSpaceBuilder":
+        self.deterministic_clustering = enabled
+        return self
+
+    def with_dims_reduction(self, enabled: bool, rp_eps: float = 0.3) -> "ArrowSpaceBuilder":
+        self.use_dims_reduction = enabled
+        self.rp_eps = rp_eps
+        return self
+
+    def with_persistence(self, name: str, path) -> "ArrowSpaceBuilder":
+        self.persistence = (name, Path(path))
+        return self
+
+    # ---------------- helpers ----------------
+    def graph_params(self) -> GraphParams:
+        return GraphParams(
+            eps=self.lambda_eps,
+            k=self.lambda_k,
+            topk=self.lambda_topk,
+            p=self.lambda_p,
+            sigma=self.lambda_sigma,
+            normalise=self.normalise,
+            sparsity_check=self.sparsity_check,
+        )
+
+    def define_result_k(self) -> None:
+        """topk heuristic for small k (builder.rs:785-793)."""
+        if self.lambda_k <= 5:
+            self.lambda_topk = 3
+        elif self.lambda_k < 10:
+            self.lambda_topk = 4
+
+    # ---------------- Stage 1: clustering (builder.rs:128-273) ----------
+    def start_clustering(self, rows: np.ndarray) -> tuple[ArrowSpace, np.ndarray]:
+        rows = np.asarray(rows, np.float32)
+        n_items, n_features = rows.shape
+        aspace = ArrowSpace.from_items(rows, self.synthesis)
+
+        sampler: Optional[InlineSampler] = None
+        if n_items > 1000 and self.sampling is not None:
+            kind, rate = self.sampling
+            sampler = make_sampler(kind, rate, seed=self.clustering_seed or 0)
+
+        if self.cluster_max_clusters is not None:
+            k_opt, radius = self.cluster_max_clusters, self.cluster_radius
+        else:
+            if self.clustering_seed is None:
+                raise ValueError("clustering_seed must be set for full heuristics")
+            k_opt, radius, _ = clus.compute_optimal_k(rows, self.clustering_seed)
+            self.cluster_max_clusters, self.cluster_radius = k_opt, radius
+
+        out = clus.incremental_clustering(
+            rows,
+            max_clusters=k_opt,
+            radius=radius,
+            sampler=sampler,
+            deterministic=self.deterministic_clustering or n_items <= 4096,
+        )
+
+        aspace.n_clusters = len(out.centroids)
+        aspace.cluster_assignments = out.assignments
+        aspace.cluster_sizes = out.sizes
+        aspace.cluster_radius = radius
+
+        centroids = out.centroids
+        # Optional JL projection of centroids (builder.rs:230-262).
+        if self.use_dims_reduction and n_features > 64:
+            jl_dim = compute_jl_dimension(aspace.n_clusters, n_features, self.rp_eps)
+            target = min(jl_dim, n_features // 2)
+            if target < n_features and target > centroids.shape[0]:
+                proj = ImplicitProjection(
+                    n_features, target, self.clustering_seed or 42
+                )
+                centroids = np.asarray(project_matrix(centroids, proj))
+                aspace.projection = proj
+                aspace.reduced_dim = target
+        return aspace, centroids
+
+    # ---------------- Build (builder.rs:831-1080) ------------------------
+    def build(self, rows) -> tuple[ArrowSpace, GraphLaplacian]:
+        rows = np.asarray(rows, np.float32)
+        n_items = rows.shape[0]
+        t0 = time.time()
+        self.define_result_k()
+
+        self._persist_dense("raw_input", rows)
+
+        # Stage 1: clustering (+ optional JL)
+        aspace, centroids = self.start_clustering(rows)
+        self._persist_dense("clustered-dm", centroids)
+        self._persist_dense("laplacian-input", centroids)
+
+        # Stage 2 (+3): Laplacian from centroids, optional spectral signals
+        gl = em.eigenmaps(aspace, self, centroids, n_items)
+        self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
+        if self.prebuilt_spectral and aspace.signals is not None:
+            self._persist_sparse("aspace-signals", np.asarray(aspace.signals))
+
+        # Stage 4: taumode λ + sorted index
+        aspace.compute_taumode(gl)
+        aspace.build_lambdas_sorted()
+        self._persist_lambdas(aspace)
+
+        log.info(
+            "ArrowSpace build complete: %d items, %d centroids, %.3fs",
+            n_items, aspace.n_clusters, time.time() - t0,
+        )
+        return aspace, gl
+
+    def build_energy(self, rows, energy_params=None):
+        """Energy-pipeline build (reference ``build_for_persistence`` with
+        ``Pipeline::Energy``, builder.rs:1083-1461 → energymaps.rs:1116)."""
+        from matternet_rs_tpu import energymaps as em_energy
+
+        aspace, gl = em_energy.build_energy(self, rows, energy_params)
+        if self.persistence is not None:
+            self._persist_dense("raw_input", np.asarray(aspace.data))
+            self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
+            self._persist_lambdas(aspace)
+        return aspace, gl
+
+    # ---------------- persistence hooks ----------------------------------
+    def _persist_dense(self, tag: str, arr: np.ndarray) -> None:
+        if self.persistence is None:
+            return
+        from matternet_rs_tpu.storage import parquet as pq
+
+        name, path = self.persistence
+        pq.save_dense_matrix(arr, path, f"{name}-{tag}", builder=self)
+
+    def _persist_sparse(self, tag: str, arr: np.ndarray) -> None:
+        if self.persistence is None:
+            return
+        from matternet_rs_tpu.storage import parquet as pq
+
+        name, path = self.persistence
+        pq.save_sparse_matrix(arr, path, f"{name}-{tag}", builder=self)
+
+    def _persist_lambdas(self, aspace: ArrowSpace) -> None:
+        if self.persistence is None:
+            return
+        from matternet_rs_tpu.storage import parquet as pq
+
+        name, path = self.persistence
+        pq.save_lambdas(np.asarray(aspace.lambdas), path, f"{name}-lambdas", builder=self)
+        pq.save_arrowspace_metadata(aspace, self, path, name)

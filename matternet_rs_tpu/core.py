@@ -1,0 +1,280 @@
+"""ArrowSpace: the item store + λ index container.
+
+TPU-native counterpart of the reference's ``ArrowSpace``
+(``/root/reference/src_legacy/core.rs:370-1454``): holds the ``[N, F]`` data
+as a device array, per-item synthetic λ, λ normalization stats, the sorted-λ
+index, clustering/projection metadata, and the energymaps fields. All search
+paths are jitted device scans (see :mod:`matternet_rs_tpu.ops.search`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu.graph import GraphLaplacian
+from matternet_rs_tpu.index.sorted import SortedLambdas
+from matternet_rs_tpu.ops import search as search_ops
+from matternet_rs_tpu.ops import taumode as taumode_ops
+from matternet_rs_tpu.reduction import ImplicitProjection
+
+TAU_FLOOR = taumode_ops.TAU_FLOOR
+
+
+@dataclasses.dataclass(frozen=True)
+class TauMode:
+    """τ-selection policy (reference: src_legacy/taumode.rs:17-25).
+
+    ``TauMode.median()`` (default), ``.mean()``, ``.fixed(t)``,
+    ``.percentile(p)``.
+    """
+
+    mode: int = taumode_ops.TAU_MEDIAN
+    param: float = 0.0
+
+    @classmethod
+    def median(cls) -> "TauMode":
+        return cls(taumode_ops.TAU_MEDIAN)
+
+    @classmethod
+    def mean(cls) -> "TauMode":
+        return cls(taumode_ops.TAU_MEAN)
+
+    @classmethod
+    def fixed(cls, t: float) -> "TauMode":
+        return cls(taumode_ops.TAU_FIXED, float(t))
+
+    @classmethod
+    def percentile(cls, p: float) -> "TauMode":
+        return cls(taumode_ops.TAU_PERCENTILE, float(p))
+
+    @property
+    def name(self) -> str:
+        return {
+            taumode_ops.TAU_FIXED: "fixed",
+            taumode_ops.TAU_MEDIAN: "median",
+            taumode_ops.TAU_MEAN: "mean",
+            taumode_ops.TAU_PERCENTILE: "percentile",
+        }[self.mode]
+
+
+TAUDEFAULT = TauMode.median()
+
+
+class UndecidableQueryError(ValueError):
+    """Raised when a query's raw λ is ~0 (reference panics, core.rs:920-934)."""
+
+
+@dataclasses.dataclass
+class ArrowSpace:
+    """Item store + λ index (reference: src_legacy/core.rs:370-407)."""
+
+    data: jax.Array                      # [N, F] raw (or projected) items
+    nfeatures: int                       # original F
+    nitems: int
+    taumode: TauMode = TAUDEFAULT
+
+    signals: Optional[jax.Array] = None  # F×F spectral Laplacian (or None)
+    lambdas: Optional[jax.Array] = None  # [N] normalized λ
+    lambdas_sorted: Optional[SortedLambdas] = None
+
+    # λ normalization stats (core.rs:1341-1354)
+    min_lambdas: float = -1.0
+    max_lambdas: float = -1.0
+    range_lambdas: float = -1.0
+
+    # clustering metadata
+    n_clusters: int = 0
+    cluster_assignments: Optional[np.ndarray] = None
+    cluster_sizes: Optional[np.ndarray] = None
+    cluster_radius: float = 0.0
+
+    # projection metadata
+    projection: Optional[ImplicitProjection] = None
+    reduced_dim: Optional[int] = None
+    extra_reduced_dim: bool = False
+
+    # energymaps fields
+    centroid_map: Optional[np.ndarray] = None          # [N] item → subcentroid
+    sub_centroids: Optional[jax.Array] = None          # [S, F']
+    subcentroid_lambdas: Optional[np.ndarray] = None   # [S]
+    item_norms: Optional[jax.Array] = None             # [N] L2 norms
+
+    # cached row norms for cosine scoring
+    _norms: Optional[jax.Array] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_items(cls, items, taumode: TauMode = TAUDEFAULT) -> "ArrowSpace":
+        data = jnp.asarray(items, dtype=jnp.float32)
+        if data.ndim != 2 or data.shape[0] < 2:
+            raise ValueError("need at least two item rows")
+        return cls(
+            data=data,
+            nfeatures=int(data.shape[1]),
+            nitems=int(data.shape[0]),
+            taumode=taumode,
+        )
+
+    @property
+    def norms(self) -> jax.Array:
+        if self._norms is None or self._norms.shape[0] != self.data.shape[0]:
+            self._norms = jnp.sqrt(jnp.sum(self.data * self.data, axis=-1))
+        return self._norms
+
+    def get_item(self, i: int) -> tuple[np.ndarray, float]:
+        lam = float(self.lambdas[i]) if self.lambdas is not None else 0.0
+        return np.asarray(self.data[i]), lam
+
+    # ------------------------------------------------------------------
+    # λ computation / normalization
+    # ------------------------------------------------------------------
+    def graph_for_taumode(self, gl: GraphLaplacian) -> jax.Array:
+        """Precomputed signals when present, else the Laplacian
+        (taumode.rs:137-146)."""
+        return self.signals if self.signals is not None else gl.matrix
+
+    def compute_taumode(self, gl: GraphLaplacian) -> None:
+        """Compute raw λ for all items, then min-max normalize to [0,1]
+        (taumode.rs:117-250 + core.rs:1427-1454).
+
+        When a JL projection is active the stored data stays in the original
+        F-dim space (search is semantic over raw vectors) but λ is computed in
+        the reduced space against the r×r graph — matching the reference's
+        per-item ``project()`` inside ``compute_synthetic_lambda``
+        (taumode.rs:277-297); here it is one batched matmul.
+        """
+        graph = self.graph_for_taumode(gl)
+        X = self.data
+        if (
+            self.projection is not None
+            and X.shape[-1] == self.projection.original_dim
+            and graph.shape[0] == self.projection.reduced_dim
+        ):
+            X = self.projection.project(X)
+        raw = taumode_ops.taumode_lambdas(
+            X, graph, self.taumode.mode, self.taumode.param
+        )
+        self.update_lambdas(raw)
+
+    def update_lambdas(self, raw: jax.Array) -> None:
+        raw = jnp.asarray(raw, jnp.float32)
+        if int(raw.shape[0]) != self.nitems:
+            raise ValueError("lambda length mismatch")
+        mn = float(jnp.min(raw))
+        mx = max(float(jnp.max(raw)), 0.0)   # reference folds max from 0.0
+        rng = max(mx - mn, 1e-9)
+        self.min_lambdas, self.max_lambdas, self.range_lambdas = mn, mx, rng
+        self.lambdas = (raw - mn) / rng
+
+    def normalise_query_lambda(self, raw_lambda: float) -> float:
+        """Same transform as the batch normalization, clamped to [0,1]
+        (core.rs:1361-1373)."""
+        return float(
+            np.clip((raw_lambda - self.min_lambdas) / self.range_lambdas, 0.0, 1.0)
+        )
+
+    def build_lambdas_sorted(self) -> None:
+        if self.lambdas is None:
+            raise ValueError("compute lambdas first")
+        self.lambdas_sorted = SortedLambdas.build_from(np.asarray(self.lambdas))
+
+    # ------------------------------------------------------------------
+    # Query preparation (core.rs:839-935)
+    # ------------------------------------------------------------------
+    def project_query(self, query: jax.Array) -> jax.Array:
+        query = jnp.asarray(query, jnp.float32)
+        if query.shape[-1] != self.nfeatures:
+            raise ValueError(
+                f"Query dimension {query.shape[-1]} doesn't match index "
+                f"original dimension {self.nfeatures}"
+            )
+        return self.projection.project(query) if self.projection else query
+
+    def prepare_query_item(self, query, gl: GraphLaplacian) -> float:
+        """Compute the query's normalized λ.
+
+        Energy mode maps the query to the nearest sub-centroid's λ; eigen
+        mode runs the synthetic-λ formula then normalizes. Raises
+        :class:`UndecidableQueryError` when raw λ ≈ 0 (reference panics).
+        """
+        query = jnp.asarray(query, jnp.float32)
+        if not bool(jnp.all(jnp.isfinite(query))):
+            raise ValueError("query item has non-finite values")
+
+        # Energy mode (core.rs:872-909)
+        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            q = self.project_query(query) if self.extra_reduced_dim else query
+            d = jnp.sum((self.sub_centroids - q[None, :]) ** 2, axis=-1)
+            best = int(jnp.argmin(d))
+            return float(self.subcentroid_lambdas[best])
+
+        # Eigen mode
+        q = query
+        if self.projection is not None and query.shape[-1] == self.projection.original_dim:
+            q = self.projection.project(query)
+        graph = self.graph_for_taumode(gl)
+        if q.shape[-1] != graph.shape[0]:
+            raise ValueError(
+                f"Query dimension {query.shape[-1]} doesn't match index "
+                f"dimension {graph.shape[0]} (original F={self.nfeatures})"
+            )
+        raw = float(
+            taumode_ops.synthetic_lambda(
+                q, graph, self.taumode.mode, self.taumode.param
+            )
+        )
+        if abs(raw) <= 1e-12:
+            raise UndecidableQueryError(
+                "Check your eps parameter for the builder; the query item may "
+                "be out of context for the dataset (undecidable): raw λ is 0.0"
+            )
+        if np.isfinite(self.range_lambdas) and self.range_lambdas > 0:
+            return self.normalise_query_lambda(raw)
+        return raw
+
+    # ------------------------------------------------------------------
+    # Search (core.rs:1156-1424)
+    # ------------------------------------------------------------------
+    def search_lambda_aware(
+        self, query, query_lambda: float, k: int, alpha: float = 0.7
+    ) -> list[tuple[int, float]]:
+        if query_lambda == 0.0:
+            raise ValueError(
+                "Lambda of the item is 0.0, prepare the item before searching"
+            )
+        q = jnp.asarray(query, jnp.float32)
+        idx, sc = search_ops.search_lambda_aware(
+            self.data, self.norms, self.lambdas, q,
+            jnp.float32(query_lambda), k, alpha,
+        )
+        return [(int(i), float(s)) for i, s in zip(idx, sc)]
+
+    def search_lambda_aware_hybrid(
+        self, query, query_lambda: float, k: int, alpha: float = 0.7
+    ) -> list[tuple[int, float]]:
+        if k == 0:
+            return []
+        q = jnp.asarray(query, jnp.float32)
+        idx, sc = search_ops.search_lambda_aware_hybrid(
+            self.data, self.norms, self.lambdas, q,
+            jnp.float32(query_lambda), k, alpha,
+        )
+        return [(int(i), float(s)) for i, s in zip(idx, sc) if np.isfinite(s)]
+
+    def search_linear_sorted(self, query, gl: GraphLaplacian, k: int):
+        """Sorted-index band search (core.rs:1326-1335)."""
+        q_lambda = self.prepare_query_item(query, gl)
+        return self.lambdas_sorted.range_bylambda(q_lambda, k, gl.graph_params.p)
+
+    def range_search(self, query, query_lambda: float, eps: float):
+        """All items with ``λq - λi ≤ eps`` (signed, core.rs:1389-1424)."""
+        dist, mask = search_ops.range_search_mask(
+            self.lambdas, jnp.float32(query_lambda), jnp.float32(eps)
+        )
+        dist = np.asarray(dist)
+        return [(int(i), float(dist[i])) for i in np.nonzero(np.asarray(mask))[0]]

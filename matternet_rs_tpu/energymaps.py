@@ -1,0 +1,424 @@
+"""EnergyMaps: cosine-free energy index pipeline.
+
+Rebuilds ``/root/reference/src_legacy/energymaps.rs``:
+
+1. **Optical compression** — project centroids to 2D via JL, spatial grid
+   binning (√budget × √budget), trim the high-norm quantile per bin,
+   mean-pool per bin, top up with low-norm rows (energymaps.rs:314-447),
+2. **Bootstrap Laplacian L₀** — cosine-kernel F×F graph over the compressed
+   centroids' feature profiles (energymaps.rs:449-483),
+3. **Heat diffusion + split** — ``x' = x - η·L·x`` for ``steps`` iterations
+   (one [C, F] × [F, F] matmul per step on the MXU), then split the
+   top-dispersion-quantile centroids ±τ along the local gradient
+   (energymaps.rs:485-621),
+4. **Energy Laplacian** over sub-centroids + per-node energy/dispersion
+   (energymaps.rs:923-1045, 1394-1444) — the O(C·F²) edge scans become the
+   same closed-form matmuls as the taumode engine (upper-triangle variant),
+5. **λ on sub-centroids only**, items mapped to the nearest sub-centroid
+   (L2, with cosine tie-break among equal-λ candidates), norms cached
+   (energymaps.rs:1116-1391),
+6. **search_energy** — λ-distance scan with cosine tie-break at |Δλ|<1e-9
+   (energymaps.rs:628-674).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu.core import ArrowSpace, TauMode
+from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+from matternet_rs_tpu.ops import laplacian as lap_ops
+from matternet_rs_tpu.ops import taumode as tm_ops
+from matternet_rs_tpu.ops._mm import mm
+from matternet_rs_tpu.reduction import ImplicitProjection
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EnergyParams:
+    """Defaults: energymaps.rs:52-70."""
+
+    optical_tokens: Optional[int] = 50
+    trim_quantile: float = 0.1
+    eta: float = 0.1
+    steps: int = 4
+    split_quantile: float = 0.9
+    neighbor_k: int = 20
+    split_tau: float = 0.15
+    w_lambda: float = 1.0
+    w_disp: float = 0.5
+    w_dirichlet: float = 0.25
+    candidate_m: int = 32
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def compute_adaptive_tokens(nitems: int) -> int:
+        """2√N clamped to [100, 2000] (energymaps.rs:169-179)."""
+        return int(min(max(round(2.0 * np.sqrt(nitems)), 100), 2000))
+
+    @classmethod
+    def from_builder(cls, builder) -> "EnergyParams":
+        """Adaptive params (energymaps.rs:97-168)."""
+        base_k = builder.lambda_k
+        neighbor_k = min(max(base_k * 2, 15), 50)
+        candidate_m = min(max(neighbor_k * 3, 30), 128)
+        nitems = getattr(builder, "nitems", 0) or 0
+        if nitems:
+            tokens = cls.compute_adaptive_tokens(nitems)
+        elif builder.use_dims_reduction:
+            tokens = int(min(max(np.ceil(80.0 / builder.rp_eps), 40), 200))
+        else:
+            tokens = 60
+        return cls(optical_tokens=tokens, neighbor_k=neighbor_k,
+                   candidate_m=candidate_m)
+
+    @classmethod
+    def high_resolution(cls, builder) -> "EnergyParams":
+        p = cls.from_builder(builder)
+        p.optical_tokens = None
+        p.neighbor_k = max(builder.lambda_k * 3, 25)
+        p.candidate_m = max(builder.lambda_k * 5, 50)
+        p.split_quantile = 0.85
+        p.steps = 5
+        return p
+
+    @classmethod
+    def large_dataset(cls, builder) -> "EnergyParams":
+        p = cls.from_builder(builder)
+        p.optical_tokens = 100
+        p.neighbor_k = min(max(builder.lambda_k, 15), 30)
+        p.candidate_m = min(max(builder.lambda_k * 2, 30), 80)
+        p.steps = 3
+        p.split_quantile = 0.92
+        return p
+
+
+# ---------------------------------------------------------------------------
+# Step 2': optical compression (energymaps.rs:314-447)
+# ---------------------------------------------------------------------------
+
+
+def optical_compress_centroids(
+    centroids: np.ndarray, token_budget: int, trim_quantile: float,
+    seed: int = 0,
+) -> np.ndarray:
+    x, f = centroids.shape
+    if token_budget == 0 or token_budget >= x:
+        return centroids.copy()
+
+    proj = ImplicitProjection(f, 2, seed)
+    xy = np.asarray(proj.project(centroids), np.float64)     # [x, 2]
+
+    g = int(np.ceil(np.sqrt(token_budget)))
+    minx, maxx = xy[:, 0].min(), xy[:, 0].max()
+    miny, maxy = xy[:, 1].min(), xy[:, 1].max()
+    px = (xy[:, 0] - minx) / (maxx - minx + 1e-9)
+    py = (xy[:, 1] - miny) / (maxy - miny + 1e-9)
+    bx = np.clip(np.floor(px * g), 0, g - 1).astype(int)
+    by = np.clip(np.floor(py * g), 0, g - 1).astype(int)
+    bin_ids = by * g + bx
+
+    norms = np.linalg.norm(centroids, axis=1)
+    out_rows: list[np.ndarray] = []
+    for b in range(g * g):
+        members = np.nonzero(bin_ids == b)[0]
+        if members.size == 0:
+            continue
+        if members.size > 4:
+            # Trim the top trim_quantile by norm (energymaps.rs:783-817).
+            order = members[np.argsort(norms[members], kind="stable")]
+            keep = max(int(np.ceil(len(order) * (1.0 - trim_quantile))), 1)
+            members = order[:keep]
+        out_rows.append(centroids[members].mean(axis=0))
+        if len(out_rows) >= token_budget:
+            break
+
+    if len(out_rows) < token_budget:
+        # Top up with lowest-norm centroids (energymaps.rs:405-436).
+        order = np.argsort(norms, kind="stable")
+        for i in order:
+            if len(out_rows) >= token_budget:
+                break
+            out_rows.append(centroids[i])
+
+    return np.stack(out_rows).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Step 3': bootstrap Laplacian (energymaps.rs:449-483)
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_centroid_laplacian(centroids, builder) -> GraphLaplacian:
+    """F×F cosine-kernel Laplacian over the centroids' feature profiles."""
+    centroids = jnp.asarray(centroids, jnp.float32)
+    x = int(centroids.shape[0])
+    params = GraphParams(
+        eps=builder.lambda_eps,
+        k=min(builder.lambda_k, x - 1),
+        topk=min(builder.lambda_topk, 4, x - 1),
+        p=2.0,
+        sigma=None,
+        normalise=builder.normalise,
+        sparsity_check=builder.sparsity_check,
+    )
+    return lap_ops.build_laplacian_matrix(
+        centroids.T, params, n_items=x, energy=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step 4': diffusion + dispersion split (energymaps.rs:485-621)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _diffusion_kernel(X, L, eta, steps_onehot):
+    """``x' = x - η·L·x`` per row, iterated. steps passed as scanned units."""
+    def body(work, _):
+        return work - eta * mm(work, L.T), None
+    out, _ = jax.lax.scan(body, X, steps_onehot)
+    return out
+
+
+@jax.jit
+def _energy_dispersion_kernel(X, L):
+    """Batched Rayleigh λ + upper-triangle dispersion G for rows of X against
+    the F×F graph — closed form of energymaps.rs:923-1045 (which scans i<j,
+    i.e. each undirected edge once: G_upper = 2·N₄/T² in the both-directions
+    notation of ops.taumode)."""
+    A = jnp.maximum(-L, 0.0)
+    A = A - jnp.diag(jnp.diag(A))
+    A2 = A * A
+    deg = jnp.sum(A, axis=1)
+    deg2 = jnp.sum(A2, axis=1)
+
+    XL = mm(X, L.T)
+    num_e = jnp.sum(X * XL, axis=-1)
+    den = jnp.sum(X * X, axis=-1)
+    lam = jnp.maximum(jnp.where(den > 1e-12, num_e / jnp.maximum(den, 1e-12), 0.0), 0.0)
+
+    X2 = X * X
+    X3 = X2 * X
+    X4 = X2 * X2
+    B1 = mm(X, A)
+    B2 = mm(X2, A)
+    C1 = mm(X, A2)
+    C2 = mm(X2, A2)
+    C3 = mm(X3, A2)
+    C4 = mm(X4, A2)
+    total_both = jnp.sum(X2 * deg - 2.0 * X * B1 + B2, axis=-1)
+    num4_both = jnp.sum(
+        X4 * deg2 - 4.0 * X3 * C1 + 6.0 * X2 * C2 - 4.0 * X * C3 + C4, axis=-1
+    )
+    # upper-triangle: total halves, shares double → G = 2·N₄/T².
+    g = jnp.where(
+        total_both > 2e-12,
+        2.0 * num4_both / jnp.maximum(total_both * total_both, 1e-24),
+        0.0,
+    )
+    return lam, jnp.clip(g, 0.0, 1.0)
+
+
+def node_energy_and_dispersion(X, gl: GraphLaplacian, k: int):
+    """(λ [N], G [N]) — energymaps.rs:923-1045 (k unused by the math; kept
+    for signature parity)."""
+    lam, g = _energy_dispersion_kernel(
+        jnp.asarray(X, jnp.float32), jnp.asarray(gl.matrix, jnp.float32)
+    )
+    return np.asarray(lam, np.float64), np.asarray(g, np.float64)
+
+
+def diffuse_and_split_subcentroids(
+    centroids: np.ndarray, l0: GraphLaplacian, p: EnergyParams
+) -> np.ndarray:
+    x, f = centroids.shape
+    if l0.matrix.shape[0] != f:
+        raise ValueError(
+            f"Laplacian rows {l0.matrix.shape[0]} must match feature count {f}"
+        )
+    work = _diffusion_kernel(
+        jnp.asarray(centroids, jnp.float32),
+        jnp.asarray(l0.matrix, jnp.float32),
+        jnp.float32(p.eta),
+        jnp.zeros(p.steps),
+    )
+    work_np = np.asarray(work, np.float64)
+
+    lam, gini = node_energy_and_dispersion(work, l0, p.neighbor_k)
+
+    g_sorted = np.sort(gini)
+    q_idx = int(round((len(g_sorted) - 1) * p.split_quantile))
+    thresh = g_sorted[q_idx]
+
+    rows = [work_np]
+    to_split = np.nonzero(gini >= thresh)[0]
+    if to_split.size:
+        # kNN by L2 among the diffused centroids (device matmul).
+        from matternet_rs_tpu.ops.knn import knn
+
+        k = min(p.neighbor_k, x - 1)
+        _, idx = knn(work[to_split], work, k=k + 1, metric="sqeuclidean")
+        idx = np.asarray(idx)
+        for row_pos, i in enumerate(to_split):
+            nbrs = [j for j in idx[row_pos] if j != i][:k]
+            mean = work_np[nbrs].mean(axis=0) if nbrs else np.zeros(f)
+            c = work_np[i]
+            d = c - mean
+            n = max(np.sqrt((d * d).sum()), 1e-9)
+            direction = d / n
+            diffs = c - mean
+            std_loc = float(np.sqrt(np.mean((diffs - diffs.mean()) ** 2)))
+            tau = p.split_tau * max(std_loc, 1e-6)
+            rows.append((c + tau * direction)[None, :])
+            rows.append((c - tau * direction)[None, :])
+
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Step 6': energy Laplacian (energymaps.rs:1394-1444)
+# ---------------------------------------------------------------------------
+
+
+def build_energy_laplacian(sub_centroids, builder, p: EnergyParams):
+    l_boot = bootstrap_centroid_laplacian(sub_centroids, builder)
+    lam, gini = node_energy_and_dispersion(
+        sub_centroids, l_boot, max(p.neighbor_k, builder.lambda_k)
+    )
+    return l_boot, lam, gini
+
+
+# ---------------------------------------------------------------------------
+# Full energy build (energymaps.rs:1116-1391)
+# ---------------------------------------------------------------------------
+
+
+def build_energy(builder, rows, energy_params: Optional[EnergyParams] = None):
+    """Energy pipeline build → (ArrowSpace, GraphLaplacian)."""
+    rows = np.asarray(rows, np.float32)
+    if not builder.use_dims_reduction:
+        raise ValueError("When using build_energy, dim reduction is needed")
+    if builder.prebuilt_spectral:
+        raise ValueError("Spectral mode not compatible with build_energy")
+
+    builder.nitems = rows.shape[0]
+    p = energy_params or EnergyParams.from_builder(builder)
+
+    # Stage 1: clustering (+ optional JL of centroids).
+    aspace, centroids = builder.start_clustering(rows)
+    centroids = np.asarray(centroids, np.float32)
+
+    # Step 2: optical compression.
+    if p.optical_tokens is not None:
+        centroids = optical_compress_centroids(
+            centroids, p.optical_tokens, p.trim_quantile,
+            seed=builder.clustering_seed or 0,
+        )
+
+    # Step 3: bootstrap Laplacian L₀ (F×F over compressed centroids).
+    l0 = bootstrap_centroid_laplacian(centroids, builder)
+
+    # Step 4: diffuse + split → sub-centroids.
+    sub_centroids = diffuse_and_split_subcentroids(centroids, l0, p)
+
+    # Step 6: energy Laplacian over sub-centroids.
+    gl_energy, _, _ = build_energy_laplacian(sub_centroids, builder, p)
+
+    # Step 7: λ on sub-centroids only.
+    sc = jnp.asarray(sub_centroids)
+    raw = tm_ops.taumode_lambdas(
+        sc, gl_energy.matrix, aspace.taumode.mode, aspace.taumode.param
+    )
+    raw_np = np.asarray(raw, np.float64)
+    mn = float(raw_np.min())
+    mx = max(float(raw_np.max()), 0.0)
+    rng = max(mx - mn, 1e-9)
+    sc_lambdas = (raw_np - mn) / rng
+
+    aspace.sub_centroids = sc
+    aspace.subcentroid_lambdas = sc_lambdas
+
+    # Step 8: item → sub-centroid assignment (nearest by L2 in the working
+    # space — the energy-mode prepare_query path — then cosine tie-break among
+    # equal-λ candidates; energymaps.rs:1246-1342).
+    X = aspace.data
+    if aspace.projection is not None:
+        X = aspace.projection.project(X)
+    Xp = jnp.asarray(X)
+    d2 = (
+        jnp.sum(Xp * Xp, axis=1, keepdims=True)
+        + jnp.sum(sc * sc, axis=1)[None, :]
+        - 2.0 * mm(Xp, sc.T)
+    )
+    item_lam_idx = np.asarray(jnp.argmin(d2, axis=1))
+    item_lambda = sc_lambdas[item_lam_idx]
+
+    # λ-distance re-assignment with cosine tie-break.
+    lam_dist = np.abs(item_lambda[:, None] - sc_lambdas[None, :])   # [N, S]
+    best_dist = lam_dist.min(axis=1)
+    ties = np.abs(lam_dist - best_dist[:, None]) < 1e-11
+    n_ties = ties.sum(axis=1)
+    cos = np.asarray(
+        mm(
+            Xp / jnp.maximum(jnp.linalg.norm(Xp, axis=1, keepdims=True), 1e-12),
+            (sc / jnp.maximum(jnp.linalg.norm(sc, axis=1, keepdims=True), 1e-12)).T,
+        )
+    )
+    masked_cos = np.where(ties, cos, -np.inf)
+    best_idx = np.where(
+        n_ties > 1, masked_cos.argmax(axis=1), lam_dist.argmin(axis=1)
+    )
+
+    aspace.centroid_map = best_idx.astype(np.int64)
+    aspace.lambdas = jnp.asarray(sc_lambdas[best_idx], jnp.float32)
+    aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
+    aspace.build_lambdas_sorted()
+
+    return aspace, gl_energy
+
+
+# ---------------------------------------------------------------------------
+# search_energy (energymaps.rs:628-674)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _energy_score_kernel(X, norms, lambdas, query, q_lambda):
+    lam_dist = jnp.abs(q_lambda - lambdas)
+    qn = jnp.sqrt(jnp.sum(query * query))
+    dots = mm(X, query)
+    cosine = dots / (qn * norms + 1e-9)
+    tie = jnp.where(lam_dist < 1e-9, (1.0 - cosine) * 1e-9, 0.0)
+    return lam_dist + tie
+
+
+def search_energy(aspace: ArrowSpace, query, gl_energy: GraphLaplacian, k: int):
+    """Pure λ-distance scan with cosine tie-break; ascending distance."""
+    q_lambda = aspace.prepare_query_item(query, gl_energy)
+    scores = _energy_score_kernel(
+        aspace.data, aspace.item_norms, aspace.lambdas,
+        jnp.asarray(query, jnp.float32), jnp.float32(q_lambda),
+    )
+    kk = min(k, aspace.nitems)
+    neg, idx = jax.lax.top_k(-scores, kk)
+    return [(int(i), float(-s)) for i, s in zip(idx, neg)]
+
+
+def adaptive_w_lambda(aspace: ArrowSpace) -> float:
+    """Linear map of λ-range → weight [0.5, 2.0] (energymaps.rs:677-684)."""
+    if aspace.range_lambdas < 1e-9:
+        return 0.5
+    return 0.5 + 1.5 * aspace.range_lambdas
+
+
+def adaptive_energy_weights(aspace: ArrowSpace) -> tuple[float, float]:
+    w_lambda = adaptive_w_lambda(aspace)
+    return w_lambda, 2.5 - w_lambda

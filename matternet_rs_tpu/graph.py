@@ -1,0 +1,129 @@
+"""Graph containers: parameters and the Laplacian wrapper.
+
+TPU-native counterpart of the reference's ``GraphParams`` / ``GraphLaplacian``
+(``/root/reference/src_legacy/graph.rs:94-136``). The Laplacian is stored as a
+dense ``[n, n]`` jax array — graphs here are feature- or centroid-scale
+(n = F or C, typically ≤ a few thousand), where a dense symmetric matrix is
+both exact and the fastest representation for the MXU matmuls that consume it
+(taumode λ scoring, diffusion, Rayleigh quotients). Degree-capped sparsity is
+preserved *structurally* (most entries are exactly 0), so sparsity statistics
+and validation still match the reference semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from matternet_rs_tpu.ops._mm import mm
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphParams:
+    """Graph construction parameters (reference: src_legacy/graph.rs:94-102)."""
+
+    eps: float = 0.5            # max rectified cosine distance for an edge
+    k: int = 10                 # max neighbours per node
+    topk: int = 10              # neighbours considered per kNN query
+    p: float = 2.0              # kernel exponent
+    sigma: Optional[float] = None   # kernel bandwidth (None → 1.0)
+    normalise: bool = False     # z-score columns before graph build
+    sparsity_check: bool = True  # panic if resulting Laplacian sparsity > 0.95
+
+    def sigma_value(self) -> float:
+        return 1.0 if self.sigma is None else float(self.sigma)
+
+
+@dataclasses.dataclass
+class GraphLaplacian:
+    """Dense graph Laplacian ``L = D - W`` (or ``L_sym``) over n nodes.
+
+    Attributes
+    ----------
+    matrix : ``[n, n]`` Laplacian (dense jax array; structurally sparse).
+    init_data : the node-profile matrix the graph was built from
+        (reference keeps this as ``init_data``, src_legacy/graph.rs:127-130).
+    nnodes : number of items of the *original raw data* (bookkeeping; the
+        matrix itself is over graph nodes, which may be features/centroids).
+    graph_params : construction parameters.
+    energy : False for eigenmaps, True for energymaps.
+    """
+
+    matrix: jax.Array
+    init_data: jax.Array
+    nnodes: int
+    graph_params: GraphParams
+    energy: bool = False
+
+    # -- basic ops (reference: src_legacy/graph.rs:329-700) ---------------
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return tuple(self.matrix.shape)
+
+    def nnz(self, tol: float = 0.0) -> int:
+        return int(jnp.sum(jnp.abs(self.matrix) > tol))
+
+    @staticmethod
+    def sparsity_of(matrix: jax.Array, tol: float = 0.0) -> float:
+        n = matrix.shape[0] * matrix.shape[1]
+        nnz = int(jnp.sum(jnp.abs(matrix) > tol))
+        return 1.0 - nnz / max(n, 1)
+
+    def sparsity(self, tol: float = 0.0) -> float:
+        return self.sparsity_of(self.matrix, tol)
+
+    def multiply_vector(self, x: jax.Array) -> jax.Array:
+        """``L @ x`` (reference: graph.rs:464-501)."""
+        return mm(self.matrix, x)
+
+    def rayleigh_quotient(self, x: jax.Array) -> jax.Array:
+        """``xᵀLx / xᵀx`` (reference: graph.rs:422-461)."""
+        num = jnp.dot(x, self.multiply_vector(x))
+        den = jnp.dot(x, x)
+        return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 0.0)
+
+    def adjacency(self) -> jax.Array:
+        """Recover ``W`` from off-diagonals: ``W_ij = max(-L_ij, 0)`` (graph.rs:510-525)."""
+        off = -self.matrix
+        w = jnp.maximum(off, 0.0)
+        return w - jnp.diag(jnp.diag(w))
+
+    def degrees(self) -> jax.Array:
+        return jnp.diag(self.matrix)
+
+    def neighbors_of(self, i: int, tol: float = 1e-12) -> np.ndarray:
+        w = np.asarray(self.adjacency()[i])
+        return np.nonzero(w > tol)[0]
+
+    def verify_properties(self, atol: float = 1e-4) -> dict:
+        """Validation: symmetry, ~zero row sums (unnormalized), PSD diagonal.
+
+        Reference: graph.rs:554-618. Returns a dict of booleans instead of
+        panicking; callers assert on what they need.
+        """
+        m = np.asarray(self.matrix)
+        sym = bool(np.allclose(m, m.T, atol=atol))
+        row_sums_zero = bool(np.allclose(m.sum(axis=1), 0.0, atol=atol))
+        diag_nonneg = bool((np.diag(m) >= -atol).all())
+        return {
+            "symmetric": sym,
+            "row_sums_zero": row_sums_zero,
+            "diag_nonneg": diag_nonneg,
+        }
+
+    def statistics(self) -> dict:
+        """Degree / nnz / sparsity stats (reference: graph.rs:656-686)."""
+        deg = np.asarray(self.degrees())
+        return {
+            "nnodes": self.matrix.shape[0],
+            "nnz": self.nnz(),
+            "sparsity": self.sparsity(),
+            "min_degree": float(deg.min()) if deg.size else 0.0,
+            "max_degree": float(deg.max()) if deg.size else 0.0,
+            "mean_degree": float(deg.mean()) if deg.size else 0.0,
+        }

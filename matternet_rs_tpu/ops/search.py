@@ -1,0 +1,117 @@
+"""λ-aware search kernels: fused cosine + λ-proximity top-k scans.
+
+Rebuilds the reference search APIs (``/root/reference/src_legacy/core.rs:
+1156-1424``) as single jitted device passes:
+
+* ``search_lambda_aware`` — full scan, score = α·cos + (1-α)·(1-min(|Δλ|,1)),
+  top-k (core.rs:1156-1193),
+* ``search_lambda_aware_hybrid`` — union of λ-top-k, the high-cosine set
+  (cos > 0.9999), and the semantic top-1, re-ranked (core.rs:1197-1323),
+* ``range_search`` — items with λ - λq ≤ eps (core.rs:1389-1424).
+
+The reference's rayon heap/fold machinery collapses to one ``[N,F]×[F]``
+matvec + ``lax.top_k``; the hybrid union becomes a masked re-score.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from matternet_rs_tpu.ops._mm import mm
+
+SEMANTIC_THRESHOLD = 0.9999
+
+
+@jax.jit
+def cosine_scores(X: jax.Array, norms: jax.Array, query: jax.Array) -> jax.Array:
+    """Cosine similarity of ``query`` against every row (0 for zero norms)."""
+    qn = jnp.sqrt(jnp.sum(query * query))
+    denom = norms * qn
+    dots = mm(X, query)
+    return jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+
+
+@jax.jit
+def lambda_aware_scores(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    query: jax.Array,
+    query_lambda: jax.Array,
+    alpha: jax.Array,
+) -> jax.Array:
+    cos = cosine_scores(X, norms, query)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lambdas - query_lambda), 1.0)
+    return alpha * cos + (1.0 - alpha) * lam_sim
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def search_lambda_aware(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    query: jax.Array,
+    query_lambda: jax.Array,
+    k: int,
+    alpha: float = 0.7,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k by blended score. Returns ``(indices [k], scores [k])``."""
+    scores = lambda_aware_scores(
+        X, norms, lambdas, query, query_lambda, jnp.float32(alpha)
+    )
+    top, idx = jax.lax.top_k(scores, min(k, X.shape[0]))
+    return idx, top
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def search_lambda_aware_hybrid(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    query: jax.Array,
+    query_lambda: jax.Array,
+    k: int,
+    alpha: float = 0.7,
+) -> tuple[jax.Array, jax.Array]:
+    """Hybrid search (core.rs:1197-1323).
+
+    Candidate set = λ-score top-k ∪ {cos > 0.9999} ∪ {argmax cos}. Final
+    score: cosine for high-semantic members (insertion order in the
+    reference gives cosine precedence), blended λ-score for the rest; sorted
+    desc, truncated to k.
+    """
+    n = X.shape[0]
+    kk = min(k, n)
+    cos = cosine_scores(X, norms, query)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lambdas - query_lambda), 1.0)
+    lambda_score = alpha * cos + (1.0 - alpha) * lam_sim
+
+    # λ top-k membership mask.
+    _, top_idx = jax.lax.top_k(lambda_score, kk)
+    in_topk = jnp.zeros((n,), bool).at[top_idx].set(True)
+
+    high_sem = cos > SEMANTIC_THRESHOLD
+    sem_top = jnp.argmax(cos)
+    is_sem_top = jnp.zeros((n,), bool).at[sem_top].set(True)
+
+    eligible = in_topk | high_sem | is_sem_top
+    final = jnp.where(high_sem, cos, lambda_score)
+    # Semantic top-1 that's in neither set scores its cosine.
+    final = jnp.where(is_sem_top & ~high_sem & ~in_topk, cos, final)
+    final = jnp.where(eligible, final, -jnp.inf)
+
+    top, idx = jax.lax.top_k(final, kk)
+    return idx, top
+
+
+@jax.jit
+def range_search_mask(
+    lambdas: jax.Array, query_lambda: jax.Array, eps: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Signed λ-distance and membership mask (core.rs:1389-1424 keeps items
+    with ``λq - λi ≤ eps``, signed)."""
+    dist = query_lambda - lambdas
+    return dist, dist <= eps

@@ -1,0 +1,156 @@
+"""Taumode synthetic-λ engine: fused batched Rayleigh + dispersion scoring.
+
+Semantics follow the reference λ engine (``/root/reference/src_legacy/
+taumode.rs:117-408``): for each item vector ``x`` (F-dim) against the F×F
+feature-space graph ``L``:
+
+* ``τ``  — selected from the item's own values by Fixed/Median/Mean/Percentile
+  with floor 1e-10 (``select_tau``, taumode.rs:29-70),
+* ``E_raw = max(xᵀLx / xᵀx, 0)`` (taumode.rs:326-361),
+* ``E_bounded = E_raw / (E_raw + τ)``,
+* ``G`` — edge-dispersion: with off-diagonal weights ``w_ij = max(-L_ij, 0)``
+  and edge energies ``e_ij = w_ij (x_i - x_j)²`` over ordered pairs,
+  ``G = Σ (e_ij / Σ e)²`` clamped to [0, 1] (taumode.rs:366-408),
+* ``λ = τ·E_bounded + (1-τ)·G``; zero vectors score λ = 0.
+
+TPU-native design: the reference computes G with an O(F²) scalar scan *per
+item* (two passes). Expanding the quartic,
+
+  ``Σ_ij w_ij (x_i-x_j)²  = Σ_i [x_i² d_i  - 2 x_i (Wx)_i  + (Wx²)_i]``
+  ``Σ_ij w²_ij(x_i-x_j)⁴ = Σ_i [x_i⁴ d2_i - 4 x_i³ (W²x)_i + 6 x_i² (W²x²)_i
+                                 - 4 x_i (W²x³)_i + (W²x⁴)_i]``
+
+with ``d = W·1``, ``d2 = (W∘W)·1`` — so the *entire* λ computation for all N
+items is seven ``[N, F] × [F, F]`` matmuls that run on the MXU, numerically
+identical to the reference's scan (both directions of every edge counted).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from matternet_rs_tpu.ops._mm import mm
+
+TAU_FLOOR = 1e-10
+_ZERO_VEC_EPS = 1e-10
+
+# τ-mode encodings (static ints so the scorer stays a single jit).
+TAU_FIXED = 0
+TAU_MEDIAN = 1
+TAU_MEAN = 2
+TAU_PERCENTILE = 3
+
+
+def select_tau(values: jax.Array, mode: int, param: float = 0.0) -> jax.Array:
+    """τ from a batch of value vectors ``[..., F]`` → ``[...]``.
+
+    Matches ``TauMode::select_tau`` (taumode.rs:29-70): Median averages the
+    two middle elements for even F; Percentile takes the element at index
+    ``round((F-1)·clamp(p,0,1))`` of the sorted values. Values are assumed
+    finite. Result floored at TAU_FLOOR.
+    """
+    if mode == TAU_FIXED:
+        t = param if (param > 0.0 and math.isfinite(param)) else TAU_FLOOR
+        return jnp.full(values.shape[:-1], t, dtype=values.dtype)
+    if mode == TAU_MEAN:
+        return jnp.maximum(jnp.mean(values, axis=-1), TAU_FLOOR)
+    if mode == TAU_MEDIAN:
+        return jnp.maximum(jnp.median(values, axis=-1), TAU_FLOOR)
+    if mode == TAU_PERCENTILE:
+        f = values.shape[-1]
+        pp = min(max(param, 0.0), 1.0)
+        idx = int(round((f - 1) * pp))
+        s = jnp.sort(values, axis=-1)
+        return jnp.maximum(s[..., idx], TAU_FLOOR)
+    raise ValueError(f"unknown tau mode {mode}")
+
+
+@functools.partial(jax.jit, static_argnames=("tau_mode", "tau_param"))
+def taumode_lambdas(
+    X: jax.Array,
+    L: jax.Array,
+    tau_mode: int = TAU_MEDIAN,
+    tau_param: float | jax.Array = 0.0,
+) -> jax.Array:
+    """Raw synthetic λ for every row of ``X [N, F]`` against ``L [F, F]``.
+
+    Fused batched equivalent of ``compute_taumode_lambdas_parallel``
+    (taumode.rs:117-250) — N rayon tasks × O(F²) scans become seven MXU
+    matmuls. Returns raw (un-normalized) λ ``[N]``.
+    """
+    X = X.astype(jnp.float32)
+    L = L.astype(jnp.float32)
+
+    tau = select_tau(X, tau_mode, float(tau_param))
+
+    # --- Rayleigh quotient with the true L (diagonal included) -----------
+    XL = mm(X, L)          # [N, F]
+    num_e = jnp.sum(X * XL, axis=-1)
+    den = jnp.sum(X * X, axis=-1)
+    e_raw = jnp.where(den > 1e-12, num_e / jnp.maximum(den, 1e-12), 0.0)
+    e_raw = jnp.maximum(e_raw, 0.0)
+
+    # --- Dispersion G in closed form --------------------------------------
+    A = jnp.maximum(-L, 0.0)
+    A = A - jnp.diag(jnp.diag(A))            # off-diagonal weights only
+    A2 = A * A
+    deg = jnp.sum(A, axis=1)                 # [F]
+    deg2 = jnp.sum(A2, axis=1)               # [F]
+
+    X2 = X * X
+    X3 = X2 * X
+    X4 = X2 * X2
+
+    B1 = mm(X, A)          # (Wx)
+    B2 = mm(X2, A)         # (Wx²)
+    C1 = mm(X, A2)
+    C2 = mm(X2, A2)
+    C3 = mm(X3, A2)
+    C4 = mm(X4, A2)
+
+    total = jnp.sum(X2 * deg - 2.0 * X * B1 + B2, axis=-1)          # Σ e_ij
+    num4 = jnp.sum(
+        X4 * deg2 - 4.0 * X3 * C1 + 6.0 * X2 * C2 - 4.0 * X * C3 + C4,
+        axis=-1,
+    )
+    g = jnp.where(total > 1e-12, num4 / jnp.maximum(total * total, 1e-24), 0.0)
+    g = jnp.clip(g, 0.0, 1.0)
+
+    # --- Synthetic index ---------------------------------------------------
+    e_bounded = jnp.where(e_raw + tau > 0, e_raw / jnp.maximum(e_raw + tau, TAU_FLOOR), 0.0)
+    lam = tau * e_bounded + (1.0 - tau) * g
+
+    # Zero/constant-vector guard (taumode.rs:267-273): λ = 0.
+    is_zero = jnp.max(jnp.abs(X), axis=-1) <= _ZERO_VEC_EPS
+    return jnp.where(is_zero, 0.0, lam)
+
+
+def synthetic_lambda(
+    x: jax.Array, L: jax.Array, tau_mode: int = TAU_MEDIAN, tau_param: float = 0.0
+) -> jax.Array:
+    """Single-vector λ (query path). Scalar result."""
+    return taumode_lambdas(x[None, :], L, tau_mode, tau_param)[0]
+
+
+@jax.jit
+def rayleigh_quotient(L: jax.Array, x: jax.Array) -> jax.Array:
+    """``max(xᵀLx/xᵀx, 0)`` (taumode.rs:326-361)."""
+    num = jnp.dot(x, mm(L, x))
+    den = jnp.dot(x, x)
+    return jnp.maximum(jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 0.0), 0.0)
+
+
+@jax.jit
+def item_dispersion(x: jax.Array, L: jax.Array) -> jax.Array:
+    """Direct (non-closed-form) G for one vector — used in parity tests."""
+    A = jnp.maximum(-L, 0.0)
+    A = A - jnp.diag(jnp.diag(A))
+    diff = x[:, None] - x[None, :]
+    e = A * diff * diff
+    total = jnp.sum(e)
+    share = jnp.where(total > 1e-12, e / jnp.maximum(total, 1e-12), 0.0)
+    return jnp.clip(jnp.sum(share * share), 0.0, 1.0)

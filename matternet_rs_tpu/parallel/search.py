@@ -1,0 +1,108 @@
+"""Mesh-sharded λ scoring and distributed top-k search.
+
+The north-star distributed pattern (BASELINE.json): shard items over the
+``data`` axis, score locally, take a shard-local top-k, ``all_gather`` the
+k·D candidates over ICI, and re-rank to a global top-k — exact (``k_local =
+k_global``) and deterministic (global item indices break ties).
+
+Implemented with ``shard_map`` so the collective is explicit and rides ICI;
+λ scoring itself needs no communication (graph replicated, N sharded).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.parallel.mesh import DATA_AXIS
+
+try:  # JAX ≥ 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def sharded_taumode_lambdas(mesh, X_sharded: jax.Array, L: jax.Array, tau_mode: int,
+                            tau_param: float = 0.0) -> jax.Array:
+    """λ for all items with N sharded over the mesh — zero communication.
+
+    ``jit`` with explicit shardings: XLA keeps each shard's seven matmuls
+    local; the output stays sharded like the input.
+    """
+    spec = P(DATA_AXIS, None)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(NamedSharding(mesh, spec), NamedSharding(mesh, P())),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        static_argnums=(2, 3),
+    )
+    def run(Xs, Ls, mode, param):
+        return tm.taumode_lambdas(Xs, Ls, mode, param)
+
+    return run(X_sharded, L, tau_mode, tau_param)
+
+
+def make_sharded_search(mesh, n_total: int, k: int):
+    """Compile a distributed λ-aware search closure.
+
+    Returns ``search(X_sharded, norms_sharded, lambdas_sharded, query,
+    q_lambda, alpha) -> (idx [k], scores [k])`` with global indices.
+    """
+
+    def local_fn(Xl, nl, ll, q, ql, alpha):
+        # Shard-local blended scores.
+        qn = jnp.sqrt(jnp.sum(q * q))
+        denom = nl * qn
+        dots = jnp.dot(
+            Xl, q, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
+        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        # Padded rows (zero norm) must never win.
+        scores = jnp.where(nl > 1e-12, scores, -jnp.inf)
+
+        kk = min(k, Xl.shape[0])
+        top, idx = jax.lax.top_k(scores, kk)
+        # Local → global indices.
+        shard = jax.lax.axis_index(DATA_AXIS)
+        gidx = idx + shard * Xl.shape[0]
+
+        # all-gather the candidate sets (k·D values over ICI), re-rank.
+        all_scores = jax.lax.all_gather(top, DATA_AXIS, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, DATA_AXIS, tiled=True)
+        # Deterministic tie-break: lower global index wins on equal score.
+        order = jnp.lexsort((all_idx, -all_scores))
+        take = order[:kk]
+        return all_idx[take], all_scores[take]
+
+    # check_vma=False: after the all_gather every device holds identical
+    # candidate sets, but the varying-mesh-axes checker can't prove the
+    # post-gather sort is replicated.
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_search_lambda_aware(
+    mesh, X_sharded, norms_sharded, lambdas_sharded, query, q_lambda, k: int,
+    alpha: float = 0.7,
+):
+    """One-shot distributed search (compiles per (mesh, shapes, k))."""
+    search = make_sharded_search(mesh, X_sharded.shape[0], k)
+    return search(
+        X_sharded, norms_sharded, lambdas_sharded,
+        jnp.asarray(query, jnp.float32), jnp.float32(q_lambda),
+        jnp.float32(alpha),
+    )

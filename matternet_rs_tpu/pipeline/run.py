@@ -1,0 +1,115 @@
+"""Pipeline orchestrator: the full staged chain A → B0 → B1 → B2 → C → D.
+
+Reference intent: ``surfface-pipeline/src/lib.rs:32-75`` (which the
+reference ships half-stubbed — stages C/D noted as TODO at lib.rs:70-74;
+the full chain is exercised in its tests, test_spectral.rs:47-86). Here the
+whole chain runs for real.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from matternet_rs_tpu.pipeline.centroid import CentroidState
+from matternet_rs_tpu.pipeline.clustering import ClusteringConfig, ClusteringStage
+from matternet_rs_tpu.pipeline.laplacian import (
+    LaplacianConfig,
+    LaplacianOutput,
+    LaplacianStage,
+)
+from matternet_rs_tpu.pipeline.mst import MSTConfig, MSTOutput, MSTStage
+from matternet_rs_tpu.pipeline.preflight import PreflightConfig, PreflightStage
+from matternet_rs_tpu.pipeline.smoothing import (
+    KalmanOutput,
+    SmoothingConfig,
+    SmoothingStage,
+)
+from matternet_rs_tpu.pipeline import spectral
+from matternet_rs_tpu.pipeline.taumode import TauMode, compute_tau
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    clustering: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
+    preflight: PreflightConfig = dataclasses.field(default_factory=PreflightConfig)
+    mst: MSTConfig = dataclasses.field(default_factory=MSTConfig)
+    smoothing: SmoothingConfig = dataclasses.field(default_factory=SmoothingConfig)
+    laplacian: LaplacianConfig = dataclasses.field(default_factory=LaplacianConfig)
+    taumode: TauMode = dataclasses.field(default_factory=TauMode.median)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    state: CentroidState                 # smoothed centroid state (B2 output)
+    assignments: np.ndarray              # [N] item → centroid (stage A)
+    mst: MSTOutput
+    kalman: KalmanOutput
+    laplacian: LaplacianOutput
+    lambdas: np.ndarray                  # [N] stage-D λ per item
+    tau: float                           # τ resolved from the λ distribution
+    timings: dict[str, float]
+
+
+def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
+    """Run the full staged pipeline on ``[N, F]`` data."""
+    cfg = config or PipelineConfig()
+    X = np.asarray(rows, np.float32)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        timings[name] = time.perf_counter() - t0
+        log.info("stage %s: %.3fs", name, timings[name])
+        return out
+
+    # Stage A: clustering (+ JL) with variance tracking.
+    a_out = timed("A:clustering", ClusteringStage(cfg.clustering).execute, X)
+
+    # Stage B0: preflight.
+    b0 = timed("B0:preflight", PreflightStage(cfg.preflight).execute, a_out.state)
+    state = CentroidState(
+        means=b0.normalized_centroids,
+        variances=b0.variances,
+        counts=a_out.state.counts,
+    )
+
+    # Stage B1: MST skeleton.
+    mst = timed("B1:mst", MSTStage(cfg.mst).execute, state)
+
+    # Stage B2: Kalman RTS smoothing along the MST order.
+    kalman = timed("B2:kalman", SmoothingStage(cfg.smoothing).execute, state, mst)
+    smoothed = kalman.to_centroid_state()
+
+    # Stage C: feature-space Laplacian.
+    lap = timed("C:laplacian", LaplacianStage(cfg.laplacian).execute, smoothed)
+
+    # Stage D: batched spectral λ for all items (in working dim).
+    work = (
+        np.asarray(a_out.projection.project(X))
+        if a_out.projection is not None
+        else X
+    )
+    lambdas = timed(
+        "D:spectral", spectral.compute_tau_mode, lap, work,
+        work.shape[0], work.shape[1],
+    )
+    tau = compute_tau(lambdas, cfg.taumode)
+
+    return PipelineResult(
+        state=smoothed,
+        assignments=a_out.assignments,
+        mst=mst,
+        kalman=kalman,
+        laplacian=lap,
+        lambdas=lambdas,
+        tau=tau,
+        timings=timings,
+    )

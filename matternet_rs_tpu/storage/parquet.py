@@ -1,0 +1,287 @@
+"""Parquet + JSON persistence for build artifacts.
+
+Rebuilds ``/root/reference/src_legacy/storage/parquet.rs`` on pyarrow:
+
+* dense matrix ⇄ Parquet — per-column float arrays plus name/n_rows/n_cols
+  metadata, Snappy compression (parquet.rs:215-396; multi-batch-safe load),
+* sparse matrix ⇄ COO triplet Parquet (parquet.rs:412-520) — kept for
+  interchange even though our Laplacians are dense on device,
+* λ vector save/load (parquet.rs:701-863),
+* ``ArrowSpaceMetadata`` JSON with the typed builder config
+  (parquet.rs:32-163), including the JL projection as seed-only state,
+* multi-artifact checkpoint writer (parquet.rs:592-683) and full resume via
+  :func:`load_arrowspace` (reference: ``ArrowSpace::new_from_storage``,
+  core.rs:1558-1701) which rebuilds the search index without recompute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from matternet_rs_tpu.storage import StorageError
+
+
+def _ensure_dir(path: Path) -> Path:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Dense matrices
+# ---------------------------------------------------------------------------
+
+
+def save_dense_matrix(arr, path, name: str, builder=None) -> Path:
+    arr = np.asarray(arr, np.float64)
+    if arr.ndim != 2:
+        raise StorageError(f"expected 2-D matrix, got shape {arr.shape}")
+    path = _ensure_dir(path)
+    n_rows, n_cols = arr.shape
+    cols = {f"col_{j}": pa.array(arr[:, j]) for j in range(n_cols)}
+    table = pa.table(cols)
+    meta = {
+        b"name": name.encode(),
+        b"n_rows": str(n_rows).encode(),
+        b"n_cols": str(n_cols).encode(),
+    }
+    if builder is not None:
+        meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
+    table = table.replace_schema_metadata(meta)
+    out = path / f"{name}.parquet"
+    pq.write_table(table, out, compression="snappy")
+    return out
+
+
+def load_dense_matrix(path) -> np.ndarray:
+    path = Path(path)
+    if not path.exists():
+        raise StorageError(f"missing file {path}")
+    table = pq.read_table(path)   # multi-batch safe: read_table concatenates
+    md = table.schema.metadata or {}
+    n_cols = int(md.get(b"n_cols", str(table.num_columns).encode()))
+    arr = np.column_stack(
+        [np.asarray(table.column(f"col_{j}")) for j in range(n_cols)]
+    )
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Sparse (COO triplets) — interchange format
+# ---------------------------------------------------------------------------
+
+
+def save_sparse_matrix(matrix, path, name: str, tol: float = 0.0, builder=None) -> Path:
+    m = np.asarray(matrix, np.float64)
+    rows, cols = np.nonzero(np.abs(m) > tol)
+    vals = m[rows, cols]
+    path = _ensure_dir(path)
+    table = pa.table(
+        {
+            "row": pa.array(rows.astype(np.int64)),
+            "col": pa.array(cols.astype(np.int64)),
+            "value": pa.array(vals),
+        }
+    )
+    meta = {
+        b"name": name.encode(),
+        b"n_rows": str(m.shape[0]).encode(),
+        b"n_cols": str(m.shape[1]).encode(),
+    }
+    if builder is not None:
+        meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
+    table = table.replace_schema_metadata(meta)
+    out = path / f"{name}.parquet"
+    pq.write_table(table, out, compression="snappy")
+    return out
+
+
+def load_sparse_matrix(path) -> np.ndarray:
+    path = Path(path)
+    if not path.exists():
+        raise StorageError(f"missing file {path}")
+    table = pq.read_table(path)
+    md = table.schema.metadata or {}
+    n_rows = int(md[b"n_rows"])
+    n_cols = int(md[b"n_cols"])
+    out = np.zeros((n_rows, n_cols), np.float64)
+    out[np.asarray(table.column("row")), np.asarray(table.column("col"))] = np.asarray(
+        table.column("value")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# λ vectors
+# ---------------------------------------------------------------------------
+
+
+def save_lambdas(lambdas, path, name: str, builder=None) -> Path:
+    path = _ensure_dir(path)
+    table = pa.table({"lambda": pa.array(np.asarray(lambdas, np.float64))})
+    meta = {b"name": name.encode()}
+    if builder is not None:
+        meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
+    table = table.replace_schema_metadata(meta)
+    out = path / f"{name}.parquet"
+    pq.write_table(table, out, compression="snappy")
+    return out
+
+
+def load_lambdas(path) -> np.ndarray:
+    path = Path(path)
+    if not path.exists():
+        raise StorageError(f"missing file {path}")
+    return np.asarray(pq.read_table(path).column("lambda"))
+
+
+# ---------------------------------------------------------------------------
+# Typed config + metadata JSON (parquet.rs:32-163, builder.rs:1532-1674)
+# ---------------------------------------------------------------------------
+
+
+def builder_config_typed(builder) -> dict:
+    """Typed, serializable snapshot of the builder config."""
+    return {
+        "lambda_eps": builder.lambda_eps,
+        "lambda_k": builder.lambda_k,
+        "lambda_topk": builder.lambda_topk,
+        "lambda_p": builder.lambda_p,
+        "lambda_sigma": builder.lambda_sigma,
+        "normalise": builder.normalise,
+        "sparsity_check": builder.sparsity_check,
+        "synthesis_mode": builder.synthesis.name,
+        "synthesis_param": builder.synthesis.param,
+        "prebuilt_spectral": builder.prebuilt_spectral,
+        "sampling": list(builder.sampling) if builder.sampling else None,
+        "cluster_max_clusters": builder.cluster_max_clusters,
+        "cluster_radius": builder.cluster_radius,
+        "clustering_seed": builder.clustering_seed,
+        "deterministic_clustering": builder.deterministic_clustering,
+        "use_dims_reduction": builder.use_dims_reduction,
+        "rp_eps": builder.rp_eps,
+    }
+
+
+def arrowspace_config_typed(aspace) -> dict:
+    """ArrowSpace state needed for exact search resume (core.rs:1460-1543)."""
+    return {
+        "nfeatures": aspace.nfeatures,
+        "nitems": aspace.nitems,
+        "taumode_mode": aspace.taumode.name,
+        "taumode_param": aspace.taumode.param,
+        "min_lambdas": aspace.min_lambdas,
+        "max_lambdas": aspace.max_lambdas,
+        "range_lambdas": aspace.range_lambdas,
+        "n_clusters": aspace.n_clusters,
+        "cluster_radius": aspace.cluster_radius,
+        "projection_seed": aspace.projection.seed if aspace.projection else None,
+        "projection_original_dim": (
+            aspace.projection.original_dim if aspace.projection else None
+        ),
+        "reduced_dim": aspace.reduced_dim,
+        "extra_reduced_dim": aspace.extra_reduced_dim,
+    }
+
+
+def save_arrowspace_metadata(aspace, builder, path, name: str) -> Path:
+    path = _ensure_dir(path)
+    doc = {
+        "version": 1,
+        "name": name,
+        "arrowspace": arrowspace_config_typed(aspace),
+        "builder": builder_config_typed(builder) if builder is not None else None,
+    }
+    out = path / f"{name}-arrowspace_metadata.json"
+    out.write_text(json.dumps(doc, indent=2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
+    """Multi-artifact checkpoint (parquet.rs:592-683)."""
+    path = _ensure_dir(path)
+    save_dense_matrix(np.asarray(aspace.data), path, f"{name}-raw_input", builder)
+    save_dense_matrix(np.asarray(gl.init_data), path, f"{name}-clustered-dm", builder)
+    save_sparse_matrix(np.asarray(gl.matrix), path, f"{name}-gl-matrix", builder=builder)
+    if aspace.signals is not None:
+        save_sparse_matrix(
+            np.asarray(aspace.signals), path, f"{name}-aspace-signals", builder=builder
+        )
+    save_lambdas(np.asarray(aspace.lambdas), path, f"{name}-lambdas", builder)
+    save_arrowspace_metadata(aspace, builder, path, name)
+
+
+def load_arrowspace(path, name: str):
+    """Resume an ArrowSpace + GraphLaplacian from a checkpoint directory.
+
+    Reference: ``ArrowSpace::new_from_storage`` (core.rs:1558-1701) +
+    ``GraphLaplacian::new_from_storage`` (graph.rs:152-179): rebuilds the
+    sorted index without recomputation; the JL projection is regenerated
+    from its stored seed.
+    """
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.core import ArrowSpace, TauMode
+    from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+    from matternet_rs_tpu.reduction import ImplicitProjection
+
+    path = Path(path)
+    meta = json.loads((path / f"{name}-arrowspace_metadata.json").read_text())
+    acfg = meta["arrowspace"]
+    bcfg = meta.get("builder") or {}
+
+    data = load_dense_matrix(path / f"{name}-raw_input.parquet")
+    lambdas = load_lambdas(path / f"{name}-lambdas.parquet")
+    matrix = load_sparse_matrix(path / f"{name}-gl-matrix.parquet")
+    init_data = load_dense_matrix(path / f"{name}-clustered-dm.parquet")
+
+    mode_map = {"fixed": 0, "median": 1, "mean": 2, "percentile": 3}
+    taumode = TauMode(mode_map[acfg["taumode_mode"]], acfg["taumode_param"])
+
+    aspace = ArrowSpace.from_items(data, taumode)
+    aspace.lambdas = jnp.asarray(lambdas, jnp.float32)
+    aspace.min_lambdas = acfg["min_lambdas"]
+    aspace.max_lambdas = acfg["max_lambdas"]
+    aspace.range_lambdas = acfg["range_lambdas"]
+    aspace.n_clusters = acfg["n_clusters"]
+    aspace.cluster_radius = acfg["cluster_radius"]
+    if acfg.get("projection_seed") is not None:
+        aspace.projection = ImplicitProjection(
+            acfg["projection_original_dim"], acfg["reduced_dim"], acfg["projection_seed"]
+        )
+        aspace.reduced_dim = acfg["reduced_dim"]
+    aspace.extra_reduced_dim = bool(acfg.get("extra_reduced_dim", False))
+    aspace.build_lambdas_sorted()
+
+    signals_path = path / f"{name}-aspace-signals.parquet"
+    if signals_path.exists():
+        aspace.signals = jnp.asarray(load_sparse_matrix(signals_path), jnp.float32)
+
+    params = GraphParams(
+        eps=bcfg.get("lambda_eps", 1e-3),
+        k=bcfg.get("lambda_k", 6),
+        topk=bcfg.get("lambda_topk", 3),
+        p=bcfg.get("lambda_p", 2.0),
+        sigma=bcfg.get("lambda_sigma"),
+        normalise=bcfg.get("normalise", False),
+        sparsity_check=bcfg.get("sparsity_check", False),
+    )
+    gl = GraphLaplacian(
+        matrix=jnp.asarray(matrix, jnp.float32),
+        init_data=jnp.asarray(init_data, jnp.float32),
+        nnodes=acfg["nitems"],
+        graph_params=params,
+    )
+    return aspace, gl

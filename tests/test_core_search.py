@@ -1,0 +1,161 @@
+"""ArrowSpace container + search path tests.
+
+Covers the reference behaviours of core.rs: λ normalization invariants,
+query preparation (incl. undecidable-query error and NaN rejection),
+λ-aware / hybrid / sorted / range search (test_arrow.rs, test_querying_proj.rs).
+"""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.core import ArrowSpace, TauMode, UndecidableQueryError
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.index.sorted import SortedLambdas
+from matternet_rs_tpu.ops import laplacian as lap
+from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+
+@pytest.fixture(scope="module")
+def built():
+    data = make_gaussian_blob(80, 0.5).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    gl = lap.build_laplacian_from_k_cluster(
+        data[:10], params, n_items=len(data)
+    )
+    aspace.compute_taumode(gl)
+    aspace.build_lambdas_sorted()
+    return aspace, gl, data
+
+
+def test_lambdas_normalized_to_unit_interval(built):
+    aspace, _, _ = built
+    lam = np.asarray(aspace.lambdas)
+    assert lam.min() >= -1e-6 and lam.max() <= 1.0 + 1e-6
+    assert lam.max() == pytest.approx(1.0, abs=1e-5)
+    assert lam.min() == pytest.approx(0.0, abs=1e-5)
+
+
+def test_lambda_stats_consistent(built):
+    aspace, _, _ = built
+    assert aspace.range_lambdas >= 1e-9
+    assert aspace.max_lambdas >= aspace.min_lambdas
+
+
+def test_prepare_query_item(built):
+    aspace, gl, data = built
+    lam = aspace.prepare_query_item(data[3], gl)
+    assert 0.0 <= lam <= 1.0
+
+
+def test_prepare_query_rejects_nan(built):
+    aspace, gl, data = built
+    q = data[0].copy()
+    q[0] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        aspace.prepare_query_item(q, gl)
+
+
+def test_prepare_query_rejects_mismatched_dim(built):
+    aspace, gl, _ = built
+    with pytest.raises(ValueError):
+        aspace.project_query(np.zeros(3, np.float32))
+
+
+def test_zero_query_is_undecidable(built):
+    aspace, gl, _ = built
+    with pytest.raises(UndecidableQueryError):
+        aspace.prepare_query_item(np.zeros(aspace.nfeatures, np.float32), gl)
+
+
+def test_self_search_top1(built):
+    """Self-retrieval: querying an indexed item returns it first."""
+    aspace, gl, data = built
+    for i in (0, 17, 42):
+        lam = aspace.prepare_query_item(data[i], gl)
+        res = aspace.search_lambda_aware(data[i], lam, 5, alpha=0.7)
+        assert res[0][0] == i
+        assert res[0][1] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_search_requires_prepared_lambda(built):
+    aspace, _, data = built
+    with pytest.raises(ValueError, match="prepare the item"):
+        aspace.search_lambda_aware(data[0], 0.0, 5)
+
+
+def test_search_scores_sorted_desc(built):
+    aspace, gl, data = built
+    lam = aspace.prepare_query_item(data[5], gl)
+    res = aspace.search_lambda_aware(data[5], lam, 10)
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+    assert len(res) == 10
+
+
+def test_hybrid_includes_semantic_top(built):
+    aspace, gl, data = built
+    q = data[7]
+    lam = aspace.prepare_query_item(q, gl)
+    res = aspace.search_lambda_aware_hybrid(q, lam, 5)
+    # The semantic top-1 for a self-query is the item itself.
+    assert any(i == 7 for i, _ in res)
+
+
+def test_hybrid_matches_plain_on_small_k(built):
+    aspace, gl, data = built
+    q = data[11]
+    lam = aspace.prepare_query_item(q, gl)
+    plain = {i for i, _ in aspace.search_lambda_aware(q, lam, 3)}
+    hybrid = {i for i, _ in aspace.search_lambda_aware_hybrid(q, lam, 3)}
+    assert len(plain & hybrid) >= 1
+
+
+def test_range_search(built):
+    aspace, gl, data = built
+    lam = aspace.prepare_query_item(data[2], gl)
+    res = aspace.range_search(data[2], lam, eps=0.1)
+    lamarr = np.asarray(aspace.lambdas)
+    for i, d in res:
+        assert lam - lamarr[i] <= 0.1 + 1e-6
+
+
+def test_search_linear_sorted(built):
+    aspace, gl, data = built
+    res = aspace.search_linear_sorted(data[4], gl, 5)
+    assert len(res) <= 5
+    lamarr = np.asarray(aspace.lambdas)
+    for i, l in res:
+        assert l == pytest.approx(float(lamarr[i]), abs=1e-6)
+
+
+# --- SortedLambdas unit behaviour ----------------------------------------
+
+
+def test_sorted_lambdas_roundtrip():
+    lam = np.array([0.5, 0.1, 0.9, 0.1, 0.3])
+    idx = SortedLambdas.build_from(lam)
+    vec = idx.to_vec()
+    assert [v for v, _ in vec] == sorted(lam.tolist())
+    # equal-λ ties keep ascending item order
+    tie_items = [i for v, i in vec if v == 0.1]
+    assert tie_items == [1, 3]
+
+
+def test_sorted_lambdas_band_query():
+    lam = np.linspace(0, 1, 101)
+    idx = SortedLambdas.build_from(lam)
+    out = idx.range_bylambda(0.5, k=5, p=2.0)
+    assert len(out) == 5
+    band = idx.std_dev / 4.0
+    for i, l in out:
+        assert abs(l - 0.5) <= band + 1e-9
+
+
+def test_k_nearest_by_lambda_expanding():
+    lam = np.linspace(0, 1, 50)
+    idx = SortedLambdas.build_from(lam)
+    out = idx.k_nearest_by_lambda(0.42, k=7, lambda_p=0.5)
+    assert len(out) == 7
+    dists = [abs(l - 0.42) for _, l in out]
+    assert dists == sorted(dists)

@@ -1,0 +1,136 @@
+"""Distance kernel property tests.
+
+Ports the reference's property suite (surfface-core/src/tests/
+test_distance.rs:10-437): identity → 0, symmetry, non-metric triangle
+violations allowed, batched-vs-single agreement, numerical stability at tiny
+and huge variances.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.ops import distance as d
+
+
+def test_cosine_identity():
+    a = jnp.array([1.0, 2.0, 3.0])
+    assert float(d.cosine_similarity(a, a)) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cosine_orthogonal():
+    assert float(
+        d.cosine_similarity(jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0]))
+    ) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_cosine_zero_vector():
+    assert float(
+        d.cosine_similarity(jnp.zeros(3), jnp.array([1.0, 2.0, 3.0]))
+    ) == 0.0
+
+
+def test_pairwise_cosine_matches_single():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(5, 8)).astype(np.float32)
+    B = rng.normal(size=(7, 8)).astype(np.float32)
+    P = np.asarray(d.pairwise_cosine(jnp.asarray(A), jnp.asarray(B)))
+    for i in range(5):
+        for j in range(7):
+            ref = float(d.cosine_similarity(jnp.asarray(A[i]), jnp.asarray(B[j])))
+            assert P[i, j] == pytest.approx(ref, abs=1e-5)
+
+
+def test_sqeuclidean_identity_zero():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(6, 4)).astype(np.float32)
+    D = np.asarray(d.pairwise_sqeuclidean(jnp.asarray(A)))
+    assert np.allclose(np.diag(D), 0.0, atol=1e-4)
+    assert (D >= 0).all()
+
+
+def test_sqeuclidean_matches_numpy():
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(5, 6)).astype(np.float32)
+    B = rng.normal(size=(4, 6)).astype(np.float32)
+    D = np.asarray(d.pairwise_sqeuclidean(jnp.asarray(A), jnp.asarray(B)))
+    ref = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(D, ref, atol=1e-3)
+
+
+def test_rectified_cosine_range():
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(10, 5)).astype(np.float32)
+    D = np.asarray(d.rectified_cosine_distance(jnp.asarray(A)))
+    assert (D >= -1e-6).all() and (D <= 1.0 + 1e-6).all()
+    assert np.allclose(np.diag(D), 0.0, atol=1e-5)
+
+
+# --- Bhattacharyya (test_distance.rs behaviours) --------------------------
+
+
+def test_bhattacharyya_identity_zero():
+    mu = jnp.array([1.0, 2.0, 3.0])
+    var = jnp.array([0.5, 0.5, 0.5])
+    assert float(d.bhattacharyya_diagonal(mu, var, mu, var)) == pytest.approx(
+        0.0, abs=1e-6
+    )
+
+
+def test_bhattacharyya_symmetry():
+    mu1, v1 = jnp.array([0.0, 1.0]), jnp.array([1.0, 2.0])
+    mu2, v2 = jnp.array([3.0, -1.0]), jnp.array([0.5, 1.5])
+    a = float(d.bhattacharyya_diagonal(mu1, v1, mu2, v2))
+    b = float(d.bhattacharyya_diagonal(mu2, v2, mu1, v1))
+    assert a == pytest.approx(b, rel=1e-6)
+    assert a > 0
+
+
+def test_bhattacharyya_grows_with_separation():
+    v = jnp.ones(3)
+    base = jnp.zeros(3)
+    d1 = float(d.bhattacharyya_diagonal(base, v, jnp.full(3, 1.0), v))
+    d2 = float(d.bhattacharyya_diagonal(base, v, jnp.full(3, 5.0), v))
+    assert d2 > d1
+
+
+def test_bhattacharyya_pairwise_matches_single():
+    rng = np.random.default_rng(4)
+    mu = rng.normal(size=(4, 6)).astype(np.float32)
+    var = rng.uniform(0.1, 2.0, size=(4, 6)).astype(np.float32)
+    P = np.asarray(d.bhattacharyya_pairwise(jnp.asarray(mu), jnp.asarray(var)))
+    for i in range(4):
+        for j in range(4):
+            ref = float(
+                d.bhattacharyya_diagonal(
+                    jnp.asarray(mu[i]), jnp.asarray(var[i]),
+                    jnp.asarray(mu[j]), jnp.asarray(var[j]),
+                )
+            )
+            assert P[i, j] == pytest.approx(ref, abs=1e-4)
+
+
+def test_bhattacharyya_stability_tiny_and_huge_variance():
+    mu1 = jnp.array([0.0, 0.0])
+    mu2 = jnp.array([1.0, 1.0])
+    tiny = jnp.full(2, 1e-12)
+    huge = jnp.full(2, 1e12)
+    out1 = float(d.bhattacharyya_diagonal(mu1, tiny, mu2, tiny))
+    out2 = float(d.bhattacharyya_diagonal(mu1, huge, mu2, huge))
+    assert np.isfinite(out1) and np.isfinite(out2)
+
+
+def test_bhattacharyya_coefficient_range():
+    dist = jnp.array([0.0, 0.5, 10.0])
+    bc = np.asarray(d.bhattacharyya_coefficient(dist))
+    assert bc[0] == pytest.approx(1.0)
+    assert ((bc > 0) & (bc <= 1.0)).all()
+    assert bc[2] < bc[1] < bc[0]
+
+
+def test_standardize_columns():
+    rng = np.random.default_rng(5)
+    A = rng.normal(5.0, 3.0, size=(50, 4)).astype(np.float32)
+    S = np.asarray(d.standardize_columns(jnp.asarray(A)))
+    assert np.allclose(S.mean(0), 0.0, atol=1e-4)
+    assert np.allclose(S.std(0), 1.0, atol=1e-3)

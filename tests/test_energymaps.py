@@ -1,0 +1,147 @@
+"""EnergyMaps pipeline tests (ports src_legacy/tests/test_energy_builder.rs
+and test_energy_search.rs behaviours: build variants, self-retrieval,
+no-cosine-dependence, λ distribution)."""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu import energymaps as em
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+
+def energy_builder(**kw) -> ArrowSpaceBuilder:
+    b = ArrowSpaceBuilder().with_lambda_graph(1.0, 5).with_sparsity_check(False)
+    b.with_cluster_params(max_clusters=30, radius=16.0)
+    b.with_deterministic_clustering(True)
+    b.with_dims_reduction(True)
+    b.with_seed(11)
+    for k, v in kw.items():
+        setattr(b, k, v)
+    return b
+
+
+@pytest.fixture(scope="module")
+def built():
+    data = make_energy_test_dataset(200, 32, seed=5).astype(np.float32)
+    b = energy_builder()
+    params = em.EnergyParams(optical_tokens=20, neighbor_k=5, candidate_m=10)
+    aspace, gl = b.build_energy(data, params)
+    return aspace, gl, data
+
+
+def test_energy_build_populates_fields(built):
+    aspace, gl, data = built
+    assert aspace.sub_centroids is not None
+    assert aspace.subcentroid_lambdas is not None
+    assert aspace.centroid_map is not None
+    assert aspace.item_norms is not None
+    assert gl.energy
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape == (200,)
+    assert (lam >= 0).all() and (lam <= 1).all()
+
+
+def test_energy_item_lambdas_come_from_subcentroids(built):
+    aspace, _, _ = built
+    sc_lams = np.asarray(aspace.subcentroid_lambdas)
+    lam = np.asarray(aspace.lambdas)
+    cmap = np.asarray(aspace.centroid_map)
+    assert np.allclose(lam, sc_lams[cmap], atol=1e-6)
+
+
+def test_energy_search_self_retrieval(built):
+    aspace, gl, data = built
+    hits = 0
+    for i in (0, 50, 120, 199):
+        res = em.search_energy(aspace, data[i], gl, k=10)
+        assert len(res) == 10
+        # Energy search is λ-cluster-grained: the query's own sub-centroid
+        # group must be ranked first (distance 0 block).
+        if any(j == i for j, _ in res):
+            hits += 1
+        assert res[0][1] <= res[-1][1]      # ascending distance
+    assert hits >= 1
+
+
+def test_energy_search_distances_nonnegative(built):
+    aspace, gl, data = built
+    res = em.search_energy(aspace, data[10], gl, k=5)
+    for _, d in res:
+        assert d >= -1e-9
+
+
+def test_energy_requires_dims_reduction():
+    data = make_energy_test_dataset(80, 16, seed=1).astype(np.float32)
+    b = energy_builder(use_dims_reduction=False)
+    with pytest.raises(ValueError, match="dim reduction"):
+        b.build_energy(data)
+
+
+def test_energy_rejects_spectral():
+    data = make_energy_test_dataset(80, 16, seed=1).astype(np.float32)
+    b = energy_builder(prebuilt_spectral=True)
+    with pytest.raises(ValueError, match="Spectral"):
+        b.build_energy(data)
+
+
+# --- optical compression ---------------------------------------------------
+
+
+def test_optical_compression_respects_budget():
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(100, 16)).astype(np.float32)
+    out = em.optical_compress_centroids(cents, 25, 0.1)
+    assert out.shape[1] == 16
+    assert out.shape[0] <= 100
+    assert out.shape[0] >= 25       # budget filled (pool + top-up)
+
+
+def test_optical_compression_skip_when_budget_large():
+    rng = np.random.default_rng(4)
+    cents = rng.normal(size=(10, 8)).astype(np.float32)
+    out = em.optical_compress_centroids(cents, 50, 0.1)
+    assert np.allclose(out, cents)
+
+
+def test_adaptive_tokens_rule():
+    assert em.EnergyParams.compute_adaptive_tokens(1000) == 100    # clamped
+    assert em.EnergyParams.compute_adaptive_tokens(10_000) == 200
+    assert em.EnergyParams.compute_adaptive_tokens(313_841) == 1120 or \
+        em.EnergyParams.compute_adaptive_tokens(313_841) == 1119
+    assert em.EnergyParams.compute_adaptive_tokens(10_000_000) == 2000
+
+
+# --- diffusion + split -----------------------------------------------------
+
+
+def test_diffusion_smooths_and_split_adds_rows():
+    rng = np.random.default_rng(6)
+    cents = rng.normal(size=(30, 12)).astype(np.float32)
+    b = energy_builder()
+    l0 = em.bootstrap_centroid_laplacian(cents, b)
+    assert l0.matrix.shape == (12, 12)
+    p = em.EnergyParams(optical_tokens=None, steps=3, neighbor_k=5)
+    subs = em.diffuse_and_split_subcentroids(cents, l0, p)
+    assert subs.shape[1] == 12
+    assert subs.shape[0] >= 30      # splits add rows
+
+
+def test_node_energy_and_dispersion_ranges():
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(20, 10)).astype(np.float32)
+    b = energy_builder()
+    l0 = em.bootstrap_centroid_laplacian(cents, b)
+    lam, gini = em.node_energy_and_dispersion(cents, l0, 5)
+    assert (lam >= 0).all()
+    assert ((gini >= 0) & (gini <= 1)).all()
+
+
+def test_adaptive_weights_complementary():
+    from matternet_rs_tpu.core import ArrowSpace
+
+    aspace = ArrowSpace.from_items(np.ones((3, 4), np.float32))
+    aspace.range_lambdas = 0.8
+    wl, wd = em.adaptive_energy_weights(aspace)
+    assert wl == pytest.approx(0.5 + 1.5 * 0.8)
+    assert wl + wd == pytest.approx(2.5)

@@ -1,0 +1,200 @@
+"""Motif detection + subgraph + sparsification tests.
+
+Ports behaviours from src_legacy/tests/test_motives.rs,
+subgraphs/tests/test_subg_motives.rs, test_subg_centroids.rs, and
+test_subg_parallel.rs (determinism)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matternet_rs_tpu import motives as mv
+from matternet_rs_tpu import subgraphs as sg
+from matternet_rs_tpu.core import ArrowSpace
+from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+from matternet_rs_tpu.ops import laplacian as lap_ops
+from matternet_rs_tpu.sparsification import SfGrassSparsifier
+from matternet_rs_tpu.utils.fixtures import make_gaussian_cliques
+
+
+def _clique_graph():
+    """Graph with two explicit 4-cliques joined by one bridge edge."""
+    n = 9
+    W = np.zeros((n, n))
+    for block in ([0, 1, 2, 3], [4, 5, 6, 7]):
+        for a in block:
+            for b in block:
+                if a != b:
+                    W[a, b] = 1.0
+    W[3, 4] = W[4, 3] = 0.2
+    W[8, 0] = W[0, 8] = 0.1     # pendant node
+    L = np.diag(W.sum(1)) - W
+    return GraphLaplacian(
+        matrix=jnp.asarray(L, jnp.float32),
+        init_data=jnp.asarray(np.eye(n), jnp.float32),
+        nnodes=n,
+        graph_params=GraphParams(sparsity_check=False),
+    )
+
+
+def test_motives_find_cliques():
+    gl = _clique_graph()
+    motifs = mv.spot_motives_eigen(gl, mv.MotiveConfig(min_triangles=1, min_clust=0.3))
+    assert len(motifs) >= 1
+    found = [set(m) for m in motifs]
+    # Each 4-clique should be discovered (possibly with the bridge attached).
+    assert any({0, 1, 2, 3} <= f for f in found)
+    assert any({4, 5, 6, 7} <= f for f in found)
+
+
+def test_motives_deterministic():
+    gl = _clique_graph()
+    cfg = mv.MotiveConfig(min_triangles=1, min_clust=0.3)
+    assert mv.spot_motives_eigen(gl, cfg) == mv.spot_motives_eigen(gl, cfg)
+
+
+def test_motives_respect_max_sets():
+    gl = _clique_graph()
+    cfg = mv.MotiveConfig(min_triangles=1, min_clust=0.1, max_sets=1)
+    assert len(mv.spot_motives_eigen(gl, cfg)) <= 1
+
+
+def test_is_clique_and_rayleigh():
+    gl = _clique_graph()
+    assert mv.is_clique(gl, {0, 1, 2, 3})
+    assert not mv.is_clique(gl, {0, 1, 4})
+    r_coh = mv.rayleigh_indicator(gl, {0, 1, 2, 3})
+    r_cut = mv.rayleigh_indicator(gl, {0, 4, 5})
+    assert r_coh < r_cut        # cohesive set has lower boundary energy
+
+
+def test_motives_on_clique_dataset():
+    data = make_gaussian_cliques(12, 0.4, 5, 10, seed=3).astype(np.float32)
+    params = GraphParams(eps=0.5, k=8, topk=8, sparsity_check=False)
+    gl = lap_ops.build_laplacian_matrix(data, params)  # item graph for motifs
+    motifs = mv.spot_motives_eigen(
+        gl, mv.MotiveConfig(min_triangles=1, min_clust=0.2)
+    )
+    assert len(motifs) >= 1
+    for m in motifs:
+        assert len(m) >= 3
+        assert m == sorted(m)
+
+
+# --- sparsification --------------------------------------------------------
+
+
+def test_sparsifier_skips_sparse_graph():
+    W = np.zeros((10, 10))
+    W[0, 1] = W[1, 0] = 1.0
+    out = SfGrassSparsifier().sparsify_adjacency(W)
+    assert np.allclose(out, W)
+
+
+def test_sparsifier_keeps_ratio_and_min_one():
+    rng = np.random.default_rng(0)
+    n = 30
+    W = rng.random((n, n))
+    W = (W + W.T) / 2
+    np.fill_diagonal(W, 0.0)
+    out = SfGrassSparsifier(0.5).sparsify_adjacency(W)
+    kept = (out > 1e-12).sum(axis=1)
+    orig = (W > 1e-12).sum(axis=1)
+    assert ((kept >= 1) | (orig == 0)).all()
+    assert kept.sum() <= np.ceil(orig.sum() * 0.5) + n     # per-row ceil slack
+
+
+def test_sparsifier_prefers_high_scores():
+    n = 20
+    W = np.full((n, n), 0.1)
+    np.fill_diagonal(W, 0.0)
+    W[0, 1] = W[1, 0] = 5.0       # strongest edge must survive
+    out = SfGrassSparsifier(0.3).sparsify_adjacency(W)
+    assert out[0, 1] > 0
+
+
+# --- subgraphs -------------------------------------------------------------
+
+
+def _centroid_graph_and_space():
+    rng = np.random.default_rng(5)
+    data = make_gaussian_cliques(10, 0.4, 3, 10, seed=7).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    n_cent = 8
+    centroids = data[rng.permutation(len(data))[:n_cent]]
+    gl = lap_ops.build_laplacian_from_k_cluster(
+        jnp.asarray(centroids),
+        GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False),
+        n_items=len(data),
+    )
+    # Assign items round-robin to centroids for root indices.
+    aspace.cluster_assignments = np.arange(len(data)) % n_cent
+    return gl, aspace
+
+
+def test_subgraph_from_parent_invariants():
+    gl, aspace = _centroid_graph_and_space()
+    nodes = [0, 2, 4, 5]
+    sub = sg.Subgraph.from_parent(gl, nodes, n_items=aspace.nitems)
+    f = gl.init_data.shape[0]
+    assert sub.laplacian.init_data.shape == (f, 4)
+    assert sub.laplacian.matrix.shape == (f, f)
+    assert sub.laplacian.nnodes == 4
+    sub.compute_rayleigh()
+    assert sub.rayleigh is not None and np.isfinite(sub.rayleigh)
+
+
+def test_centroid_hierarchy_levels():
+    gl, aspace = _centroid_graph_and_space()
+    params = sg.CentroidGraphParams(
+        eps=1.0, k=4, topk=4, min_centroids=2, max_depth=3, sparsity_check=False
+    )
+    h = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert len(h.level(0)) == 1
+    assert h.count_subgraphs() >= 2          # at least root + one recluster
+    # Root indices cover all items exactly once at the root level.
+    root = h.level(0)[0]
+    all_items = sorted(i for lst in root.root_indices for i in lst)
+    assert all_items == list(range(aspace.nitems))
+    # Child levels preserve item coverage.
+    for depth in range(1, len(h.levels)):
+        for node in h.level(depth):
+            covered = sorted(i for lst in node.root_indices for i in lst)
+            assert covered == list(range(aspace.nitems))
+
+
+def test_recluster_round_robin():
+    cents = np.arange(12, dtype=np.float32).reshape(6, 2)
+    labels, means = sg.recluster_centroids(cents, 3)
+    assert labels.tolist() == [0, 1, 2, 0, 1, 2]
+    assert means.shape == (3, 2)
+    assert np.allclose(means[0], cents[[0, 3]].mean(0))
+
+
+def test_spot_subg_centroids_flat():
+    gl, aspace = _centroid_graph_and_space()
+    subs = sg.spot_subg_centroids(
+        gl, aspace,
+        sg.CentroidGraphParams(eps=1.0, k=4, topk=4, min_centroids=2,
+                               max_depth=2, sparsity_check=False),
+    )
+    assert len(subs) >= 1
+    for s in subs:
+        assert s.laplacian.matrix.shape[0] == gl.init_data.shape[0]
+
+
+def test_hierarchy_deterministic_parallel_consistency():
+    """Reference test_subg_parallel.rs analogue: repeated builds identical."""
+    gl, aspace = _centroid_graph_and_space()
+    params = sg.CentroidGraphParams(eps=1.0, k=4, topk=4, min_centroids=2,
+                                    max_depth=2, sparsity_check=False)
+    h1 = sg.build_centroid_hierarchy(gl, aspace, params)
+    h2 = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert h1.count_subgraphs() == h2.count_subgraphs()
+    for l1, l2 in zip(h1.levels, h2.levels):
+        for n1, n2 in zip(l1, l2):
+            assert np.allclose(
+                np.asarray(n1.graph.laplacian.matrix),
+                np.asarray(n2.graph.laplacian.matrix),
+            )
