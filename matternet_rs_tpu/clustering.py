@@ -282,12 +282,50 @@ def incremental_clustering(
 ) -> ClusteredOutput:
     """Radius-gated incremental clustering (clustering.rs:574-932).
 
-    ``deterministic=True`` runs the exact sequential reference scan;
-    ``False`` runs the batched device fast path (mini-batch snapshots).
+    Fast path: the native C++ scan (bit-identical to the sequential
+    reference semantics; see native/clustering.cpp). Falls back to the
+    Python sequential scan, or the batched-device path for huge N when
+    ``deterministic=False`` and no native library is available.
     Assignments use -1 for dropped outliers (reference: ``None``).
     """
     X = np.asarray(X, np.float32)
     n, f = X.shape
+
+    # Sampling masks that don't depend on live clustering state can be
+    # precomputed and handed to the native scan. Density-adaptive sampling
+    # reads the current nearest-distance, so it stays on the Python path.
+    from matternet_rs_tpu.sampling import SimpleRandomSampler
+    from matternet_rs_tpu import native as native_mod
+
+    keep_mask = None
+    native_ok = True
+    if sampler is not None:
+        if type(sampler) is SimpleRandomSampler:
+            keep_mask = (sampler.rng.random(n) < sampler.rate).astype(np.uint8)
+            sampler.stats.sampled += int(keep_mask.sum())
+            sampler.stats.discarded += int(n - keep_mask.sum())
+        else:
+            native_ok = False
+
+    if native_ok:
+        out = native_mod.incremental_cluster(
+            X, max_clusters, radius, "legacy", keep_mask
+        )
+        if out is not None:
+            cents, assignments, counts, _m2 = out
+            if len(cents) == 0:
+                raise ValueError(
+                    "No clusters created from data (sampling too aggressive?)"
+                )
+            return ClusteredOutput(
+                centroids=cents,
+                assignments=assignments,
+                sizes=counts,
+                radius=radius,
+                n_items=n,
+                n_features=f,
+            )
+
     if deterministic or n <= batch_size:
         return _incremental_sequential(X, max_clusters, radius, sampler)
     return _incremental_batched(X, max_clusters, radius, sampler, batch_size)

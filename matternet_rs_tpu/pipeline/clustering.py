@@ -128,8 +128,16 @@ class ClusteringStage:
     # ------------------------------------------------------------------
     def _incremental(self, X: np.ndarray):
         """Radius-gated scan (clustering.rs:240-309) with batched device
-        distances and Welford variance accumulation."""
+        distances and Welford variance accumulation. Fast path: the native
+        C++ scan (native/clustering.cpp, mode="stage_a")."""
+        from matternet_rs_tpu import native as native_mod
+
         cfg = self.config
+        out = native_mod.incremental_cluster(
+            X, min(cfg.max_clusters, X.shape[0]), cfg.radius_threshold, "stage_a"
+        )
+        if out is not None:
+            return out
         n, f = X.shape
         cap = min(cfg.max_clusters, n)
         cents = np.zeros((cap, f), np.float64)
