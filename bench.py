@@ -36,6 +36,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: repeat bench runs (and driver rounds)
+    # skip the slow first-compile of every jitted stage.
+    import pathlib
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from matternet_rs_tpu.builder import ArrowSpaceBuilder
     from matternet_rs_tpu.ops import search as search_ops
     from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset

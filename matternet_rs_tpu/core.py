@@ -156,7 +156,7 @@ class ArrowSpace:
             and graph.shape[0] == self.projection.reduced_dim
         ):
             X = self.projection.project(X)
-        raw = taumode_ops.taumode_lambdas(
+        raw = taumode_ops.taumode_lambdas_auto(
             X, graph, self.taumode.mode, self.taumode.param
         )
         self.update_lambdas(raw)

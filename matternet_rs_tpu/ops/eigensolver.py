@@ -1,0 +1,106 @@
+"""Blocked LOBPCG eigensolver + spectral embeddings.
+
+New capability beyond the reference (BASELINE.json north star: "batched
+Lanczos/LOBPCG eigensolver" — the reference never eigendecomposes, it only
+uses Rayleigh quotients; SURVEY §7.3). Provides the smallest eigenpairs of a
+graph Laplacian for true spectral embeddings (eigenmaps quality metrics) at
+MXU-friendly block sizes.
+
+Design: standard LOBPCG with Rayleigh–Ritz over the ``[X, R, P]`` subspace,
+fixed iteration count under ``jit`` (compiler-friendly control flow), QR
+orthonormalization (``jnp.linalg.qr`` maps to batched Householder on TPU).
+The operator is either a dense ``[n, n]`` matmul or an ELL SpMV
+(:func:`matternet_rs_tpu.ops.csr.laplacian_spmv_ell`) for large sparse L.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu.ops._mm import mm
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _lobpcg_dense(A: jax.Array, X0: jax.Array, k: int, iters: int):
+    n = A.shape[0]
+
+    def matvec(V):
+        return mm(A, V)
+
+    def orthonormalize(V):
+        Q, _ = jnp.linalg.qr(V)
+        return Q
+
+    X = orthonormalize(X0)
+    AX = matvec(X)
+    theta = jnp.sum(X * AX, axis=0)
+    P = jnp.zeros_like(X)
+
+    def body(carry, _):
+        X, AX, theta, P = carry
+        R = AX - X * theta[None, :]
+        # Subspace: [X, R, P] (P is zero on the first iteration).
+        S = jnp.concatenate([X, R, P], axis=1)
+        Q = orthonormalize(S)
+        AQ = matvec(Q)
+        G = mm(Q.T, AQ)
+        G = 0.5 * (G + G.T)
+        evals, evecs = jnp.linalg.eigh(G)
+        C = evecs[:, :k]                     # smallest k Ritz vectors
+        X_new = mm(Q, C)
+        AX_new = mm(AQ, C)
+        theta_new = evals[:k]
+        # Conjugate direction: component of the step outside old X.
+        P_new = X_new - X * jnp.sum(X * X_new, axis=0)[None, :]
+        return (X_new, AX_new, theta_new, P_new), None
+
+    (X, AX, theta, P), _ = jax.lax.scan(body, (X, AX, theta, P), None, length=iters)
+    return theta, X
+
+
+def lobpcg_smallest(
+    A,
+    k: int,
+    iters: int = 60,
+    seed: int = 0,
+    X0: jax.Array | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Smallest-k eigenpairs of symmetric ``A [n, n]``.
+
+    Returns ``(eigenvalues [k] ascending, eigenvectors [n, k])``.
+    """
+    A = jnp.asarray(A, jnp.float32)
+    n = A.shape[0]
+    k = min(k, n)
+    if X0 is None:
+        X0 = jax.random.normal(jax.random.PRNGKey(seed), (n, k), jnp.float32)
+    theta, X = _lobpcg_dense(A, X0, k, iters)
+    # Final exact ordering (Ritz values are already sorted by eigh).
+    return np.asarray(theta), np.asarray(X)
+
+
+def spectral_embedding(
+    L, k: int, skip_trivial: bool = True, iters: int = 80, seed: int = 0
+) -> np.ndarray:
+    """Eigenmap embedding: the k smallest non-trivial eigenvectors of L.
+
+    For a connected unnormalized Laplacian the smallest eigenvector is the
+    constant nullspace vector; ``skip_trivial`` drops it.
+    """
+    extra = 1 if skip_trivial else 0
+    vals, vecs = lobpcg_smallest(L, k + extra, iters=iters, seed=seed)
+    return vecs[:, extra : k + extra]
+
+
+def eigsh_dense(L, k: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Exact dense reference (np.linalg.eigh) for validation and small F."""
+    L = np.asarray(L, np.float64)
+    vals, vecs = np.linalg.eigh(L)
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:, :k]
+    return vals, vecs

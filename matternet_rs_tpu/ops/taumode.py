@@ -136,6 +136,26 @@ def synthetic_lambda(
     return taumode_lambdas(x[None, :], L, tau_mode, tau_param)[0]
 
 
+def taumode_lambdas_auto(
+    X: jax.Array,
+    L: jax.Array,
+    tau_mode: int = TAU_MEDIAN,
+    tau_param: float | jax.Array = 0.0,
+) -> jax.Array:
+    """λ batch with automatic kernel selection: the fused Pallas kernel on
+    TPU (single HBM pass over X — see ops/pallas/taumode_fused.py), the XLA
+    closed form elsewhere. Numerically equivalent paths."""
+    from matternet_rs_tpu.ops.pallas import taumode_fused as tf
+
+    X = jnp.asarray(X, jnp.float32)
+    # The fused kernel wins on big batches; below this the XLA path is
+    # already sub-ms and not worth a separate Mosaic compilation.
+    if X.shape[0] >= 32768 and tf.pallas_supported(X.shape[1]):
+        tau = select_tau(X, tau_mode, float(tau_param))
+        return tf.taumode_lambdas_pallas(X, jnp.asarray(L, jnp.float32), tau)
+    return taumode_lambdas(X, L, tau_mode, tau_param)
+
+
 @jax.jit
 def rayleigh_quotient(L: jax.Array, x: jax.Array) -> jax.Array:
     """``max(xᵀLx/xᵀx, 0)`` (taumode.rs:326-361)."""

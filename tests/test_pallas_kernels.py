@@ -1,0 +1,63 @@
+"""Pallas kernel parity tests (interpret mode — tests run on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.ops import laplacian as lap
+from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.ops.pallas import taumode_fused as tf
+
+
+def _graph(f, seed=0):
+    rng = np.random.default_rng(seed)
+    nodes = rng.normal(size=(f, 30)).astype(np.float32)
+    return lap.build_laplacian_matrix(
+        nodes, GraphParams(eps=0.9, k=5, topk=5, sparsity_check=False)
+    ).matrix
+
+
+@pytest.mark.parametrize("n,f", [(300, 24), (256, 128), (1000, 60)])
+def test_fused_matches_xla_reference(n, f):
+    """Includes non-multiple N (pad) and non-128-multiple F (pad)."""
+    L = _graph(f)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    ref = tm.taumode_lambdas(X, L, tm.TAU_MEDIAN)
+    tau = tm.select_tau(X, tm.TAU_MEDIAN)
+    got = tf.taumode_lambdas_pallas(X, L, tau, interpret=True)
+    assert np.allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+
+def test_fused_zero_vectors():
+    L = _graph(16)
+    X = jnp.zeros((300, 16))
+    tau = tm.select_tau(X, tm.TAU_MEDIAN)
+    got = tf.taumode_lambdas_pallas(X, L, tau, interpret=True)
+    assert np.allclose(np.asarray(got), 0.0)
+
+
+def test_fused_fixed_tau():
+    L = _graph(32, seed=2)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.normal(size=(512, 32)).astype(np.float32))
+    ref = tm.taumode_lambdas(X, L, tm.TAU_FIXED, 0.4)
+    tau = jnp.full((512,), 0.4, jnp.float32)
+    got = tf.taumode_lambdas_pallas(X, L, tau, interpret=True)
+    assert np.allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+
+def test_auto_path_on_cpu_falls_back():
+    """On CPU the auto selector must use the XLA path (identical output)."""
+    L = _graph(20, seed=4)
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.normal(size=(400, 20)).astype(np.float32))
+    auto = tm.taumode_lambdas_auto(X, L, tm.TAU_MEDIAN)
+    ref = tm.taumode_lambdas(X, L, tm.TAU_MEDIAN)
+    assert np.allclose(np.asarray(auto), np.asarray(ref), atol=1e-7)
+
+
+def test_pallas_supported_gating():
+    assert not tf.pallas_supported(4096)     # above VMEM budget
