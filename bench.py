@@ -95,6 +95,53 @@ def main():
     idx0 = np.asarray(out[0])[:, 0]
     self_recall = float((idx0 == q_idx).mean())
 
+    # recall@10 vs brute force (BASELINE metric): held-out noisy queries,
+    # ground truth = exact cosine top-10 over the corpus.
+    n_recall_q = 128
+    noise_q = data[q_idx[:n_recall_q]] + rng.normal(
+        0, 0.05, (n_recall_q, F)
+    ).astype(np.float32)
+    Xn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    Qn = noise_q / np.maximum(np.linalg.norm(noise_q, axis=1, keepdims=True), 1e-12)
+    gt = np.argsort(-(Qn @ Xn.T), axis=1)[:, :K]
+
+    # Batched query-λ: one fused taumode dispatch for all noisy queries,
+    # then the same normalization the query path applies.
+    from matternet_rs_tpu.ops import taumode as tm_ops
+
+    raw_q = np.asarray(
+        tm_ops.taumode_lambdas(
+            jnp.asarray(noise_q), aspace.graph_for_taumode(gl),
+            aspace.taumode.mode, aspace.taumode.param,
+        )
+    )
+    q_lams_noise = np.clip(
+        (raw_q - aspace.min_lambdas) / aspace.range_lambdas, 0.0, 1.0
+    ).astype(np.float32)
+
+    def recall_at(alpha: float) -> float:
+        batched_r = jax.jit(
+            jax.vmap(
+                lambda q, ql: search_ops.search_lambda_aware(
+                    aspace.data, aspace.norms, aspace.lambdas, q, ql, K,
+                    alpha=alpha,
+                )
+            )
+        )
+        idx, _ = batched_r(jnp.asarray(noise_q), jnp.asarray(q_lams_noise))
+        idx = np.asarray(idx)
+        return float(
+            np.mean([
+                len(set(idx[qi].tolist()) & set(gt[qi].tolist())) / K
+                for qi in range(n_recall_q)
+            ])
+        )
+
+    # α=0.7 is the reference's default blend (deliberately trades cosine
+    # recall for λ-proximity); α→1 recovers pure semantic recall.
+    recall_blend = recall_at(0.7)
+    recall_semantic = recall_at(0.95)
+
     # ---- numpy baseline --------------------------------------------------
     base_qps = _numpy_baseline_qps(
         data, np.linalg.norm(data, axis=1), np.asarray(aspace.lambdas),
@@ -109,6 +156,8 @@ def main():
         "extra": {
             "build_seconds": round(build_s, 2),
             "self_recall_at_1": self_recall,
+            "recall_at_10_vs_bruteforce_alpha0.7": round(recall_blend, 4),
+            "recall_at_10_vs_bruteforce_alpha0.95": round(recall_semantic, 4),
             "baseline_numpy_qps": round(base_qps, 1),
             "n_items": N,
             "n_features": F,

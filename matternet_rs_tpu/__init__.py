@@ -32,8 +32,9 @@ Design stance (TPU-first, not a port):
 from matternet_rs_tpu.graph import GraphParams, GraphLaplacian
 from matternet_rs_tpu.core import ArrowSpace, TauMode, TAU_FLOOR
 from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu import backend, eigenmaps
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "GraphParams",
@@ -42,4 +43,6 @@ __all__ = [
     "TauMode",
     "TAU_FLOOR",
     "ArrowSpaceBuilder",
+    "backend",
+    "eigenmaps",
 ]

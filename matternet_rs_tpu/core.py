@@ -123,7 +123,12 @@ class ArrowSpace:
     @property
     def norms(self) -> jax.Array:
         if self._norms is None or self._norms.shape[0] != self.data.shape[0]:
-            self._norms = jnp.sqrt(jnp.sum(self.data * self.data, axis=-1))
+            norms = jnp.sqrt(jnp.sum(self.data * self.data, axis=-1))
+            if isinstance(norms, jax.core.Tracer):
+                # First access happened under a trace (e.g. inside a user's
+                # jit/vmap closure) — don't leak the tracer into the cache.
+                return norms
+            self._norms = norms
         return self._norms
 
     def get_item(self, i: int) -> tuple[np.ndarray, float]:

@@ -1,0 +1,153 @@
+"""ShardedArrowSpace: the mesh-scale index front-end.
+
+The distributed capability the single-node reference lacks (SURVEY §2.5 —
+"index sharding across TPU mesh ... all_gather+top-k-merge" is named the
+north star in BASELINE.json). Wraps a built index so that:
+
+* items, norms, and λ are sharded over the ``data`` mesh axis,
+* the F×F graph and λ-normalization stats are replicated,
+* λ scoring is zero-communication (pure DP),
+* queries run shard-local blended scoring + shard-local top-k + one
+  ``all_gather`` of k·D candidates over ICI + replicated re-rank — exact
+  and deterministic vs the single-device scan.
+
+Build path for data larger than one host: feed per-shard blocks through
+``from_shards``; λ statistics are reduced globally before normalization so
+the result is identical to a single-device build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu.core import ArrowSpace, TauMode, TAUDEFAULT
+from matternet_rs_tpu.graph import GraphLaplacian
+from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.parallel.mesh import make_mesh, replicate, shard_items
+from matternet_rs_tpu.parallel.search import (
+    make_sharded_search,
+    sharded_taumode_lambdas,
+)
+
+
+@dataclasses.dataclass
+class ShardedArrowSpace:
+    mesh: object
+    X: jax.Array            # [N_pad, F] sharded over "data"
+    norms: jax.Array        # [N_pad] sharded
+    lambdas: jax.Array      # [N_pad] sharded, normalized to [0,1]
+    gl: GraphLaplacian      # replicated F×F graph
+    n_items: int
+    taumode: TauMode = TAUDEFAULT
+    min_lambdas: float = 0.0
+    range_lambdas: float = 1.0
+    _search_cache: dict = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_arrowspace(
+        cls, aspace: ArrowSpace, gl: GraphLaplacian, n_devices: int | None = None
+    ) -> "ShardedArrowSpace":
+        """Shard an already-built single-device index across the mesh."""
+        mesh = make_mesh(n_devices)
+        return cls(
+            mesh=mesh,
+            X=shard_items(mesh, aspace.data),
+            norms=shard_items(mesh, aspace.norms),
+            lambdas=shard_items(mesh, aspace.lambdas),
+            gl=GraphLaplacian(
+                matrix=replicate(mesh, gl.matrix),
+                init_data=replicate(mesh, gl.init_data),
+                nnodes=gl.nnodes,
+                graph_params=gl.graph_params,
+                energy=gl.energy,
+            ),
+            n_items=aspace.nitems,
+            taumode=aspace.taumode,
+            min_lambdas=aspace.min_lambdas,
+            range_lambdas=aspace.range_lambdas,
+        )
+
+    @classmethod
+    def from_shards(
+        cls,
+        shards: Sequence[np.ndarray],
+        gl: GraphLaplacian,
+        taumode: TauMode = TAUDEFAULT,
+        n_devices: int | None = None,
+    ) -> "ShardedArrowSpace":
+        """Distributed build: per-shard raw blocks → sharded λ → global
+        min/max reduction → normalized sharded index.
+
+        λ computation needs no communication (graph replicated); only two
+        scalars (min/max) are reduced globally, so the normalized λ equal a
+        single-device build bit-for-bit (modulo shard concat order, which
+        the caller controls).
+        """
+        mesh = make_mesh(n_devices)
+        X = np.concatenate([np.asarray(s, np.float32) for s in shards], axis=0)
+        n = X.shape[0]
+        Xs = shard_items(mesh, jnp.asarray(X))
+        Ls = replicate(mesh, gl.matrix)
+        raw = sharded_taumode_lambdas(mesh, Xs, Ls, taumode.mode, taumode.param)
+        raw_valid = np.asarray(raw)[:n]
+        mn = float(raw_valid.min())
+        mx = max(float(raw_valid.max()), 0.0)
+        rng = max(mx - mn, 1e-9)
+        lam_norm = jnp.clip((raw - mn) / rng, 0.0, 1.0)  # padded rows harmless
+        norms = jnp.sqrt(jnp.sum(Xs * Xs, axis=-1))
+        return cls(
+            mesh=mesh,
+            X=Xs,
+            norms=norms,
+            lambdas=lam_norm,
+            gl=GraphLaplacian(
+                matrix=Ls,
+                init_data=replicate(mesh, gl.init_data),
+                nnodes=n,
+                graph_params=gl.graph_params,
+                energy=gl.energy,
+            ),
+            n_items=n,
+            taumode=taumode,
+            min_lambdas=mn,
+            range_lambdas=rng,
+        )
+
+    # ------------------------------------------------------------------
+    def prepare_query_lambda(self, query) -> float:
+        """Query λ against the replicated graph, normalized with the global
+        stats (core.rs:865-935 semantics)."""
+        q = jnp.asarray(query, jnp.float32)
+        raw = float(
+            tm.synthetic_lambda(q, self.gl.matrix, self.taumode.mode, self.taumode.param)
+        )
+        return float(np.clip((raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0))
+
+    def search(
+        self, query, k: int, alpha: float = 0.7, query_lambda: float | None = None
+    ) -> list[tuple[int, float]]:
+        """Distributed λ-aware top-k (exact vs the single-device scan)."""
+        if query_lambda is None:
+            query_lambda = self.prepare_query_lambda(query)
+        key = k
+        if key not in self._search_cache:
+            self._search_cache[key] = make_sharded_search(
+                self.mesh, self.X.shape[0], k
+            )
+        fn = self._search_cache[key]
+        idx, sc = fn(
+            self.X, self.norms, self.lambdas,
+            jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
+            jnp.float32(alpha),
+        )
+        return [
+            (int(i), float(s))
+            for i, s in zip(np.asarray(idx), np.asarray(sc))
+            if np.isfinite(s)
+        ]

@@ -95,6 +95,60 @@ def make_sharded_search(mesh, n_total: int, k: int):
     return jax.jit(mapped)
 
 
+def make_multislice_search(mesh, k: int):
+    """Hierarchical distributed top-k over a 2-D ``("slice", "data")`` mesh.
+
+    Merge order follows the interconnect hierarchy: shard-local top-k →
+    ``all_gather`` + re-rank over the ``data`` axis (ICI within a slice) →
+    ``all_gather`` of k candidates per slice over the ``slice`` axis (DCN)
+    → final re-rank. DCN carries only k·n_slices scores per query.
+    """
+    n_slices = mesh.shape["slice"]
+    n_data = mesh.shape[DATA_AXIS]
+
+    def local_fn(Xl, nl, ll, q, ql, alpha):
+        qn = jnp.sqrt(jnp.sum(q * q))
+        denom = nl * qn
+        dots = jnp.dot(
+            Xl, q, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
+        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        scores = jnp.where(nl > 1e-12, scores, -jnp.inf)
+
+        kk = min(k, Xl.shape[0])
+        top, idx = jax.lax.top_k(scores, kk)
+        slice_id = jax.lax.axis_index("slice")
+        data_id = jax.lax.axis_index(DATA_AXIS)
+        gidx = idx + (slice_id * n_data + data_id) * Xl.shape[0]
+
+        # Stage 1: merge across the data axis (ICI).
+        s1 = jax.lax.all_gather(top, DATA_AXIS, tiled=True)
+        i1 = jax.lax.all_gather(gidx, DATA_AXIS, tiled=True)
+        o1 = jnp.lexsort((i1, -s1))[:kk]
+        s1, i1 = s1[o1], i1[o1]
+
+        # Stage 2: merge across slices (DCN) — k values per slice only.
+        s2 = jax.lax.all_gather(s1, "slice", tiled=True)
+        i2 = jax.lax.all_gather(i1, "slice", tiled=True)
+        o2 = jnp.lexsort((i2, -s2))[:kk]
+        return i2[o2], s2[o2]
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(("slice", DATA_AXIS), None), P(("slice", DATA_AXIS)),
+            P(("slice", DATA_AXIS)), P(), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_search_lambda_aware(
     mesh, X_sharded, norms_sharded, lambdas_sharded, query, q_lambda, k: int,
     alpha: float = 0.7,

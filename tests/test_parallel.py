@@ -109,3 +109,31 @@ def test_padding_rows_never_returned(setup):
     idx = np.asarray(idx)
     assert (idx < len(data)).all()
     assert np.isfinite(np.asarray(sc)).all()
+
+
+def test_multislice_search_matches_single_device(setup):
+    """2-slice × 4-chip mesh: hierarchical ICI→DCN merge is exact."""
+    from matternet_rs_tpu.parallel.mesh import make_mesh_2d
+    from matternet_rs_tpu.parallel.search import make_multislice_search
+    from matternet_rs_tpu.parallel import shard_items
+
+    data, gl = setup
+    aspace = ArrowSpace.from_items(data)
+    aspace.compute_taumode(gl)
+    mesh = make_mesh_2d(2, 4)
+    Xs = shard_items(mesh, aspace.data)
+    norms = shard_items(mesh, aspace.norms)
+    lams = shard_items(mesh, aspace.lambdas)
+
+    q = data[21]
+    q_lambda = aspace.prepare_query_item(q, gl)
+    search = make_multislice_search(mesh, 9)
+    idx_d, sc_d = search(
+        Xs, norms, lams, jnp.asarray(q), jnp.float32(q_lambda), jnp.float32(0.7)
+    )
+    idx_s, sc_s = search_ops.search_lambda_aware(
+        aspace.data, aspace.norms, aspace.lambdas,
+        jnp.asarray(q), jnp.float32(q_lambda), 9,
+    )
+    assert list(np.asarray(idx_d)) == list(np.asarray(idx_s))
+    assert np.allclose(np.asarray(sc_d), np.asarray(sc_s), atol=1e-5)

@@ -219,3 +219,35 @@ def test_metadata_typed_config_preserved(tmp_path):
     assert doc["builder"]["lambda_p"] == 3.0
     assert doc["builder"]["lambda_sigma"] == 0.2
     assert doc["arrowspace"]["taumode_mode"] == "median"
+
+
+def test_multibatch_parquet_roundtrip(tmp_path):
+    """Forced multi-row-group Parquet load stays correct
+    (reference: parquet.rs:954-972 forced multi-batch test)."""
+    import pyarrow.parquet as ppq
+    import pyarrow as pa
+
+    rng = np.random.default_rng(8)
+    M = rng.normal(size=(1000, 6))
+    cols = {f"col_{j}": pa.array(M[:, j]) for j in range(6)}
+    table = pa.table(cols).replace_schema_metadata(
+        {b"name": b"mb", b"n_rows": b"1000", b"n_cols": b"6"}
+    )
+    ppq.write_table(table, tmp_path / "mb.parquet", row_group_size=64)
+    got = pq.load_dense_matrix(tmp_path / "mb.parquet")
+    assert got.shape == (1000, 6)
+    assert np.allclose(got, M)
+
+
+def test_hybrid_union_semantics(projected_index):
+    """Hybrid = λ-top-k ∪ high-cosine ∪ semantic-top-1, cosine precedence
+    for high-semantic members (core.rs:1197-1323)."""
+    aspace, gl, data = projected_index
+    q = data[60]
+    q_lam = aspace.prepare_query_item(q, gl)
+    res = aspace.search_lambda_aware_hybrid(q, q_lam, 6)
+    # Self-item has cosine 1.0 > 0.9999 → member with its cosine score.
+    top_ids = [i for i, _ in res]
+    assert 60 in top_ids
+    score = dict(res)[60]
+    assert score == pytest.approx(1.0, abs=1e-4)
