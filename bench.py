@@ -52,7 +52,12 @@ def main():
     from matternet_rs_tpu.ops import search as search_ops
     from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
 
-    N, F, K = 10_000, 128, 10
+    import os
+
+    # Scale knobs (defaults = BASELINE config #1, synthetic 10k × 128).
+    N = int(os.environ.get("BENCH_N", 10_000))
+    F = int(os.environ.get("BENCH_F", 128))
+    K = 10
     data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
 
     # ---- build ----------------------------------------------------------
@@ -61,7 +66,7 @@ def main():
         ArrowSpaceBuilder()
         .with_lambda_graph(1.0, 6)
         .with_sparsity_check(False)
-        .with_cluster_params(max_clusters=64, radius=25.0)
+        .with_cluster_params(max_clusters=max(64, int(2 * N ** 0.5) // 8), radius=25.0)
         .with_sampling(None)
     )
     aspace, gl = b.build(data)
@@ -149,7 +154,7 @@ def main():
     )
 
     result = {
-        "metric": "query_qps_10k_128d_lambda_aware_top10",
+        "metric": f"query_qps_{N//1000}k_{F}d_lambda_aware_top10",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / base_qps, 2),

@@ -219,6 +219,17 @@ class ArrowSpaceBuilder:
         )
         return aspace, gl
 
+    def build_for_persistence(
+        self, rows, pipeline: str = "eigen", energy_params=None
+    ) -> tuple[ArrowSpace, GraphLaplacian]:
+        """Pipeline-selecting build (reference ``build_for_persistence``,
+        builder.rs:1083-1461: ``Pipeline::{Eigen, Energy, Default}``)."""
+        if pipeline in ("eigen", "default"):
+            return self.build(rows)
+        if pipeline == "energy":
+            return self.build_energy(rows, energy_params)
+        raise ValueError(f"unknown pipeline {pipeline!r} (eigen|energy|default)")
+
     def build_energy(self, rows, energy_params=None):
         """Energy-pipeline build (reference ``build_for_persistence`` with
         ``Pipeline::Energy``, builder.rs:1083-1461 → energymaps.rs:1116)."""

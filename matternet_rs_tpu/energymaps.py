@@ -353,29 +353,40 @@ def build_energy(builder, rows, energy_params: Optional[EnergyParams] = None):
     if aspace.projection is not None:
         X = aspace.projection.project(X)
     Xp = jnp.asarray(X)
-    d2 = (
-        jnp.sum(Xp * Xp, axis=1, keepdims=True)
-        + jnp.sum(sc * sc, axis=1)[None, :]
-        - 2.0 * mm(Xp, sc.T)
-    )
-    item_lam_idx = np.asarray(jnp.argmin(d2, axis=1))
-    item_lambda = sc_lambdas[item_lam_idx]
+    scn = sc / jnp.maximum(jnp.linalg.norm(sc, axis=1, keepdims=True), 1e-12)
+    sc_lam_dev = jnp.asarray(sc_lambdas, jnp.float32)
 
-    # λ-distance re-assignment with cosine tie-break.
-    lam_dist = np.abs(item_lambda[:, None] - sc_lambdas[None, :])   # [N, S]
-    best_dist = lam_dist.min(axis=1)
-    ties = np.abs(lam_dist - best_dist[:, None]) < 1e-11
-    n_ties = ties.sum(axis=1)
-    cos = np.asarray(
-        mm(
-            Xp / jnp.maximum(jnp.linalg.norm(Xp, axis=1, keepdims=True), 1e-12),
-            (sc / jnp.maximum(jnp.linalg.norm(sc, axis=1, keepdims=True), 1e-12)).T,
+    @jax.jit
+    def _assign_chunk(Xc):
+        """Nearest sub-centroid by L2 → its λ → λ-distance re-assignment
+        with cosine tie-break — all [B, S] intermediates stay on device."""
+        d2 = (
+            jnp.sum(Xc * Xc, axis=1, keepdims=True)
+            + jnp.sum(sc * sc, axis=1)[None, :]
+            - 2.0 * mm(Xc, sc.T)
         )
-    )
-    masked_cos = np.where(ties, cos, -np.inf)
-    best_idx = np.where(
-        n_ties > 1, masked_cos.argmax(axis=1), lam_dist.argmin(axis=1)
-    )
+        item_lambda = sc_lam_dev[jnp.argmin(d2, axis=1)]
+        lam_dist = jnp.abs(item_lambda[:, None] - sc_lam_dev[None, :])
+        best_dist = jnp.min(lam_dist, axis=1)
+        ties = jnp.abs(lam_dist - best_dist[:, None]) < 1e-11
+        n_ties = jnp.sum(ties, axis=1)
+        Xn = Xc / jnp.maximum(jnp.linalg.norm(Xc, axis=1, keepdims=True), 1e-12)
+        cos = mm(Xn, scn.T)
+        masked_cos = jnp.where(ties, cos, -jnp.inf)
+        return jnp.where(
+            n_ties > 1, jnp.argmax(masked_cos, axis=1), jnp.argmin(lam_dist, axis=1)
+        )
+
+    # Chunk items so the [B, S] buffers stay bounded at any N.
+    B = 65_536
+    n = Xp.shape[0]
+    pad = (-n) % B if n > B else 0
+    Xpad = jnp.pad(Xp, ((0, pad), (0, 0))) if pad else Xp
+    parts = [
+        np.asarray(_assign_chunk(jax.lax.dynamic_slice_in_dim(Xpad, s, min(B, Xpad.shape[0]), 0)))
+        for s in range(0, Xpad.shape[0], B)
+    ] if n > B else [np.asarray(_assign_chunk(Xp))]
+    best_idx = np.concatenate(parts)[:n]
 
     aspace.centroid_map = best_idx.astype(np.int64)
     aspace.lambdas = jnp.asarray(sc_lambdas[best_idx], jnp.float32)

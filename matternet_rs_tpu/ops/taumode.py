@@ -136,6 +136,9 @@ def synthetic_lambda(
     return taumode_lambdas(x[None, :], L, tau_mode, tau_param)[0]
 
 
+CHUNK_N = 131_072
+
+
 def taumode_lambdas_auto(
     X: jax.Array,
     L: jax.Array,
@@ -144,13 +147,34 @@ def taumode_lambdas_auto(
 ) -> jax.Array:
     """λ batch with automatic kernel selection: the fused Pallas kernel on
     TPU (single HBM pass over X — see ops/pallas/taumode_fused.py), the XLA
-    closed form elsewhere. Numerically equivalent paths."""
+    closed form elsewhere. Numerically equivalent paths.
+
+    Large N is processed in fixed CHUNK_N tiles so ONE compiled program
+    serves every dataset size (compiles are expensive on remote-attached
+    TPUs; results are identical because λ is row-independent).
+    """
     from matternet_rs_tpu.ops.pallas import taumode_fused as tf
 
     X = jnp.asarray(X, jnp.float32)
-    # The fused kernel wins on big batches; below this the XLA path is
-    # already sub-ms and not worth a separate Mosaic compilation.
-    if X.shape[0] >= 32768 and tf.pallas_supported(X.shape[1]):
+    n, f = X.shape
+    use_pallas = n >= 32768 and tf.pallas_supported(f)
+
+    if n > CHUNK_N:
+        pad = (-n) % CHUNK_N
+        Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+        outs = []
+        for start in range(0, n + pad, CHUNK_N):
+            chunk = jax.lax.dynamic_slice_in_dim(Xp, start, CHUNK_N, axis=0)
+            if use_pallas:
+                tau = select_tau(chunk, tau_mode, float(tau_param))
+                outs.append(
+                    tf.taumode_lambdas_pallas(chunk, jnp.asarray(L, jnp.float32), tau)
+                )
+            else:
+                outs.append(taumode_lambdas(chunk, L, tau_mode, tau_param))
+        return jnp.concatenate(outs)[:n]
+
+    if use_pallas:
         tau = select_tau(X, tau_mode, float(tau_param))
         return tf.taumode_lambdas_pallas(X, jnp.asarray(L, jnp.float32), tau)
     return taumode_lambdas(X, L, tau_mode, tau_param)

@@ -46,15 +46,19 @@ class ShardedArrowSpace:
     taumode: TauMode = TAUDEFAULT
     min_lambdas: float = 0.0
     range_lambdas: float = 1.0
+    projection: object | None = None     # ImplicitProjection for F-dim queries
     _search_cache: dict = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
     @classmethod
     def from_arrowspace(
-        cls, aspace: ArrowSpace, gl: GraphLaplacian, n_devices: int | None = None
+        cls, aspace: ArrowSpace, gl: GraphLaplacian, n_devices: int | None = None,
+        mesh=None,
     ) -> "ShardedArrowSpace":
-        """Shard an already-built single-device index across the mesh."""
-        mesh = make_mesh(n_devices)
+        """Shard an already-built single-device index across the mesh (pass
+        ``mesh`` for a prebuilt 2-D multi-slice mesh)."""
+        if mesh is None:
+            mesh = make_mesh(n_devices)
         return cls(
             mesh=mesh,
             X=shard_items(mesh, aspace.data),
@@ -71,6 +75,7 @@ class ShardedArrowSpace:
             taumode=aspace.taumode,
             min_lambdas=aspace.min_lambdas,
             range_lambdas=aspace.range_lambdas,
+            projection=aspace.projection,
         )
 
     @classmethod
@@ -122,8 +127,14 @@ class ShardedArrowSpace:
     # ------------------------------------------------------------------
     def prepare_query_lambda(self, query) -> float:
         """Query λ against the replicated graph, normalized with the global
-        stats (core.rs:865-935 semantics)."""
+        stats (core.rs:865-935 semantics). Projects original-dim queries
+        when a JL projection is active."""
         q = jnp.asarray(query, jnp.float32)
+        if (
+            self.projection is not None
+            and q.shape[-1] == self.projection.original_dim
+        ):
+            q = self.projection.project(q)
         raw = float(
             tm.synthetic_lambda(q, self.gl.matrix, self.taumode.mode, self.taumode.param)
         )
@@ -137,9 +148,14 @@ class ShardedArrowSpace:
             query_lambda = self.prepare_query_lambda(query)
         key = k
         if key not in self._search_cache:
-            self._search_cache[key] = make_sharded_search(
-                self.mesh, self.X.shape[0], k
-            )
+            if "slice" in self.mesh.axis_names:
+                from matternet_rs_tpu.parallel.search import make_multislice_search
+
+                self._search_cache[key] = make_multislice_search(self.mesh, k)
+            else:
+                self._search_cache[key] = make_sharded_search(
+                    self.mesh, self.X.shape[0], k
+                )
         fn = self._search_cache[key]
         idx, sc = fn(
             self.X, self.norms, self.lambdas,

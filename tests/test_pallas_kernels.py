@@ -61,3 +61,19 @@ def test_auto_path_on_cpu_falls_back():
 
 def test_pallas_supported_gating():
     assert not tf.pallas_supported(4096)     # above VMEM budget
+
+def test_auto_path_chunking_consistency():
+    """Chunked large-N auto path equals the single-shot XLA path."""
+    import matternet_rs_tpu.ops.taumode as tmod
+
+    L = _graph(16, seed=6)
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(1000, 16)).astype(np.float32))
+    old = tmod.CHUNK_N
+    try:
+        tmod.CHUNK_N = 256          # force chunking on a small batch
+        chunked = tmod.taumode_lambdas_auto(X, L, tmod.TAU_MEDIAN)
+    finally:
+        tmod.CHUNK_N = old
+    ref = tmod.taumode_lambdas(X, L, tmod.TAU_MEDIAN)
+    assert np.allclose(np.asarray(chunked), np.asarray(ref), atol=1e-6)

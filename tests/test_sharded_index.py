@@ -63,3 +63,16 @@ def test_search_cache_reuse(built):
     sharded.search(data[0], 5)
     sharded.search(data[1], 5)
     assert len(sharded._search_cache) == 1     # one compile per k
+
+
+def test_multislice_index_search(built):
+    from matternet_rs_tpu.parallel.mesh import make_mesh_2d
+
+    aspace, gl, data = built
+    mesh = make_mesh_2d(2, 4)
+    sharded = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=mesh)
+    q = data[7]
+    q_lam = aspace.prepare_query_item(q, gl)
+    single = aspace.search_lambda_aware(q, q_lam, 6)
+    dist = sharded.search(q, 6, query_lambda=q_lam)
+    assert [i for i, _ in single] == [i for i, _ in dist]
