@@ -80,19 +80,24 @@ def main():
     queries = jnp.asarray(data[q_idx])
     q_lams = jnp.asarray(np.asarray(aspace.lambdas)[q_idx])
 
-    batched = jax.jit(
-        jax.vmap(
-            lambda q, ql: search_ops.search_lambda_aware(
-                aspace.data, aspace.norms, aspace.lambdas, q, ql, K
-            )
-        )
-    )
+    # NOTE: corpus arrays are ARGUMENTS, not closure captures — a capture
+    # becomes a compile-time constant baked into the program (breaks remote
+    # compilation at 1M scale and doubles memory).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def batched(X, norms, lams, qs, qls, k):
+        return jax.vmap(
+            lambda q, ql: search_ops.search_lambda_aware(X, norms, lams, q, ql, k)
+        )(qs, qls)
+
+    X_d, norms_d, lams_d = aspace.data, aspace.norms, aspace.lambdas
     # Warm-up / compile.
-    jax.block_until_ready(batched(queries, q_lams))
+    jax.block_until_ready(batched(X_d, norms_d, lams_d, queries, q_lams, K))
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
-        out = batched(queries, q_lams)
+        out = batched(X_d, norms_d, lams_d, queries, q_lams, K)
     jax.block_until_ready(out)
     qps = n_queries * reps / (time.perf_counter() - t0)
 
@@ -124,16 +129,20 @@ def main():
         (raw_q - aspace.min_lambdas) / aspace.range_lambdas, 0.0, 1.0
     ).astype(np.float32)
 
-    def recall_at(alpha: float) -> float:
-        batched_r = jax.jit(
-            jax.vmap(
-                lambda q, ql: search_ops.search_lambda_aware(
-                    aspace.data, aspace.norms, aspace.lambdas, q, ql, K,
-                    alpha=alpha,
-                )
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def batched_recall(X, norms, lams, qs, qls, alpha, k):
+        return jax.vmap(
+            lambda q, ql: search_ops.search_lambda_aware(
+                X, norms, lams, q, ql, k, alpha=alpha
             )
+        )(qs, qls)
+
+    def recall_at(alpha: float) -> float:
+        idx, _ = batched_recall(
+            X_d, norms_d, lams_d,
+            jnp.asarray(noise_q), jnp.asarray(q_lams_noise),
+            jnp.float32(alpha), K,
         )
-        idx, _ = batched_r(jnp.asarray(noise_q), jnp.asarray(q_lams_noise))
         idx = np.asarray(idx)
         return float(
             np.mean([

@@ -1,0 +1,129 @@
+"""Command-line interface: build, search, and inspect indexes.
+
+The reference reserved a binary surface for this (``surfface-py`` /
+``surfface-storage`` are hello-world stubs, SURVEY §0); here it's a working
+CLI over the same artifacts the storage layer persists.
+
+Usage::
+
+    python -m matternet_rs_tpu build  data.npy --out idx_dir --name myidx \
+        [--pipeline eigen|energy] [--eps 1.0] [--k 6] [--max-clusters 64] \
+        [--radius 25.0] [--seed 42] [--dims-reduction]
+    python -m matternet_rs_tpu search idx_dir --name myidx --query q.npy \
+        [--k 10] [--alpha 0.7]
+    python -m matternet_rs_tpu info   idx_dir --name myidx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_matrix(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".parquet"):
+        from matternet_rs_tpu.storage import parquet as pq
+
+        return pq.load_dense_matrix(path)
+    raise SystemExit(f"unsupported input format: {path} (use .npy or .parquet)")
+
+
+def cmd_build(args) -> None:
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.storage import parquet as pq
+
+    data = _load_matrix(args.data).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(args.eps, args.k)
+        .with_sparsity_check(False)
+        .with_seed(args.seed)
+    )
+    if args.max_clusters:
+        b.with_cluster_params(max_clusters=args.max_clusters, radius=args.radius)
+    if args.dims_reduction:
+        b.with_dims_reduction(True)
+    if args.sampling_rate is not None:
+        b.with_sampling(("simple", args.sampling_rate))
+    else:
+        b.with_sampling(None)
+
+    aspace, gl = b.build_for_persistence(data, pipeline=args.pipeline)
+    pq.save_checkpoint(aspace, gl, b, args.out, args.name)
+    print(json.dumps({
+        "status": "built",
+        "n_items": aspace.nitems,
+        "n_features": aspace.nfeatures,
+        "n_clusters": aspace.n_clusters,
+        "pipeline": args.pipeline,
+        "out": str(args.out),
+        "name": args.name,
+    }))
+
+
+def cmd_search(args) -> None:
+    from matternet_rs_tpu import eigenmaps
+    from matternet_rs_tpu.storage import parquet as pq
+
+    aspace, gl = pq.load_arrowspace(args.index_dir, args.name)
+    q = _load_matrix(args.query).astype(np.float32)
+    queries = q[None, :] if q.ndim == 1 else q
+    results = []
+    for row in queries:
+        res = eigenmaps.search(aspace, row, gl, args.k, args.alpha)
+        results.append([{"index": i, "score": round(s, 6)} for i, s in res])
+    print(json.dumps({"results": results}))
+
+
+def cmd_info(args) -> None:
+    import json as _json
+    from pathlib import Path
+
+    meta_path = Path(args.index_dir) / f"{args.name}-arrowspace_metadata.json"
+    if not meta_path.exists():
+        raise SystemExit(f"no metadata at {meta_path}")
+    print(meta_path.read_text())
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="matternet_rs_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build", help="build an index from a data matrix")
+    pb.add_argument("data")
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--name", default="index")
+    pb.add_argument("--pipeline", choices=["eigen", "energy"], default="eigen")
+    pb.add_argument("--eps", type=float, default=1.0)
+    pb.add_argument("--k", type=int, default=6)
+    pb.add_argument("--max-clusters", type=int, default=None)
+    pb.add_argument("--radius", type=float, default=1.0)
+    pb.add_argument("--seed", type=int, default=42)
+    pb.add_argument("--dims-reduction", action="store_true")
+    pb.add_argument("--sampling-rate", type=float, default=None)
+    pb.set_defaults(fn=cmd_build)
+
+    ps = sub.add_parser("search", help="query a stored index")
+    ps.add_argument("index_dir")
+    ps.add_argument("--name", default="index")
+    ps.add_argument("--query", required=True)
+    ps.add_argument("--k", type=int, default=10)
+    ps.add_argument("--alpha", type=float, default=0.7)
+    ps.set_defaults(fn=cmd_search)
+
+    pi = sub.add_parser("info", help="print index metadata")
+    pi.add_argument("index_dir")
+    pi.add_argument("--name", default="index")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
