@@ -211,9 +211,23 @@ class ArrowSpace:
         if not bool(jnp.all(jnp.isfinite(query))):
             raise ValueError("query item has non-finite values")
 
-        # Energy mode (core.rs:872-909)
+        # Energy mode (core.rs:872-909). Divergence from the reference: when
+        # a JL projection is active and the query arrives in the original
+        # dimension, we project it (the reference's Rust `zip` silently
+        # truncates the longer vector — a latent bug, core.rs:886-891).
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
-            q = self.project_query(query) if self.extra_reduced_dim else query
+            q = query
+            if self.extra_reduced_dim or (
+                self.projection is not None
+                and query.shape[-1] == self.projection.original_dim
+                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
+            ):
+                q = self.projection.project(query)
+            if q.shape[-1] != self.sub_centroids.shape[-1]:
+                raise ValueError(
+                    f"Query dimension {query.shape[-1]} doesn't match "
+                    f"sub-centroid dimension {self.sub_centroids.shape[-1]}"
+                )
             d = jnp.sum((self.sub_centroids - q[None, :]) ** 2, axis=-1)
             best = int(jnp.argmin(d))
             return float(self.subcentroid_lambdas[best])

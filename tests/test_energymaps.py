@@ -145,3 +145,22 @@ def test_adaptive_weights_complementary():
     wl, wd = em.adaptive_energy_weights(aspace)
     assert wl == pytest.approx(0.5 + 1.5 * 0.8)
     assert wl + wd == pytest.approx(2.5)
+
+
+def test_energy_query_projection_highdim():
+    """Energy search with active JL projection accepts original-dim queries
+    (improvement over the reference's silent zip-truncation)."""
+    rng = np.random.default_rng(9)
+    data = make_energy_test_dataset(300, 128, seed=7).astype(np.float32)
+    b = energy_builder()
+    b.with_cluster_params(max_clusters=40, radius=120.0)
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=20, neighbor_k=5)
+    )
+    if aspace.projection is None:
+        pytest.skip("projection not triggered")
+    # Original-dim query works; wrong-dim raises cleanly.
+    res = em.search_energy(aspace, data[10], gl, k=5)
+    assert len(res) == 5
+    with pytest.raises(ValueError, match="dimension"):
+        aspace.prepare_query_item(np.ones(33, np.float32), gl)
