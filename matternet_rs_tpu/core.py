@@ -183,10 +183,18 @@ class ArrowSpace:
             np.clip((raw_lambda - self.min_lambdas) / self.range_lambdas, 0.0, 1.0)
         )
 
-    def build_lambdas_sorted(self) -> None:
+    def build_lambdas_sorted(self, on_device: bool | None = None) -> None:
+        """Sorted-λ index. Defaults to the device-resident build on
+        accelerators (avoids a full λ download; device→host is the
+        bottleneck on remote-attached TPUs) and host numpy on CPU."""
         if self.lambdas is None:
             raise ValueError("compute lambdas first")
-        self.lambdas_sorted = SortedLambdas.build_from(np.asarray(self.lambdas))
+        if on_device is None:
+            on_device = jax.default_backend() != "cpu"
+        if on_device:
+            self.lambdas_sorted = SortedLambdas.build_on_device(self.lambdas)
+        else:
+            self.lambdas_sorted = SortedLambdas.build_from(np.asarray(self.lambdas))
 
     # ------------------------------------------------------------------
     # Query preparation (core.rs:839-935)

@@ -20,7 +20,12 @@ import numpy as np
 
 @dataclasses.dataclass
 class SortedLambdas:
-    """Immutable sorted view over per-item λ (assumed normalized to [0,1])."""
+    """Immutable sorted view over per-item λ (assumed normalized to [0,1]).
+
+    ``build_from`` accepts numpy or device arrays; ``build_on_device`` sorts
+    with ``jnp.argsort`` on the accelerator and defers the (potentially
+    expensive) device→host materialization until a host-side query needs it.
+    """
 
     sorted_lambdas: np.ndarray      # [N] ascending
     sorted_indices: np.ndarray      # [N] item index per position
@@ -42,6 +47,10 @@ class SortedLambdas:
             sorted_indices=order.astype(np.int64),
             std_dev=float(np.sqrt(var32)),
         )
+
+    @classmethod
+    def build_on_device(cls, lambdas) -> "DeviceSortedLambdas":
+        return DeviceSortedLambdas.build_from(lambdas)
 
     def to_vec(self) -> list[tuple[float, int]]:
         return [
@@ -96,3 +105,55 @@ class SortedLambdas:
         d = np.abs(lam - lambda_q)
         order = np.argsort(d, kind="stable")[:k]
         return [(int(idx[o]), float(lam[o])) for o in order]
+
+
+class DeviceSortedLambdas:
+    """Device-resident sorted-λ index: ``jnp.argsort`` once on build,
+    ``jnp.searchsorted`` band queries; only query results cross to host.
+
+    On remote-attached TPUs this avoids downloading the full λ vector
+    (device→host is the bottleneck there); host-side numpy views are
+    materialized lazily on first host query and cached.
+    """
+
+    def __init__(self, sorted_lambdas, sorted_indices, std_dev: float):
+        self.sorted_lambdas_dev = sorted_lambdas     # [N] jax, ascending
+        self.sorted_indices_dev = sorted_indices     # [N] jax
+        self.std_dev = std_dev
+        self._host: SortedLambdas | None = None
+
+    @classmethod
+    def build_from(cls, lambdas) -> "DeviceSortedLambdas":
+        lam = jnp.asarray(lambdas, jnp.float32)
+        if lam.size == 0:
+            raise ValueError("cannot build sorted index from empty lambdas")
+        order = jnp.argsort(lam, stable=True)
+        mean = jnp.mean(lam)
+        std = jnp.sqrt(jnp.mean((mean - lam) ** 2))
+        return cls(lam[order], order.astype(jnp.int32), float(std))
+
+    # -- device band query -------------------------------------------------
+    def range_bylambda(self, lambda_q: float, k: int, p: float) -> list[tuple[int, float]]:
+        band = self.std_dev / (2.0 ** p)
+        lo = int(jnp.searchsorted(self.sorted_lambdas_dev, jnp.float32(lambda_q - band), side="left"))
+        hi = int(jnp.searchsorted(self.sorted_lambdas_dev, jnp.float32(lambda_q + band), side="right"))
+        idx = np.asarray(self.sorted_indices_dev[lo:hi])
+        lam = np.asarray(self.sorted_lambdas_dev[lo:hi])
+        out = [(int(i), float(l)) for i, l in zip(idx, lam)]
+        return out[:k] if len(out) >= k else out
+
+    # -- host fallbacks (materialize lazily) -------------------------------
+    def _host_view(self) -> SortedLambdas:
+        if self._host is None:
+            self._host = SortedLambdas(
+                sorted_lambdas=np.asarray(self.sorted_lambdas_dev, np.float64),
+                sorted_indices=np.asarray(self.sorted_indices_dev, np.int64),
+                std_dev=self.std_dev,
+            )
+        return self._host
+
+    def k_nearest_by_lambda(self, *args, **kwargs):
+        return self._host_view().k_nearest_by_lambda(*args, **kwargs)
+
+    def to_vec(self):
+        return self._host_view().to_vec()

@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <vector>
 
 extern "C" {
 
@@ -51,6 +52,14 @@ std::int64_t mrs_incremental_cluster(
   for (std::int64_t i = 0; i < n; ++i) assignments[i] = -1;
 
   std::int64_t ncent = 0;
+  std::vector<double> cnorm2(cap, 0.0);
+
+  auto recompute_cnorm = [&](std::int64_t ci) {
+    const double* c = centroids + ci * f;
+    double s = 0.0;
+    for (std::int64_t j = 0; j < f; ++j) s += c[j] * c[j];
+    cnorm2[ci] = s;
+  };
 
   auto add_point = [&](std::int64_t ci, const float* row) {
     counts[ci] += 1;
@@ -63,29 +72,51 @@ std::int64_t mrs_incremental_cluster(
       c[j] += delta * inv;
       v[j] += delta * (x - c[j]);
     }
+    recompute_cnorm(ci);
   };
 
   auto create = [&](const float* row) -> std::int64_t {
     double* c = centroids + ncent * f;
     for (std::int64_t j = 0; j < f; ++j) c[j] = static_cast<double>(row[j]);
     counts[ncent] = 1;
+    recompute_cnorm(ncent);
     return ncent++;
   };
+
+  // Row staging buffer in f64 so the hot distance loop is pure-f64 FMA
+  // (per-element f32→f64 converts defeat auto-vectorization). Distances use
+  // the ‖x-c‖² = ‖x‖² + ‖c‖² - 2⟨x,c⟩ form: the scan becomes dot products
+  // (2 FLOPs/elem instead of 3) with four independent accumulators to break
+  // the FMA dependency chain. Centroid norms update incrementally.
+  std::vector<double> rowbuf(f);
 
   for (std::int64_t i = 0; i < n; ++i) {
     if (keep != nullptr && keep[i] == 0) continue;
     const float* row = X + i * f;
+    double* __restrict rb = rowbuf.data();
+    double xsq = 0.0;
+    for (std::int64_t j = 0; j < f; ++j) {
+      rb[j] = static_cast<double>(row[j]);
+      xsq += rb[j] * rb[j];
+    }
 
     // Nearest centroid (linear scan — C is small; contiguous and branch-free).
     std::int64_t best = 0;
     double best_d2 = std::numeric_limits<double>::infinity();
     for (std::int64_t c = 0; c < ncent; ++c) {
-      const double* cc = centroids + c * f;
-      double d2 = 0.0;
-      for (std::int64_t j = 0; j < f; ++j) {
-        const double diff = static_cast<double>(row[j]) - cc[j];
-        d2 += diff * diff;
+      const double* __restrict cc = centroids + c * f;
+      double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+      std::int64_t j = 0;
+      for (; j + 4 <= f; j += 4) {
+        a0 += rb[j] * cc[j];
+        a1 += rb[j + 1] * cc[j + 1];
+        a2 += rb[j + 2] * cc[j + 2];
+        a3 += rb[j + 3] * cc[j + 3];
       }
+      double dot = a0 + a1 + a2 + a3;
+      for (; j < f; ++j) dot += rb[j] * cc[j];
+      double d2 = xsq + cnorm2[c] - 2.0 * dot;
+      if (d2 < 0.0) d2 = 0.0;
       if (d2 < best_d2) {
         best_d2 = d2;
         best = c;

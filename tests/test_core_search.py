@@ -159,3 +159,19 @@ def test_k_nearest_by_lambda_expanding():
     assert len(out) == 7
     dists = [abs(l - 0.42) for _, l in out]
     assert dists == sorted(dists)
+
+
+def test_device_sorted_index_matches_host():
+    from matternet_rs_tpu.index.sorted import DeviceSortedLambdas
+
+    lam = np.linspace(0, 1, 101)
+    host = SortedLambdas.build_from(lam)
+    dev = DeviceSortedLambdas.build_from(lam)
+    assert dev.std_dev == pytest.approx(host.std_dev, abs=1e-5)
+    h = host.range_bylambda(0.5, 7, 2.0)
+    d = dev.range_bylambda(0.5, 7, 2.0)
+    assert [i for i, _ in h] == [i for i, _ in d]
+    # Host fallbacks through the lazy view.
+    hk = host.k_nearest_by_lambda(0.42, 5, 0.5)
+    dk = dev.k_nearest_by_lambda(0.42, 5, 0.5)
+    assert [i for i, _ in hk] == [i for i, _ in dk]
