@@ -298,6 +298,30 @@ class ArrowSpace:
         q_lambda = self.prepare_query_item(query, gl)
         return self.lambdas_sorted.range_bylambda(q_lambda, k, gl.graph_params.p)
 
+    def search_lambda_banded(
+        self, query, query_lambda: float, k: int, alpha: float = 0.7,
+        window: int = 4096,
+    ) -> list[tuple[int, float]]:
+        """Sublinear banded search: blended re-scoring over a fixed window
+        of the sorted-λ order (approximate; see ops.search docstring).
+        Requires the device sorted index (``build_lambdas_sorted``)."""
+        from matternet_rs_tpu.index.sorted import DeviceSortedLambdas
+
+        if self.lambdas_sorted is None:
+            raise ValueError("build_lambdas_sorted() first")
+        sl = self.lambdas_sorted
+        if isinstance(sl, DeviceSortedLambdas):
+            s_lam, s_idx = sl.sorted_lambdas_dev, sl.sorted_indices_dev
+        else:
+            s_lam = jnp.asarray(sl.sorted_lambdas, jnp.float32)
+            s_idx = jnp.asarray(sl.sorted_indices, jnp.int32)
+        idx, sc = search_ops.search_lambda_banded(
+            self.data, self.norms, s_lam, s_idx,
+            jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
+            k, alpha, window,
+        )
+        return [(int(i), float(s)) for i, s in zip(idx, sc)]
+
     def range_search(self, query, query_lambda: float, eps: float):
         """All items with ``λq - λi ≤ eps`` (signed, core.rs:1389-1424)."""
         dist, mask = search_ops.range_search_mask(

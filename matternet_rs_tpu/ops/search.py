@@ -107,6 +107,51 @@ def search_lambda_aware_hybrid(
     return idx, top
 
 
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def search_lambda_banded(
+    X: jax.Array,
+    norms: jax.Array,
+    sorted_lambdas: jax.Array,
+    sorted_indices: jax.Array,
+    query: jax.Array,
+    query_lambda: jax.Array,
+    k: int,
+    alpha: float = 0.7,
+    window: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Sublinear λ-banded search: score only a fixed window of candidates
+    around the query's position in the sorted-λ order.
+
+    The reference's sorted-index search (core.rs:1326-1335) returns band
+    members by λ alone; this upgrade re-scores the band with the full
+    blended metric, so it converges to ``search_lambda_aware`` as the
+    window grows while doing ``window/N`` of the work. Approximate: items
+    outside the λ-window cannot be returned.
+
+    ``sorted_lambdas/sorted_indices`` come from the device sorted index
+    (``index.sorted.DeviceSortedLambdas``). Returns global item ids.
+    """
+    n = X.shape[0]
+    w = min(window, n)
+    pos = jnp.searchsorted(sorted_lambdas, query_lambda)
+    start = jnp.clip(pos - w // 2, 0, n - w)
+    cand = jax.lax.dynamic_slice_in_dim(sorted_indices, start, w)
+    cand_lam = jax.lax.dynamic_slice_in_dim(sorted_lambdas, start, w)
+
+    Xc = X[cand]                                   # [w, F] gather
+    nc = norms[cand]
+    qn = jnp.sqrt(jnp.sum(query * query))
+    dots = jnp.dot(
+        Xc, query, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    cos = jnp.where(nc * qn > 1e-12, dots / jnp.maximum(nc * qn, 1e-12), 0.0)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(cand_lam - query_lambda), 1.0)
+    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    top, idx = jax.lax.top_k(scores, min(k, w))
+    return cand[idx], top
+
+
 @jax.jit
 def range_search_mask(
     lambdas: jax.Array, query_lambda: jax.Array, eps: jax.Array

@@ -175,3 +175,23 @@ def test_device_sorted_index_matches_host():
     hk = host.k_nearest_by_lambda(0.42, 5, 0.5)
     dk = dev.k_nearest_by_lambda(0.42, 5, 0.5)
     assert [i for i, _ in hk] == [i for i, _ in dk]
+
+
+def test_banded_search_converges_to_full_scan(built):
+    """With window >= N the banded search equals the full scan."""
+    aspace, gl, data = built
+    q = data[25]
+    q_lam = aspace.prepare_query_item(q, gl)
+    full = aspace.search_lambda_aware(q, q_lam, 5)
+    banded = aspace.search_lambda_banded(q, q_lam, 5, window=4096)
+    assert [i for i, _ in full] == [i for i, _ in banded]
+    for (_, a), (_, b) in zip(full, banded):
+        assert a == pytest.approx(b, abs=1e-5)
+
+
+def test_banded_search_small_window_self_retrieval(built):
+    aspace, gl, data = built
+    q = data[33]
+    q_lam = aspace.prepare_query_item(q, gl)
+    res = aspace.search_lambda_banded(q, q_lam, 3, window=16)
+    assert res[0][0] == 33     # self item is inside its own λ-band
