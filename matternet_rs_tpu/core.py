@@ -70,6 +70,57 @@ class UndecidableQueryError(ValueError):
 
 
 @dataclasses.dataclass
+class ArrowItem:
+    """A single owned row with its spectral score λ (core.rs:87-360).
+
+    Convenience handle for query-time computations; the batch paths operate
+    on raw arrays.
+    """
+
+    item: np.ndarray
+    lam: float = 0.0
+
+    def __post_init__(self):
+        self.item = np.asarray(self.item, np.float64)
+
+    def __len__(self) -> int:
+        return len(self.item)
+
+    def norm(self) -> float:
+        return float(np.linalg.norm(self.item))
+
+    def dot(self, other: "ArrowItem") -> float:
+        if len(self) != len(other):
+            raise ValueError("Dimension mismatch")
+        return float(self.item @ np.asarray(other.item))
+
+    def cosine_similarity(self, other) -> float:
+        o = np.asarray(other.item if isinstance(other, ArrowItem) else other, np.float64)
+        denom = np.linalg.norm(self.item) * np.linalg.norm(o)
+        return float(self.item @ o / denom) if denom > 1e-12 else 0.0
+
+    def euclidean_distance(self, other: "ArrowItem") -> float:
+        return float(np.linalg.norm(self.item - np.asarray(other.item)))
+
+    def scale(self, factor: float) -> None:
+        self.item = self.item * factor
+
+    def add(self, other: "ArrowItem") -> None:
+        self.item = self.item + np.asarray(other.item)
+
+    def lambda_component_similarity(self, other: "ArrowItem") -> float:
+        """1 - min(|Δλ|, 1) (core.rs:141-146)."""
+        return 1.0 - min(abs(self.lam - other.lam), 1.0)
+
+    def lambda_similarity(self, other: "ArrowItem", alpha: float) -> float:
+        """α·cos + (1-α)·λ-proximity (core.rs:162-179)."""
+        return (
+            alpha * self.cosine_similarity(other)
+            + (1.0 - alpha) * self.lambda_component_similarity(other)
+        )
+
+
+@dataclasses.dataclass
 class ArrowSpace:
     """Item store + λ index (reference: src_legacy/core.rs:370-407)."""
 

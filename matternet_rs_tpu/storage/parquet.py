@@ -223,6 +223,25 @@ def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
     save_arrowspace_metadata(aspace, builder, path, name)
 
 
+def load_graph_laplacian(path, name: str, graph_params=None, energy: bool = False):
+    """Reconstruct just the GraphLaplacian from stored artifacts
+    (reference: ``GraphLaplacian::new_from_storage``, graph.rs:152-179)."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+
+    path = Path(path)
+    matrix = load_sparse_matrix(path / f"{name}-gl-matrix.parquet")
+    init_data = load_dense_matrix(path / f"{name}-clustered-dm.parquet")
+    return GraphLaplacian(
+        matrix=jnp.asarray(matrix, jnp.float32),
+        init_data=jnp.asarray(init_data, jnp.float32),
+        nnodes=matrix.shape[0],
+        graph_params=graph_params or GraphParams(),
+        energy=energy,
+    )
+
+
 def load_arrowspace(path, name: str):
     """Resume an ArrowSpace + GraphLaplacian from a checkpoint directory.
 

@@ -195,3 +195,30 @@ def test_banded_search_small_window_self_retrieval(built):
     q_lam = aspace.prepare_query_item(q, gl)
     res = aspace.search_lambda_banded(q, q_lam, 3, window=16)
     assert res[0][0] == 33     # self item is inside its own λ-band
+
+
+def test_arrow_item_ops():
+    from matternet_rs_tpu.core import ArrowItem
+
+    a = ArrowItem([1.0, 2.0, 3.0], 0.5)
+    b = ArrowItem([4.0, 5.0, 6.0], 0.6)
+    assert a.dot(b) == pytest.approx(32.0)
+    assert a.cosine_similarity(a) == pytest.approx(1.0)
+    assert a.lambda_component_similarity(b) == pytest.approx(0.9)
+    s = a.lambda_similarity(b, 0.7)
+    assert 0.0 <= s <= 1.0
+    a.scale(2.0)
+    assert len(a) == 3 and a.item[0] == 2.0
+    with pytest.raises(ValueError):
+        a.dot(ArrowItem([1.0]))
+
+
+def test_load_graph_laplacian_standalone(built, tmp_path):
+    from matternet_rs_tpu.storage import parquet as pq
+
+    aspace, gl, data = built
+    pq.save_sparse_matrix(np.asarray(gl.matrix), tmp_path, "g-gl-matrix")
+    pq.save_dense_matrix(np.asarray(gl.init_data), tmp_path, "g-clustered-dm")
+    gl2 = pq.load_graph_laplacian(tmp_path, "g", gl.graph_params)
+    assert np.allclose(np.asarray(gl2.matrix), np.asarray(gl.matrix), atol=1e-6)
+    assert gl2.verify_properties()["symmetric"]
