@@ -319,7 +319,8 @@ class ArrowSpace:
     # Search (core.rs:1156-1424)
     # ------------------------------------------------------------------
     def search_lambda_aware(
-        self, query, query_lambda: float, k: int, alpha: float = 0.7
+        self, query, query_lambda: float, k: int, alpha: float = 0.7,
+        approx: bool = False, recall_target: float = 0.95,
     ) -> list[tuple[int, float]]:
         if query_lambda == 0.0:
             raise ValueError(
@@ -329,6 +330,7 @@ class ArrowSpace:
         idx, sc = search_ops.search_lambda_aware(
             self.data, self.norms, self.lambdas, q,
             jnp.float32(query_lambda), k, alpha,
+            approx=approx, recall_target=recall_target,
         )
         return [(int(i), float(s)) for i, s in zip(idx, sc)]
 

@@ -222,3 +222,14 @@ def test_load_graph_laplacian_standalone(built, tmp_path):
     gl2 = pq.load_graph_laplacian(tmp_path, "g", gl.graph_params)
     assert np.allclose(np.asarray(gl2.matrix), np.asarray(gl.matrix), atol=1e-6)
     assert gl2.verify_properties()["symmetric"]
+
+
+def test_approx_search_close_to_exact(built):
+    aspace, gl, data = built
+    q = data[12]
+    q_lam = aspace.prepare_query_item(q, gl)
+    exact = {i for i, _ in aspace.search_lambda_aware(q, q_lam, 10)}
+    approx = {i for i, _ in aspace.search_lambda_aware(q, q_lam, 10, approx=True)}
+    assert len(exact & approx) >= 8
+    # Self-item always survives approximate selection.
+    assert 12 in approx
