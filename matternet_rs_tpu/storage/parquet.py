@@ -30,8 +30,21 @@ from matternet_rs_tpu.storage import StorageError
 
 def _ensure_dir(path: Path) -> Path:
     path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError as exc:
+        raise StorageError(f"cannot create storage directory {path}: {exc}") from exc
     return path
+
+
+def _write_table(table, out: Path) -> Path:
+    """Snappy Parquet write with IO errors wrapped as StorageError
+    (reference: readonly-dir error tests, storage/test_storage.rs)."""
+    try:
+        pq.write_table(table, out, compression="snappy")
+    except OSError as exc:
+        raise StorageError(f"cannot write {out}: {exc}") from exc
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -55,9 +68,7 @@ def save_dense_matrix(arr, path, name: str, builder=None) -> Path:
     if builder is not None:
         meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
     table = table.replace_schema_metadata(meta)
-    out = path / f"{name}.parquet"
-    pq.write_table(table, out, compression="snappy")
-    return out
+    return _write_table(table, path / f"{name}.parquet")
 
 
 def load_dense_matrix(path) -> np.ndarray:
@@ -98,9 +109,7 @@ def save_sparse_matrix(matrix, path, name: str, tol: float = 0.0, builder=None) 
     if builder is not None:
         meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
     table = table.replace_schema_metadata(meta)
-    out = path / f"{name}.parquet"
-    pq.write_table(table, out, compression="snappy")
-    return out
+    return _write_table(table, path / f"{name}.parquet")
 
 
 def load_sparse_matrix(path) -> np.ndarray:
@@ -130,9 +139,7 @@ def save_lambdas(lambdas, path, name: str, builder=None) -> Path:
     if builder is not None:
         meta[b"builder_config"] = json.dumps(builder_config_typed(builder)).encode()
     table = table.replace_schema_metadata(meta)
-    out = path / f"{name}.parquet"
-    pq.write_table(table, out, compression="snappy")
-    return out
+    return _write_table(table, path / f"{name}.parquet")
 
 
 def load_lambdas(path) -> np.ndarray:

@@ -131,3 +131,54 @@ def test_build_with_dims_reduction():
         # Query path must still accept original-dim queries.
         res = em.search(aspace, data[3], gl, 5)
         assert len(res) == 5
+
+
+def test_radius_impacts_cluster_count(blob):
+    """Larger radius ⇒ fewer clusters (test_builder.rs radius-impact)."""
+    def n_clusters(radius):
+        b = small_builder()
+        b.with_cluster_params(max_clusters=50, radius=radius)
+        aspace, _ = b.build(blob)
+        return aspace.n_clusters
+
+    assert n_clusters(2.0) >= n_clusters(50.0)
+
+
+def test_normalisation_changes_graph(blob):
+    """normalise=True (column z-scoring) changes the Laplacian topology."""
+    a1, gl1 = small_builder().build(blob)
+    a2, gl2 = small_builder(normalise=True).build(blob)
+    assert not np.allclose(np.asarray(gl1.matrix), np.asarray(gl2.matrix), atol=1e-6)
+
+
+def test_eps_impacts_graph_density(blob):
+    b_loose = small_builder()
+    b_loose.lambda_eps = 1.0
+    b_tight = small_builder()
+    b_tight.lambda_eps = 0.05
+    _, gl_loose = b_loose.build(blob)
+    _, gl_tight = b_tight.build(blob)
+    assert gl_tight.nnz(tol=1e-9) <= gl_loose.nnz(tol=1e-9)
+
+
+def test_energy_vs_eigen_search_overlap():
+    """Energy retrieval finds related items to eigen retrieval on structured
+    data (test_energy_search.rs precision/recall-vs-standard behaviour —
+    weak overlap assertion, the pipelines rank differently by design)."""
+    from matternet_rs_tpu import energymaps as emod
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(200, 32, seed=3).astype(np.float32)
+    be = (
+        ArrowSpaceBuilder().with_lambda_graph(1.0, 5).with_sparsity_check(False)
+        .with_cluster_params(max_clusters=30, radius=16.0)
+        .with_deterministic_clustering(True).with_dims_reduction(True).with_seed(5)
+    )
+    aspace_en, gl_en = be.build_energy(
+        data, emod.EnergyParams(optical_tokens=20, neighbor_k=5)
+    )
+    # Same-cluster items: energy search should return same-cluster members
+    # in its top-k (items 0-39 are cluster 0 of the fixture).
+    res = emod.search_energy(aspace_en, data[5], gl_en, k=20)
+    same_cluster = sum(1 for i, _ in res if i < 40)
+    assert same_cluster >= 5

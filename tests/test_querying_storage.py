@@ -251,3 +251,20 @@ def test_hybrid_union_semantics(projected_index):
     assert 60 in top_ids
     score = dict(res)[60]
     assert score == pytest.approx(1.0, abs=1e-4)
+
+
+def test_readonly_dir_raises_storage_error(tmp_path):
+    """Reference: readonly-dir error tests (storage/test_storage.rs)."""
+    import os
+    import stat
+
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    os.chmod(ro, stat.S_IRUSR | stat.S_IXUSR)
+    try:
+        if os.access(ro, os.W_OK):     # running as root: chmod may not bind
+            pytest.skip("process can write regardless of mode bits")
+        with pytest.raises(StorageError):
+            pq.save_lambdas(np.ones(5), ro, "x")
+    finally:
+        os.chmod(ro, stat.S_IRWXU)
