@@ -90,6 +90,15 @@ def cmd_info(args) -> None:
     print(meta_path.read_text())
 
 
+def cmd_serve(args) -> None:
+    from matternet_rs_tpu.serve import IndexService, serve
+
+    service = IndexService.from_storage(args.index_dir, args.name)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}",
+                      **service.info()}))
+    serve(service, args.host, args.port)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="matternet_rs_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -120,6 +129,13 @@ def main(argv=None) -> None:
     pi.add_argument("index_dir")
     pi.add_argument("--name", default="index")
     pi.set_defaults(fn=cmd_info)
+
+    pv = sub.add_parser("serve", help="serve a stored index over HTTP")
+    pv.add_argument("index_dir")
+    pv.add_argument("--name", default="index")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8757)
+    pv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)
