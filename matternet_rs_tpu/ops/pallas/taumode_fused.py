@@ -128,11 +128,153 @@ def taumode_lambdas_pallas(
 
 
 def pallas_supported(f: int) -> bool:
-    """Whether the fused kernel applies (device + operand VMEM budget)."""
-    if f > MAX_PALLAS_F:
+    """Whether a fused kernel applies (device + VMEM budget; the small-F
+    kernel up to MAX_PALLAS_F, the F-tiled kernel up to MAX_PALLAS_F_TILED)."""
+    if f > MAX_PALLAS_F_TILED:
         return False
     try:
         platform = jax.devices()[0].platform.lower()
     except RuntimeError:
         return False
     return "tpu" in platform or "axon" in platform
+
+
+# ---------------------------------------------------------------------------
+# Large-F variant: operands tiled over output-feature columns
+# ---------------------------------------------------------------------------
+
+MAX_PALLAS_F_TILED = 2048
+TILE_F = 256
+TILE_N_BIG = 128     # smaller row tile: the full-width X powers are the
+                     # dominant VMEM term at F ≈ 2k
+
+
+def _kernel_bigf(
+    x_ref, l_ref, a_ref, a2_ref, deg_ref, deg2_ref, tau_ref,
+    lam_ref, acc_ref,
+):
+    """Grid (n_tiles, f_tiles): per step, contract the FULL-F X tile against
+    a [F, TILE_F] slice of each operand and accumulate the per-item scalar
+    reductions; emit λ on the last feature tile.
+
+    ``x_ref``   — [T, F] full-width item tile (same block across f-steps;
+                   this step's output-feature columns are sliced in-kernel)
+    ``acc_ref`` — [T, 4] scratch: Σx∘XL, total, num4, den (persists across
+                   the f-sweep; reset at jf == 0)
+    """
+    jf = pl.program_id(1)
+    nf = pl.num_programs(1)
+
+    X = x_ref[:]                                   # [T, F]
+    Xc = x_ref[:, pl.ds(jf * TILE_F, TILE_F)]      # [T, Tf] column slice
+    tau = tau_ref[:, 0]
+
+    @pl.when(jf == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    Xc2 = Xc * Xc
+    Xc3 = Xc2 * Xc
+    Xc4 = Xc2 * Xc2
+
+    XL = jnp.dot(X, l_ref[:], preferred_element_type=jnp.float32)    # [T, Tf]
+    # (A x^m)_i for i in slice needs Σ_j a_ij x_j^m over ALL j — computed as
+    # (X^m) @ A_slice. X powers are formed in VMEM from the full-width tile.
+    X2f = X * X
+    B1 = jnp.dot(X, a_ref[:], preferred_element_type=jnp.float32)
+    B2 = jnp.dot(X2f, a_ref[:], preferred_element_type=jnp.float32)
+    C1 = jnp.dot(X, a2_ref[:], preferred_element_type=jnp.float32)
+    C2 = jnp.dot(X2f, a2_ref[:], preferred_element_type=jnp.float32)
+    C3 = jnp.dot(X2f * X, a2_ref[:], preferred_element_type=jnp.float32)
+    C4 = jnp.dot(X2f * X2f, a2_ref[:], preferred_element_type=jnp.float32)
+
+    deg = deg_ref[0, :]                # [Tf]
+    deg2 = deg2_ref[0, :]
+
+    d_nume = jnp.sum(Xc * XL, axis=-1)
+    d_total = jnp.sum(Xc2 * deg[None, :] - 2.0 * Xc * B1 + B2, axis=-1)
+    d_num4 = jnp.sum(
+        Xc4 * deg2[None, :] - 4.0 * Xc3 * C1 + 6.0 * Xc2 * C2
+        - 4.0 * Xc * C3 + C4,
+        axis=-1,
+    )
+    d_den = jnp.sum(Xc2, axis=-1)
+
+    acc_ref[:, 0] += d_nume
+    acc_ref[:, 1] += d_total
+    acc_ref[:, 2] += d_num4
+    acc_ref[:, 3] += d_den
+
+    @pl.when(jf == nf - 1)
+    def _():
+        nume = acc_ref[:, 0]
+        total = acc_ref[:, 1]
+        num4 = acc_ref[:, 2]
+        den = acc_ref[:, 3]
+        e_raw = jnp.maximum(
+            jnp.where(den > 1e-12, nume / jnp.maximum(den, 1e-12), 0.0), 0.0
+        )
+        g = jnp.where(
+            total > 1e-12, num4 / jnp.maximum(total * total, 1e-24), 0.0
+        )
+        g = jnp.clip(g, 0.0, 1.0)
+        e_bounded = jnp.where(
+            e_raw + tau > 0, e_raw / jnp.maximum(e_raw + tau, TAU_FLOOR), 0.0
+        )
+        lam = tau * e_bounded + (1.0 - tau) * g
+        # Zero-vector guard: for |x_i| ≤ 1e-10 ∀i, den ≤ F·1e-20 < 1e-16.
+        is_zero = den <= 1e-16
+        lam_ref[:, 0] = jnp.where(is_zero, 0.0, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def taumode_lambdas_pallas_bigf(
+    X: jax.Array, L: jax.Array, tau: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """F-tiled fused λ for F up to MAX_PALLAS_F_TILED (zero-padded)."""
+    n, f = X.shape
+    f_pad = (-f) % TILE_F
+    n_pad = (-n) % TILE_N_BIG
+    if f_pad:
+        X = jnp.pad(X, ((0, 0), (0, f_pad)))
+        L = jnp.pad(L, ((0, f_pad), (0, f_pad)))
+    if n_pad:
+        X = jnp.pad(X, ((0, n_pad), (0, 0)))
+        tau = jnp.pad(tau, (0, n_pad), constant_values=TAU_FLOOR)
+    fp = f + f_pad
+    np_ = n + n_pad
+
+    A = jnp.maximum(-L, 0.0)
+    A = A - jnp.diag(jnp.diag(A))
+    A2 = A * A
+    deg = jnp.sum(A, axis=1).reshape(1, fp)
+    deg2 = jnp.sum(A2, axis=1).reshape(1, fp)
+    tau2 = tau.astype(jnp.float32).reshape(np_, 1)
+
+    T, Tf = TILE_N_BIG, TILE_F
+    lam = pl.pallas_call(
+        _kernel_bigf,
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+        grid=(np_ // T, fp // Tf),
+        in_specs=[
+            pl.BlockSpec((T, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, Tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, Tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, Tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, 4), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=7 * 2 * np_ * fp * fp,
+            bytes_accessed=(np_ * fp + 3 * fp * fp + 2 * np_) * 4,
+            transcendentals=0,
+        ),
+    )(
+        X.astype(jnp.float32), L.astype(jnp.float32),
+        A, A2, deg, deg2, tau2,
+    )
+    return lam.reshape(-1)[:n]

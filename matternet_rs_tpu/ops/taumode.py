@@ -167,16 +167,24 @@ def taumode_lambdas_auto(
             chunk = jax.lax.dynamic_slice_in_dim(Xp, start, CHUNK_N, axis=0)
             if use_pallas:
                 tau = select_tau(chunk, tau_mode, float(tau_param))
-                outs.append(
-                    tf.taumode_lambdas_pallas(chunk, jnp.asarray(L, jnp.float32), tau)
+                fn = (
+                    tf.taumode_lambdas_pallas
+                    if f <= tf.MAX_PALLAS_F
+                    else tf.taumode_lambdas_pallas_bigf
                 )
+                outs.append(fn(chunk, jnp.asarray(L, jnp.float32), tau))
             else:
                 outs.append(taumode_lambdas(chunk, L, tau_mode, tau_param))
         return jnp.concatenate(outs)[:n]
 
     if use_pallas:
         tau = select_tau(X, tau_mode, float(tau_param))
-        return tf.taumode_lambdas_pallas(X, jnp.asarray(L, jnp.float32), tau)
+        fn = (
+            tf.taumode_lambdas_pallas
+            if f <= tf.MAX_PALLAS_F
+            else tf.taumode_lambdas_pallas_bigf
+        )
+        return fn(X, jnp.asarray(L, jnp.float32), tau)
     return taumode_lambdas(X, L, tau_mode, tau_param)
 
 

@@ -77,3 +77,16 @@ def test_auto_path_chunking_consistency():
         tmod.CHUNK_N = old
     ref = tmod.taumode_lambdas(X, L, tmod.TAU_MEDIAN)
     assert np.allclose(np.asarray(chunked), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("n,f", [(300, 384), (512, 300)])
+def test_bigf_kernel_matches_xla(n, f):
+    L = _graph(f, seed=8)
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    X = X.at[3].set(0.0)
+    ref = tm.taumode_lambdas(X, L, tm.TAU_MEDIAN)
+    tau = tm.select_tau(X, tm.TAU_MEDIAN)
+    got = tf.taumode_lambdas_pallas_bigf(X, L, tau, interpret=True)
+    assert np.allclose(np.asarray(ref), np.asarray(got), atol=3e-5)
+    assert float(got[3]) == 0.0
