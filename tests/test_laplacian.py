@@ -132,3 +132,44 @@ def test_statistics_and_verify():
     assert stats["max_degree"] >= stats["mean_degree"] >= stats["min_degree"]
     props = gl.verify_properties()
     assert props["symmetric"] and props["row_sums_zero"] and props["diag_nonneg"]
+
+
+def test_nullspace_dim_equals_components():
+    """Disconnected graph: L has one zero eigenvalue per component
+    (test_random.rs nullspace invariant)."""
+    rng = np.random.default_rng(20)
+    # Two far-apart node groups; eps small enough that no cross edges form.
+    a = rng.normal(size=(10, 8)).astype(np.float32)
+    b = -a + rng.normal(scale=0.01, size=(10, 8)).astype(np.float32)
+    nodes = np.concatenate([a, b])
+    p = GraphParams(eps=0.3, k=6, topk=6, sparsity_check=False)
+    gl = lap.build_laplacian_matrix(nodes, p)
+    eig = np.linalg.eigvalsh(np.asarray(gl.matrix, np.float64))
+    n_zero = int((np.abs(eig) < 1e-5).sum())
+    # Count actual connected components of the built adjacency.
+    W = np.asarray(gl.adjacency()) > 1e-12
+    seen = np.zeros(len(W), bool)
+    comps = 0
+    for s in range(len(W)):
+        if seen[s]:
+            continue
+        comps += 1
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            if seen[u]:
+                continue
+            seen[u] = True
+            stack.extend(np.nonzero(W[u])[0].tolist())
+    assert n_zero == comps
+
+
+def test_lsym_diagonal_one_for_connected():
+    """L_sym diagonal is exactly 1 for connected nodes, 0 for isolated
+    (surfface-core laplacian normalize path)."""
+    W = lap.build_adjacency(jnp.asarray(_nodes(seed=21)), PARAMS)
+    Ls = np.asarray(lap.sym_normalized_laplacian(W))
+    deg = np.asarray(W).sum(1)
+    for i in range(len(deg)):
+        if deg[i] > 1e-9:
+            assert Ls[i, i] == pytest.approx(1.0, abs=1e-5)
