@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 import numpy as np
 
@@ -81,7 +80,6 @@ def cmd_search(args) -> None:
 
 
 def cmd_info(args) -> None:
-    import json as _json
     from pathlib import Path
 
     meta_path = Path(args.index_dir) / f"{args.name}-arrowspace_metadata.json"

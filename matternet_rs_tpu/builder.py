@@ -19,7 +19,6 @@ import time
 from pathlib import Path
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from matternet_rs_tpu import clustering as clus

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from matternet_rs_tpu.core import ArrowSpace, TauMode
+from matternet_rs_tpu.core import ArrowSpace
 from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
 from matternet_rs_tpu.ops import laplacian as lap_ops
 from matternet_rs_tpu.ops import taumode as tm_ops

@@ -16,7 +16,6 @@ The operator is either a dense ``[n, n]`` matmul or an ELL SpMV
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

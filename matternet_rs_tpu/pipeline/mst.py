@@ -13,9 +13,7 @@ from __future__ import annotations
 import dataclasses
 import heapq
 from collections import deque
-from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from matternet_rs_tpu.ops import distance as dist_ops

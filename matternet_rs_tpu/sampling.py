@@ -9,7 +9,6 @@ behaviour is identical.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 

@@ -16,10 +16,8 @@ Rebuilds ``/root/reference/src_legacy/storage/parquet.rs`` on pyarrow:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa
