@@ -62,28 +62,30 @@ def _neighbor_lists(W: np.ndarray, top_l: int, by_weight: bool) -> list[np.ndarr
 
 def _triangle_stats(neigh_idx: list[np.ndarray], n: int):
     """Per-node triangle counts + clustering coefficients
-    (motives.rs:568-603)."""
-    sets = [set(ids.tolist()) for ids in neigh_idx]
-    tri = np.zeros(n, np.int64)
-    for i in range(n):
-        nbrs_i = neigh_idx[i]
-        if len(nbrs_i) < 2:
-            continue
-        t = 0
-        si = sets[i]
-        for j in nbrs_i:
-            if j <= i:
-                continue
-            common = si & sets[j]
-            common.discard(i)
-            common.discard(j)
-            t += len(common)
-        tri[i] = t
-    clust = np.zeros(n, np.float64)
-    for i in range(n):
-        k = len(neigh_idx[i])
-        if k >= 2:
-            clust[i] = 2.0 * tri[i] / (k * (k - 1))
+    (motives.rs:568-603).
+
+    Device formulation: with the (possibly asymmetric, top-L-truncated)
+    binary neighbor matrix B, the common-neighbor count of (i, j) excluding
+    both endpoints is exactly ``(B Bᵀ)[i, j]`` (the diagonal of B is zero),
+    so ``tri[i] = Σ_{j>i} B[i,j]·(B Bᵀ)[i,j]`` — one MXU matmul instead of
+    the reference's per-node sorted-list intersections. Bit-identical to the
+    scalar scan.
+    """
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops._mm import mm
+
+    B = np.zeros((n, n), np.float32)
+    for i, ids in enumerate(neigh_idx):
+        B[i, ids] = 1.0
+    Bj = jnp.asarray(B)
+    common = np.asarray(mm(Bj, Bj.T))                  # [n, n]
+    upper = np.triu(B, k=1)                            # j > i mask ∘ B[i,j]
+    tri = np.rint((upper * common).sum(axis=1)).astype(np.int64)
+
+    k = np.array([len(ids) for ids in neigh_idx])
+    clust = np.where(k >= 2, 2.0 * tri / np.maximum(k * (k - 1), 1), 0.0)
+    tri = np.where(k >= 2, tri, 0)
     return tri, clust
 
 
