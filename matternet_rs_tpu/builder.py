@@ -122,6 +122,12 @@ class ArrowSpaceBuilder:
         self.persistence = (name, Path(path))
         return self
 
+    def with_expected_items(self, n: int) -> "ArrowSpaceBuilder":
+        """Dataset-size hint used by EnergyParams' adaptive 2√N optical-token
+        rule before build (reference: energymaps.rs:97-120)."""
+        self.nitems = int(n)
+        return self
+
     # ---------------- helpers ----------------
     def graph_params(self) -> GraphParams:
         return GraphParams(

@@ -113,3 +113,37 @@ def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
         tau=tau,
         timings=timings,
     )
+
+
+def save_result(result: PipelineResult, path, name: str = "pipeline") -> None:
+    """Persist the staged-pipeline artifacts (centroid state, Laplacian, λ,
+    MST order) — the surfface analogue of the legacy builder's stage dumps."""
+    from matternet_rs_tpu.storage import parquet as pq
+
+    pq.save_dense_matrix(np.asarray(result.state.means), path, f"{name}-means")
+    pq.save_dense_matrix(
+        np.asarray(result.state.variances), path, f"{name}-variances"
+    )
+    pq.save_sparse_matrix(
+        np.asarray(result.laplacian.matrix), path, f"{name}-laplacian"
+    )
+    pq.save_lambdas(result.lambdas, path, f"{name}-lambdas")
+    pq.save_dense_matrix(
+        result.mst.centroid_order[:, None].astype(np.float64), path,
+        f"{name}-order",
+    )
+
+
+def load_result_arrays(path, name: str = "pipeline") -> dict:
+    """Load the persisted artifacts back as arrays (resume building blocks)."""
+    from matternet_rs_tpu.storage import parquet as pq
+    from pathlib import Path
+
+    base = Path(path)
+    return {
+        "means": pq.load_dense_matrix(base / f"{name}-means.parquet"),
+        "variances": pq.load_dense_matrix(base / f"{name}-variances.parquet"),
+        "laplacian": pq.load_sparse_matrix(base / f"{name}-laplacian.parquet"),
+        "lambdas": pq.load_lambdas(base / f"{name}-lambdas.parquet"),
+        "order": pq.load_dense_matrix(base / f"{name}-order.parquet")[:, 0].astype(int),
+    }

@@ -330,3 +330,18 @@ def test_full_pipeline_end_to_end():
         "A:clustering", "B0:preflight", "B1:mst", "B2:kalman",
         "C:laplacian", "D:spectral",
     }
+
+
+def test_pipeline_save_load_roundtrip(tmp_path):
+    from matternet_rs_tpu.pipeline.run import save_result, load_result_arrays
+
+    data = make_gaussian_blob(100, 0.4).astype(np.float32)
+    cfg = PipelineConfig(
+        clustering=ClusteringConfig(max_clusters=12, radius_threshold=16.0),
+    )
+    result = build(data, cfg)
+    save_result(result, tmp_path, "p")
+    arrays = load_result_arrays(tmp_path, "p")
+    assert np.allclose(arrays["means"], np.asarray(result.state.means), atol=1e-6)
+    assert np.allclose(arrays["lambdas"], result.lambdas, atol=1e-9)
+    assert (arrays["order"] == result.mst.centroid_order).all()
