@@ -24,6 +24,17 @@ from matternet_rs_tpu.reduction import ImplicitProjection
 
 TAU_FLOOR = taumode_ops.TAU_FLOOR
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
+def _batched_search_jit(X, norms, lams, Q, q_lams, k, alpha, approx):
+    return jax.vmap(
+        lambda q, ql: search_ops.search_lambda_aware(
+            X, norms, lams, q, ql, k, alpha, approx=approx
+        )
+    )(Q, q_lams)
+
 
 @dataclasses.dataclass(frozen=True)
 class TauMode:
@@ -333,6 +344,77 @@ class ArrowSpace:
             approx=approx, recall_target=recall_target,
         )
         return [(int(i), float(s)) for i, s in zip(idx, sc)]
+
+    def search_batch(
+        self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
+        approx: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched query path: fused λ preparation for all queries (one
+        taumode dispatch) + vmapped blended top-k. Returns
+        ``(indices [B, k], scores [B, k])``.
+
+        This is the TPU-idiomatic serving path — one ``[B, F] × [F, N]``
+        matmul amortizes the corpus read across the whole batch.
+        """
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        graph = self.graph_for_taumode(gl)
+        Qw = Q
+        if (
+            self.projection is not None
+            and Q.shape[-1] == self.projection.original_dim
+            and graph.shape[0] == self.projection.reduced_dim
+        ):
+            Qw = self.projection.project(Q)
+        raw = taumode_ops.taumode_lambdas(
+            Qw, graph, self.taumode.mode, self.taumode.param
+        )
+        q_lams = jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+        idx, sc = _batched_search_jit(
+            self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, approx
+        )
+        return np.asarray(idx), np.asarray(sc)
+
+    def add_items(self, new_rows, gl: GraphLaplacian) -> None:
+        """Incrementally insert items into a built index.
+
+        New rows get λ from the existing graph with the existing
+        normalization stats (clamped to [0,1], exactly how queries are
+        normalized — core.rs:1361-1373); the graph itself is NOT rebuilt
+        (same contract as the reference's ``SortedLambdas::zadd`` single
+        inserts, sorted_index.rs:22-29). Rebuild for large drift.
+        """
+        new_rows = jnp.asarray(new_rows, jnp.float32)
+        if new_rows.ndim == 1:
+            new_rows = new_rows[None, :]
+        if new_rows.shape[-1] != self.nfeatures:
+            raise ValueError(
+                f"new items have dimension {new_rows.shape[-1]}, index has "
+                f"{self.nfeatures}"
+            )
+        graph = self.graph_for_taumode(gl)
+        X = new_rows
+        if (
+            self.projection is not None
+            and X.shape[-1] == self.projection.original_dim
+            and graph.shape[0] == self.projection.reduced_dim
+        ):
+            X = self.projection.project(X)
+        raw = taumode_ops.taumode_lambdas(
+            X, graph, self.taumode.mode, self.taumode.param
+        )
+        lam_new = jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+        self.data = jnp.concatenate([self.data, new_rows], axis=0)
+        self.lambdas = jnp.concatenate([self.lambdas, lam_new])
+        self.nitems = int(self.data.shape[0])
+        self._norms = None
+        if self.lambdas_sorted is not None:
+            self.build_lambdas_sorted()
 
     def search_lambda_aware_hybrid(
         self, query, query_lambda: float, k: int, alpha: float = 0.7

@@ -411,15 +411,22 @@ def _energy_score_kernel(X, norms, lambdas, query, q_lambda):
     return lam_dist + tie
 
 
-def search_energy(aspace: ArrowSpace, query, gl_energy: GraphLaplacian, k: int):
-    """Pure λ-distance scan with cosine tie-break; ascending distance."""
+def search_energy(
+    aspace: ArrowSpace, query, gl_energy: GraphLaplacian, k: int,
+    approx: bool = False,
+):
+    """Pure λ-distance scan with cosine tie-break; ascending distance.
+    ``approx=True`` selects with ``lax.approx_max_k`` (large-N throughput)."""
     q_lambda = aspace.prepare_query_item(query, gl_energy)
     scores = _energy_score_kernel(
         aspace.data, aspace.item_norms, aspace.lambdas,
         jnp.asarray(query, jnp.float32), jnp.float32(q_lambda),
     )
     kk = min(k, aspace.nitems)
-    neg, idx = jax.lax.top_k(-scores, kk)
+    if approx:
+        neg, idx = jax.lax.approx_max_k(-scores, kk, recall_target=0.95)
+    else:
+        neg, idx = jax.lax.top_k(-scores, kk)
     return [(int(i), float(-s)) for i, s in zip(idx, neg)]
 
 

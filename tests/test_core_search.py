@@ -233,3 +233,30 @@ def test_approx_search_close_to_exact(built):
     assert len(exact & approx) >= 8
     # Self-item always survives approximate selection.
     assert 12 in approx
+
+
+def test_search_batch_matches_single(built):
+    aspace, gl, data = built
+    Q = data[[3, 8, 21]]
+    idx, sc = aspace.search_batch(Q, gl, k=5)
+    assert idx.shape == (3, 5)
+    for b, qi in enumerate((3, 8, 21)):
+        single = aspace.search_lambda_aware(
+            data[qi], aspace.prepare_query_item(data[qi], gl), 5
+        )
+        assert idx[b].tolist() == [i for i, _ in single]
+
+
+def test_add_items_incremental(built):
+    aspace, gl, data = built
+    n0 = aspace.nitems
+    new = data[:3] + 0.01
+    aspace.add_items(new, gl)
+    assert aspace.nitems == n0 + 3
+    # The inserted items are retrievable (near-duplicates of items 0-2).
+    q = np.asarray(new[0])
+    lam = aspace.prepare_query_item(q, gl)
+    res = aspace.search_lambda_aware(q, lam, 3)
+    assert res[0][0] in (0, n0)     # original or inserted twin wins
+    with pytest.raises(ValueError, match="dimension"):
+        aspace.add_items(np.ones((1, 3), np.float32), gl)
