@@ -430,6 +430,33 @@ def search_energy(
     return [(int(i), float(-s)) for i, s in zip(idx, neg)]
 
 
+@jax.jit
+def _adaptive_energy_score_kernel(X, lambdas, query, q_lambda, w_lambda, w_feat):
+    lam_dist = jnp.abs(q_lambda - lambdas)
+    qn = jnp.maximum(jnp.sqrt(jnp.sum(query * query)), 1e-9)
+    diff = X - query[None, :]
+    feat_dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) / qn
+    return w_lambda * lam_dist + w_feat * feat_dist
+
+
+def search_energy_adaptive(
+    aspace: ArrowSpace, query, gl_energy: GraphLaplacian, k: int
+) -> list[tuple[int, float]]:
+    """Adaptive-weight energy search: ``w_λ·|Δλ| + w_D·(‖q-x‖/‖q‖)`` with
+    weights auto-derived from the λ-range (the reference sketches this as a
+    commented-out implementation, energymaps.rs:675-760; live here).
+    Ascending distance."""
+    w_lambda, w_feat = adaptive_energy_weights(aspace)
+    q_lambda = aspace.prepare_query_item(query, gl_energy)
+    scores = _adaptive_energy_score_kernel(
+        aspace.data, aspace.lambdas, jnp.asarray(query, jnp.float32),
+        jnp.float32(q_lambda), jnp.float32(w_lambda), jnp.float32(w_feat),
+    )
+    kk = min(k, aspace.nitems)
+    neg, idx = jax.lax.top_k(-scores, kk)
+    return [(int(i), float(-s)) for i, s in zip(idx, neg)]
+
+
 def adaptive_w_lambda(aspace: ArrowSpace) -> float:
     """Linear map of λ-range → weight [0.5, 2.0] (energymaps.rs:677-684)."""
     if aspace.range_lambdas < 1e-9:

@@ -164,3 +164,27 @@ def test_energy_query_projection_highdim():
     assert len(res) == 5
     with pytest.raises(ValueError, match="dimension"):
         aspace.prepare_query_item(np.ones(33, np.float32), gl)
+
+
+def test_search_energy_adaptive(built):
+    aspace, gl, data = built
+    res = em.search_energy_adaptive(aspace, data[30], gl, k=5)
+    assert len(res) == 5
+    dists = [d for _, d in res]
+    assert dists == sorted(dists)
+    assert res[0][0] == 30     # self-query: zero feature distance + own λ
+
+
+def test_gaussian_hd_fixture_build():
+    """make_gaussian_hd (100-D, 3 clusters + outliers) end-to-end."""
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_hd
+    from matternet_rs_tpu import eigenmaps
+
+    data = make_gaussian_hd(150, 0.5).astype(np.float32)
+    assert data.shape == (150, 100)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 6).with_sparsity_check(False)
+         .with_cluster_params(max_clusters=12, radius=30.0)
+         .with_deterministic_clustering(True))
+    aspace, gl = b.build(data)
+    res = eigenmaps.search(aspace, data[99], gl, 5)
+    assert res[0][0] == 99
