@@ -137,3 +137,11 @@ def test_multislice_search_matches_single_device(setup):
     )
     assert list(np.asarray(idx_d)) == list(np.asarray(idx_s))
     assert np.allclose(np.asarray(sc_d), np.asarray(sc_s), atol=1e-5)
+
+
+def test_distributed_initialize_single_process():
+    from matternet_rs_tpu.parallel.distributed import initialize
+
+    info = initialize()      # no-op single-process path
+    assert info["process_count"] == 1
+    assert info["global_device_count"] >= 1
