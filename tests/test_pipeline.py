@@ -345,3 +345,41 @@ def test_pipeline_save_load_roundtrip(tmp_path):
     assert np.allclose(arrays["means"], np.asarray(result.state.means), atol=1e-6)
     assert np.allclose(arrays["lambdas"], result.lambdas, atol=1e-9)
     assert (arrays["order"] == result.mst.centroid_order).all()
+
+
+def test_kalman_last_step_smoothed_equals_filtered(state, mst_out):
+    """RTS: at t = C-1 the smoothed estimate IS the filtered estimate."""
+    out = SmoothingStage().execute(state, mst_out)
+    assert np.allclose(
+        np.asarray(out.smoothed_means)[-1],
+        np.asarray(out.filtered_means)[-1],
+        atol=1e-6,
+    )
+    assert np.allclose(
+        np.asarray(out.smoothed_variances)[-1],
+        np.asarray(out.filtered_variances)[-1],
+        atol=1e-6,
+    )
+
+
+def test_kalman_trunk_factor_one_equals_identity(state, mst_out):
+    """TrunkAware with factor 1.0 degenerates to the Identity model."""
+    ident = SmoothingStage(SmoothingConfig()).execute(state, mst_out)
+    trunk1 = SmoothingStage(SmoothingConfig.trunk_aware(1.0)).execute(state, mst_out)
+    assert np.allclose(
+        np.asarray(ident.smoothed_means), np.asarray(trunk1.smoothed_means),
+        atol=1e-6,
+    )
+
+
+def test_kalman_damped_shrinks_toward_zero(state, mst_out):
+    """Damped(α<1) predictions pull the trajectory toward the origin."""
+    from matternet_rs_tpu.pipeline.smoothing import DAMPED
+
+    damped = SmoothingStage(
+        SmoothingConfig(transition_model=DAMPED, damping=0.5)
+    ).execute(state, mst_out)
+    ident = SmoothingStage(SmoothingConfig()).execute(state, mst_out)
+    assert np.abs(np.asarray(damped.smoothed_means)).mean() <= np.abs(
+        np.asarray(ident.smoothed_means)
+    ).mean() + 1e-6
