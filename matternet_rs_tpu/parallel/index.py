@@ -85,16 +85,19 @@ class ShardedArrowSpace:
         gl: GraphLaplacian,
         taumode: TauMode = TAUDEFAULT,
         n_devices: int | None = None,
+        mesh=None,
     ) -> "ShardedArrowSpace":
         """Distributed build: per-shard raw blocks → sharded λ → global
-        min/max reduction → normalized sharded index.
+        min/max reduction → normalized sharded index. Pass ``mesh`` for a
+        prebuilt 2-D multi-slice mesh.
 
         λ computation needs no communication (graph replicated); only two
         scalars (min/max) are reduced globally, so the normalized λ equal a
         single-device build bit-for-bit (modulo shard concat order, which
         the caller controls).
         """
-        mesh = make_mesh(n_devices)
+        if mesh is None:
+            mesh = make_mesh(n_devices)
         X = np.concatenate([np.asarray(s, np.float32) for s in shards], axis=0)
         n = X.shape[0]
         Xs = shard_items(mesh, jnp.asarray(X))

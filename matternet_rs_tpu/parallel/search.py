@@ -31,14 +31,17 @@ def sharded_taumode_lambdas(mesh, X_sharded: jax.Array, L: jax.Array, tau_mode: 
     """λ for all items with N sharded over the mesh — zero communication.
 
     ``jit`` with explicit shardings: XLA keeps each shard's seven matmuls
-    local; the output stays sharded like the input.
+    local; the output stays sharded like the input. On a 2-D multi-slice
+    mesh the item axis shards over (slice, data) jointly.
     """
-    spec = P(DATA_AXIS, None)
+    axes = tuple(mesh.axis_names)
+    first = axes[0] if len(axes) == 1 else axes
+    spec = P(first, None)
 
     @functools.partial(
         jax.jit,
         in_shardings=(NamedSharding(mesh, spec), NamedSharding(mesh, P())),
-        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        out_shardings=NamedSharding(mesh, P(first)),
         static_argnums=(2, 3),
     )
     def run(Xs, Ls, mode, param):

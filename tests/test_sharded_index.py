@@ -76,3 +76,20 @@ def test_multislice_index_search(built):
     single = aspace.search_lambda_aware(q, q_lam, 6)
     dist = sharded.search(q, 6, query_lambda=q_lam)
     assert [i for i, _ in single] == [i for i, _ in dist]
+
+
+def test_from_shards_multislice_mesh(built):
+    from matternet_rs_tpu.parallel.mesh import make_mesh_2d
+
+    aspace, gl, data = built
+    mesh = make_mesh_2d(2, 4)
+    shards = np.array_split(data, 8)
+    sharded = ShardedArrowSpace.from_shards(shards, gl, aspace.taumode, mesh=mesh)
+    lam_single = np.asarray(aspace.lambdas)
+    lam_dist = np.asarray(sharded.lambdas)[: len(data)]
+    assert np.allclose(lam_dist, lam_single, atol=1e-5)
+    q = data[17]
+    q_lam = aspace.prepare_query_item(q, gl)
+    single = aspace.search_lambda_aware(q, q_lam, 6)
+    dist = sharded.search(q, 6, query_lambda=q_lam)
+    assert [i for i, _ in single] == [i for i, _ in dist]
