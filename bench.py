@@ -213,4 +213,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # One retry: the remote-TPU transport occasionally drops a request with
+    # a transient INTERNAL error; the driver's capture should survive that.
+    try:
+        main()
+    except Exception as exc:   # noqa: BLE001
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(f"bench: transient failure ({exc}); retrying once", file=sys.stderr)
+        main()
