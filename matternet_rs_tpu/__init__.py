@@ -36,6 +36,17 @@ from matternet_rs_tpu import backend, eigenmaps
 
 __version__ = "0.2.0"
 
+
+def init(level: int | str = "INFO") -> None:
+    """One-time logging init (reference: surfface_core::init(),
+    surfface-core/src/lib.rs:30-44 — env_logger equivalent)."""
+    import logging
+
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
 __all__ = [
     "GraphParams",
     "GraphLaplacian",

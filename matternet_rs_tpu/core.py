@@ -10,7 +10,10 @@ paths are jitted device scans (see :mod:`matternet_rs_tpu.ops.search`).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
+
+log = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -237,6 +240,12 @@ class ArrowSpace:
         rng = max(mx - mn, 1e-9)
         self.min_lambdas, self.max_lambdas, self.range_lambdas = mn, mx, rng
         self.lambdas = (raw - mn) / rng
+        # λ statistics after every compute (reference logs these,
+        # builder.rs:1059-1070 / taumode.rs:226-246).
+        log.debug(
+            "lambdas updated: n=%d raw_min=%.6f raw_max=%.6f range=%.6f",
+            self.nitems, mn, mx, rng,
+        )
 
     def normalise_query_lambda(self, raw_lambda: float) -> float:
         """Same transform as the batch normalization, clamped to [0,1]
