@@ -30,6 +30,16 @@ TAU_FLOOR = taumode_ops.TAU_FLOOR
 import functools
 
 
+@jax.jit
+def _normalize_lambdas_jit(raw):
+    """Min-max normalization to [0,1] (core.rs:1341-1354: max folded from
+    0.0, range floored at 1e-9). Returns (normalized, [min, max, range])."""
+    mn = jnp.min(raw)
+    mx = jnp.maximum(jnp.max(raw), 0.0)
+    rng = jnp.maximum(mx - mn, 1e-9)
+    return (raw - mn) / rng, jnp.stack([mn, mx, rng])
+
+
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
 def _batched_search_jit(X, norms, lams, Q, q_lams, k, alpha, approx):
     return jax.vmap(
@@ -235,11 +245,12 @@ class ArrowSpace:
         raw = jnp.asarray(raw, jnp.float32)
         if int(raw.shape[0]) != self.nitems:
             raise ValueError("lambda length mismatch")
-        mn = float(jnp.min(raw))
-        mx = max(float(jnp.max(raw)), 0.0)   # reference folds max from 0.0
-        rng = max(mx - mn, 1e-9)
+        # One fused dispatch + one tiny D2H for all three stats (each
+        # separate float() costs a full round-trip on remote-attached TPUs).
+        lam_norm, stats = _normalize_lambdas_jit(raw)
+        mn, mx, rng = (float(v) for v in np.asarray(stats))
         self.min_lambdas, self.max_lambdas, self.range_lambdas = mn, mx, rng
-        self.lambdas = (raw - mn) / rng
+        self.lambdas = lam_norm
         # λ statistics after every compute (reference logs these,
         # builder.rs:1059-1070 / taumode.rs:226-246).
         log.debug(
