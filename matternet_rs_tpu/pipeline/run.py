@@ -63,6 +63,12 @@ def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
     X = np.asarray(rows, np.float32)
     timings: dict[str, float] = {}
 
+    # Hardware telemetry at pipeline entry (surfface-pipeline/src/lib.rs:7-26
+    # prints backend info before dispatching stages).
+    from matternet_rs_tpu import backend as _backend
+
+    _backend.print_backend_info()
+
     def timed(name, fn, *args):
         t0 = time.perf_counter()
         out = fn(*args)
