@@ -136,3 +136,13 @@ def test_nearest_centroid():
     i, d2 = clus.nearest_centroid(np.array([9.0, 0.0]), cents)
     assert i == 1
     assert d2 == pytest.approx(1.0)
+
+
+def test_sampler_seed_determinism():
+    """Same seed ⇒ identical keep decisions (improvement over the
+    reference's OS-entropy samplers)."""
+    s1 = make_sampler("simple", 0.5, seed=3)
+    s2 = make_sampler("simple", 0.5, seed=3)
+    d1 = [s1.should_keep(1.0, 5, 10) for _ in range(50)]
+    d2 = [s2.should_keep(1.0, 5, 10) for _ in range(50)]
+    assert d1 == d2

@@ -383,3 +383,20 @@ def test_kalman_damped_shrinks_toward_zero(state, mst_out):
     assert np.abs(np.asarray(damped.smoothed_means)).mean() <= np.abs(
         np.asarray(ident.smoothed_means)
     ).mean() + 1e-6
+
+
+def test_config_presets():
+    """Preset constructors carry the reference's documented values
+    (preflight.rs:49-73, mst.rs:88-108, smoothing_chain.rs:78-110)."""
+    c = PreflightConfig.conservative()
+    assert c.magnitude_threshold == 5.0 and c.variance_max == 50.0
+    s = PreflightConfig.strict()
+    assert s.remove_zero_variance
+    m = MSTConfig.high_dimensional()
+    assert m.k_neighbors == 16
+    p = MSTConfig.prototype()
+    assert not p.compute_trunk
+    sc = SmoothingConfig.conservative()
+    assert sc.process_noise == 0.1 and sc.observation_noise == 0.01
+    sa = SmoothingConfig.aggressive()
+    assert sa.process_noise == 0.001 and sa.observation_noise == 1.0
