@@ -453,6 +453,20 @@ class ArrowSpace:
         q_lambda = self.prepare_query_item(query, gl)
         return self.lambdas_sorted.range_bylambda(q_lambda, k, gl.graph_params.p)
 
+    def search_k_nearest_by_lambda(
+        self, query, gl: GraphLaplacian, k: int,
+        base_delta: float | None = None, growth: float = 1.7,
+        max_multiplier: float = 10.0,
+    ) -> list[tuple[int, float]]:
+        """Expanding-window k-nearest by |Δλ| over the sorted index
+        (sorted_index.rs:85-140 exposed through the query path)."""
+        if self.lambdas_sorted is None:
+            raise ValueError("build_lambdas_sorted() first")
+        q_lambda = self.prepare_query_item(query, gl)
+        return self.lambdas_sorted.k_nearest_by_lambda(
+            q_lambda, k, gl.graph_params.p, base_delta, growth, max_multiplier
+        )
+
     def search_lambda_banded(
         self, query, query_lambda: float, k: int, alpha: float = 0.7,
         window: int = 4096,

@@ -260,3 +260,12 @@ def test_add_items_incremental(built):
     assert res[0][0] in (0, n0)     # original or inserted twin wins
     with pytest.raises(ValueError, match="dimension"):
         aspace.add_items(np.ones((1, 3), np.float32), gl)
+
+
+def test_search_k_nearest_by_lambda(built):
+    aspace, gl, data = built
+    res = aspace.search_k_nearest_by_lambda(data[6], gl, 5)
+    assert 1 <= len(res) <= 5
+    q_lam = aspace.prepare_query_item(data[6], gl)
+    dists = [abs(l - q_lam) for _, l in res]
+    assert dists == sorted(dists)

@@ -145,3 +145,25 @@ def test_distributed_initialize_single_process():
     info = initialize()      # no-op single-process path
     assert info["process_count"] == 1
     assert info["global_device_count"] >= 1
+
+
+def test_sharded_search_stress_20k():
+    """Larger-N distributed exactness stress (test_subg_parallel.rs
+    parallel-stress analogue for the mesh path)."""
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.ops import taumode as tmod
+
+    rng = np.random.default_rng(31)
+    data = rng.normal(size=(20_000, 32)).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    gl = lap.build_laplacian_from_k_cluster(data[:16], params, n_items=len(data))
+    aspace = ArrowSpace.from_items(data)
+    aspace.compute_taumode(gl)
+
+    sharded = ShardedArrowSpace.from_arrowspace(aspace, gl, n_devices=8)
+    for qi in (0, 9999, 19999):
+        q = data[qi]
+        q_lam = aspace.prepare_query_item(q, gl)
+        single = aspace.search_lambda_aware(q, q_lam, 10)
+        dist = sharded.search(q, 10, query_lambda=q_lam)
+        assert [i for i, _ in single] == [i for i, _ in dist]
