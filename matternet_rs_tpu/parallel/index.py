@@ -100,6 +100,12 @@ class ShardedArrowSpace:
             mesh = make_mesh(n_devices)
         X = np.concatenate([np.asarray(s, np.float32) for s in shards], axis=0)
         n = X.shape[0]
+        if X.shape[1] != gl.matrix.shape[0]:
+            raise ValueError(
+                f"shard feature dim {X.shape[1]} must match the graph's "
+                f"{gl.matrix.shape[0]} (project shards before a distributed "
+                "build when using JL reduction)"
+            )
         Xs = shard_items(mesh, jnp.asarray(X))
         Ls = replicate(mesh, gl.matrix)
         raw = sharded_taumode_lambdas(mesh, Xs, Ls, taumode.mode, taumode.param)
