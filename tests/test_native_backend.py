@@ -116,3 +116,22 @@ def test_ell_spmv_matrix_rhs():
     X = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
     got = np.asarray(csr.spmv_ell(g.indices, g.weights, X))
     assert np.allclose(got, W.astype(np.float32) @ np.asarray(X), atol=1e-4)
+
+
+def test_python_fallback_when_native_unavailable(monkeypatch):
+    """The clustering entry points must work without the native library."""
+    from matternet_rs_tpu import native as native_mod
+    from matternet_rs_tpu import clustering as clus2
+    from matternet_rs_tpu.pipeline.clustering import ClusteringConfig, ClusteringStage
+
+    monkeypatch.setattr(native_mod, "incremental_cluster", lambda *a, **k: None)
+
+    data = make_gaussian_blob(300, 0.3).astype(np.float32)
+    out = clus2.incremental_clustering(data, 15, 4.0, deterministic=True)
+    assert 3 <= len(out.centroids) <= 15
+
+    stage_out = ClusteringStage(
+        ClusteringConfig(max_clusters=15, radius_threshold=16.0, batch_size=64)
+    ).execute(data)
+    assert stage_out.state.num_centroids <= 15
+    assert (stage_out.assignments >= 0).all()
