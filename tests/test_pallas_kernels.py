@@ -90,3 +90,27 @@ def test_bigf_kernel_matches_xla(n, f):
     got = tf.taumode_lambdas_pallas_bigf(X, L, tau, interpret=True)
     assert np.allclose(np.asarray(ref), np.asarray(got), atol=3e-5)
     assert float(got[3]) == 0.0
+
+
+def test_fused_search_exact_interpret():
+    """Streamed exact top-k kernel: exact agreement with a numpy rescore
+    (kept as a Pallas reference implementation — see its docstring verdict)."""
+    from matternet_rs_tpu.ops.pallas import search_fused as sf
+
+    rng = np.random.default_rng(12)
+    N, F, B, K = 3000, 64, 8, 10
+    X = rng.normal(size=(N, F)).astype(np.float32)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    lam = rng.random(N).astype(np.float32)
+    Qn = Xn[:B]
+    ql = rng.random(B).astype(np.float32)
+    idx_p, val_p = sf.search_fused_pallas(
+        jnp.asarray(Xn), jnp.asarray(lam), jnp.asarray(Qn), jnp.asarray(ql),
+        K, interpret=True,
+    )
+    cos = Qn @ Xn.T
+    scores = 0.7 * cos + 0.3 * (1 - np.minimum(np.abs(lam[None, :] - ql[:, None]), 1.0))
+    gt = np.argsort(-scores, axis=1)[:, :K]
+    for b in range(B):
+        assert set(np.asarray(idx_p)[b].tolist()) == set(gt[b].tolist())
+        assert len(set(np.asarray(idx_p)[b].tolist())) == K
