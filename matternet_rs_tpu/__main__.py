@@ -74,8 +74,16 @@ def cmd_search(args) -> None:
     queries = q[None, :] if q.ndim == 1 else q
     results = []
     for row in queries:
-        res = eigenmaps.search(aspace, row, gl, args.k, args.alpha)
-        results.append([{"index": i, "score": round(s, 6)} for i, s in res])
+        if gl.energy:
+            from matternet_rs_tpu import energymaps
+
+            res = energymaps.search_energy(aspace, row, gl, args.k)
+            results.append(
+                [{"index": i, "distance": round(d, 6)} for i, d in res]
+            )
+        else:
+            res = eigenmaps.search(aspace, row, gl, args.k, args.alpha)
+            results.append([{"index": i, "score": round(s, 6)} for i, s in res])
     print(json.dumps({"results": results}))
 
 

@@ -215,7 +215,9 @@ def save_arrowspace_metadata(aspace, builder, path, name: str) -> Path:
 
 
 def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
-    """Multi-artifact checkpoint (parquet.rs:592-683)."""
+    """Multi-artifact checkpoint (parquet.rs:592-683). Energy-mode state
+    (sub-centroids, their λ, the item→sub-centroid map) is persisted too so
+    a resumed index keeps energy search semantics."""
     path = _ensure_dir(path)
     save_dense_matrix(np.asarray(aspace.data), path, f"{name}-raw_input", builder)
     save_dense_matrix(np.asarray(gl.init_data), path, f"{name}-clustered-dm", builder)
@@ -225,6 +227,18 @@ def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
             np.asarray(aspace.signals), path, f"{name}-aspace-signals", builder=builder
         )
     save_lambdas(np.asarray(aspace.lambdas), path, f"{name}-lambdas", builder)
+    if aspace.sub_centroids is not None:
+        save_dense_matrix(
+            np.asarray(aspace.sub_centroids), path, f"{name}-sub-centroids", builder
+        )
+        save_lambdas(
+            np.asarray(aspace.subcentroid_lambdas), path,
+            f"{name}-subcentroid-lambdas", builder,
+        )
+        save_lambdas(
+            np.asarray(aspace.centroid_map, np.float64), path,
+            f"{name}-centroid-map", builder,
+        )
     save_arrowspace_metadata(aspace, builder, path, name)
 
 
@@ -293,6 +307,18 @@ def load_arrowspace(path, name: str):
     if signals_path.exists():
         aspace.signals = jnp.asarray(load_sparse_matrix(signals_path), jnp.float32)
 
+    # Energy-mode state (present only for energy-pipeline checkpoints).
+    sc_path = path / f"{name}-sub-centroids.parquet"
+    if sc_path.exists():
+        aspace.sub_centroids = jnp.asarray(load_dense_matrix(sc_path), jnp.float32)
+        aspace.subcentroid_lambdas = load_lambdas(
+            path / f"{name}-subcentroid-lambdas.parquet"
+        )
+        aspace.centroid_map = load_lambdas(
+            path / f"{name}-centroid-map.parquet"
+        ).astype(np.int64)
+        aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
+
     params = GraphParams(
         eps=bcfg.get("lambda_eps", 1e-3),
         k=bcfg.get("lambda_k", 6),
@@ -307,5 +333,6 @@ def load_arrowspace(path, name: str):
         init_data=jnp.asarray(init_data, jnp.float32),
         nnodes=acfg["nitems"],
         graph_params=params,
+        energy=aspace.sub_centroids is not None,
     )
     return aspace, gl

@@ -268,3 +268,27 @@ def test_readonly_dir_raises_storage_error(tmp_path):
             pq.save_lambdas(np.ones(5), ro, "x")
     finally:
         os.chmod(ro, stat.S_IRWXU)
+
+
+def test_energy_checkpoint_resume(tmp_path):
+    """Energy-mode state (sub-centroids, λ, centroid map) survives
+    persistence; resumed search matches the original."""
+    from matternet_rs_tpu import energymaps as emod
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(150, 32, seed=2).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder().with_lambda_graph(1.0, 5).with_sparsity_check(False)
+        .with_cluster_params(max_clusters=25, radius=16.0)
+        .with_deterministic_clustering(True).with_dims_reduction(True).with_seed(4)
+    )
+    aspace, gl = b.build_energy(
+        data, emod.EnergyParams(optical_tokens=15, neighbor_k=5)
+    )
+    pq.save_checkpoint(aspace, gl, b, tmp_path, "en")
+    a2, gl2 = pq.load_arrowspace(tmp_path, "en")
+    assert gl2.energy
+    assert a2.sub_centroids is not None
+    r1 = emod.search_energy(aspace, data[40], gl, 5)
+    r2 = emod.search_energy(a2, data[40], gl2, 5)
+    assert [i for i, _ in r1] == [i for i, _ in r2]
