@@ -198,3 +198,17 @@ def test_hierarchy_deterministic_parallel_consistency():
                 np.asarray(n1.graph.laplacian.matrix),
                 np.asarray(n2.graph.laplacian.matrix),
             )
+
+
+def test_motives_empty_and_single_node():
+    """Degenerate graphs don't crash the triangle machinery."""
+    W = np.zeros((3, 3))
+    L = np.diag(W.sum(1)) - W
+    gl = GraphLaplacian(
+        matrix=jnp.asarray(L, jnp.float32),
+        init_data=jnp.asarray(np.eye(3), jnp.float32),
+        nnodes=3,
+        graph_params=GraphParams(sparsity_check=False),
+    )
+    assert mv.spot_motives_eigen(gl) == []
+    assert not mv.is_clique(gl, {0})

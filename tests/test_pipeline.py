@@ -400,3 +400,19 @@ def test_config_presets():
     assert sc.process_noise == 0.1 and sc.observation_noise == 0.01
     sa = SmoothingConfig.aggressive()
     assert sa.process_noise == 0.001 and sa.observation_noise == 1.0
+
+
+def test_full_pipeline_deterministic():
+    """Same input ⇒ identical stage outputs across runs (determinism-as-
+    race-detection, SURVEY §5)."""
+    data = make_gaussian_blob(100, 0.4).astype(np.float32)
+    cfg = PipelineConfig(
+        clustering=ClusteringConfig(max_clusters=12, radius_threshold=16.0),
+    )
+    r1 = build(data, cfg)
+    r2 = build(data, cfg)
+    assert np.allclose(r1.lambdas, r2.lambdas)
+    assert (r1.mst.centroid_order == r2.mst.centroid_order).all()
+    assert np.allclose(
+        np.asarray(r1.state.means), np.asarray(r2.state.means)
+    )
