@@ -182,3 +182,17 @@ def test_energy_vs_eigen_search_overlap():
     res = emod.search_energy(aspace_en, data[5], gl_en, k=20)
     same_cluster = sum(1 for i, _ in res if i < 40)
     assert same_cluster >= 5
+
+
+def test_alpha_one_is_pure_cosine(blob):
+    """α=1 reduces λ-aware search to cosine ranking."""
+    aspace, gl = small_builder().build(blob)
+    q = blob[3]
+    q_lam = aspace.prepare_query_item(q, gl)
+    res = aspace.search_lambda_aware(q, q_lam, 5, alpha=1.0)
+    X = np.asarray(aspace.data, np.float64)
+    cos = (X @ q) / np.maximum(
+        np.linalg.norm(X, axis=1) * np.linalg.norm(q), 1e-12
+    )
+    ref = np.argsort(-cos, kind="stable")[:5]
+    assert len(set(i for i, _ in res) & set(ref.tolist())) >= 4

@@ -134,3 +134,35 @@ def test_standardize_columns():
     S = np.asarray(d.standardize_columns(jnp.asarray(A)))
     assert np.allclose(S.mean(0), 0.0, atol=1e-4)
     assert np.allclose(S.std(0), 1.0, atol=1e-3)
+
+
+# --- tiled kNN (ops/knn.py) -------------------------------------------------
+
+
+def test_knn_rect_cosine_matches_bruteforce():
+    from matternet_rs_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(10)
+    corpus = rng.normal(size=(500, 16)).astype(np.float32)
+    queries = rng.normal(size=(37, 16)).astype(np.float32)   # odd Q → padding
+    dists, idx = knn(jnp.asarray(queries), jnp.asarray(corpus), k=5,
+                     query_chunk=16)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ref_d = 1.0 - np.maximum(qn @ cn.T, 0.0)
+    for i in range(37):
+        ref_top = set(np.argsort(ref_d[i], kind="stable")[:5].tolist())
+        got = set(np.asarray(idx[i]).tolist())
+        assert len(ref_top & got) >= 4        # f32 tie slack
+    assert (np.diff(np.asarray(dists), axis=1) >= -1e-6).all()  # ascending
+
+
+def test_knn_euclidean_self_nearest():
+    from matternet_rs_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(200, 8)).astype(np.float32)
+    d, idx = knn(jnp.asarray(corpus[:20]), jnp.asarray(corpus), k=1,
+                 metric="euclidean", query_chunk=8)
+    assert np.asarray(idx)[:, 0].tolist() == list(range(20))
+    assert np.allclose(np.asarray(d)[:, 0], 0.0, atol=1e-3)

@@ -135,3 +135,9 @@ def test_python_fallback_when_native_unavailable(monkeypatch):
     ).execute(data)
     assert stage_out.state.num_centroids <= 15
     assert (stage_out.assignments >= 0).all()
+
+
+def test_on_device_context():
+    with backend.on_device("cpu"):
+        x = jnp.ones(4) + 1
+    assert float(x.sum()) == 8.0
