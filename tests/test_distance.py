@@ -165,4 +165,5 @@ def test_knn_euclidean_self_nearest():
     d, idx = knn(jnp.asarray(corpus[:20]), jnp.asarray(corpus), k=1,
                  metric="euclidean", query_chunk=8)
     assert np.asarray(idx)[:, 0].tolist() == list(range(20))
-    assert np.allclose(np.asarray(d)[:, 0], 0.0, atol=1e-3)
+    # sqrt of the matmul-expansion cancellation error: √(~1e-5·‖x‖²) ≈ 4e-2
+    assert np.allclose(np.asarray(d)[:, 0], 0.0, atol=5e-2)
