@@ -1,21 +1,39 @@
-"""Benchmark: end-to-end index build + query throughput on the synthetic
-10k×128 config (BASELINE.json config #1).
+"""Benchmark: end-to-end index build + query throughput (BASELINE.json
+config #1: synthetic 10k×128, plus a 1M×128 row, the energy pipeline, the
+NumPy reference-oracle rows, and a spectral-embedding quality metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 The headline metric is query QPS on the λ-aware blended search (the
 reference's hot query path, src_legacy/core.rs:1156-1193) over a built index.
-``vs_baseline`` compares against a NumPy implementation of the reference's
-single-query full-scan on the same host (the reference itself publishes no
-numbers — BASELINE.md).
+``vs_baseline`` compares against a NumPy full-scan on the same host (the
+reference itself publishes no numbers — BASELINE.md).
+
+Build times: ``build_seconds_cold`` includes first-compile of every jitted
+stage (fresh checkout / empty compile cache — the driver's situation);
+``build_seconds_warm`` is a second identical build in the same process (the
+production situation: programs compiled once, then reused for every rebuild
+and every shard). The persistent compilation cache makes repeat *processes*
+warm too, but it is not committed (76 MB of binaries), so the official cold
+number stays honest.
+
+Reference rows (``oracle_*``): the NumPy f64 oracle — an independent port of
+the reference's exact legacy algorithm (matternet_rs_tpu/oracle.py) — is
+built and queried on the SAME data, queries, and ground truth, filling the
+reference rows BASELINE.md promises: its recall@10 must match the TPU
+build's (same formula ⇒ same ranking), and its build/query times are the
+CPU baseline for the ≥10× build-throughput north star.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+K = 10
 
 
 def _numpy_baseline_qps(X, norms, lambdas, queries, q_lams, alpha=0.7):
@@ -27,126 +45,81 @@ def _numpy_baseline_qps(X, norms, lambdas, queries, q_lams, alpha=0.7):
         cos = (X @ q) / np.maximum(norms * qn, 1e-12)
         lam_sim = 1.0 - np.minimum(np.abs(lambdas - ql), 1.0)
         scores = alpha * cos + (1 - alpha) * lam_sim
-        np.argpartition(scores, -10)[-10:]
+        np.argpartition(scores, -K)[-K:]
     dt = time.perf_counter() - t0
     return len(queries) / dt
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    # Persistent compilation cache: repeat bench runs (and driver rounds)
-    # skip the slow first-compile of every jitted stage.
-    import pathlib
-
-    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
+def _make_builder(N):
     from matternet_rs_tpu.builder import ArrowSpaceBuilder
-    from matternet_rs_tpu.ops import search as search_ops
-    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
 
-    import os
-
-    # Scale knobs (defaults = BASELINE config #1, synthetic 10k × 128).
-    N = int(os.environ.get("BENCH_N", 10_000))
-    F = int(os.environ.get("BENCH_F", 128))
-    K = 10
-    data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
-
-    # ---- build ----------------------------------------------------------
-    t0 = time.perf_counter()
-    b = (
+    return (
         ArrowSpaceBuilder()
         .with_lambda_graph(1.0, 6)
         .with_sparsity_check(False)
-        .with_cluster_params(max_clusters=max(64, int(2 * N ** 0.5) // 8), radius=25.0)
+        .with_cluster_params(max_clusters=max(64, int(2 * N**0.5) // 8), radius=25.0)
         .with_sampling(None)
     )
-    aspace, gl = b.build(data)
-    jax.block_until_ready(aspace.lambdas)
-    build_s = time.perf_counter() - t0
 
-    # ---- query throughput ----------------------------------------------
-    # Every rep uses a DIFFERENT query batch: the remote-TPU transport
-    # dedupes identical dispatches, so same-args timing loops lie.
-    n_queries = 256
-    rng = np.random.default_rng(7)
-    q_idx = rng.integers(0, N, n_queries)
-    queries = jnp.asarray(data[q_idx])
-    q_lams = jnp.asarray(np.asarray(aspace.lambdas)[q_idx])
-    reps = 10
-    rep_batches = []
-    for r in range(reps):
-        ridx = rng.integers(0, N, n_queries)
-        rep_batches.append(
-            (jnp.asarray(data[ridx]), jnp.asarray(np.asarray(aspace.lambdas)[ridx]))
-        )
 
-    # NOTE: corpus arrays are ARGUMENTS, not closure captures — a capture
-    # becomes a compile-time constant baked into the program (breaks remote
-    # compilation at 1M scale and doubles memory).
+def _qps_protocol(jax, jnp, aspace, data, n_queries=256, reps=10, approx=False):
+    """Measured QPS with a DIFFERENT query batch per rep: the remote-TPU
+    transport dedupes identical dispatches, so same-args timing loops lie."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def batched(X, norms, lams, qs, qls, k):
-        return jax.vmap(
-            lambda q, ql: search_ops.search_lambda_aware(X, norms, lams, q, ql, k)
-        )(qs, qls)
+    from matternet_rs_tpu.ops import search as search_ops
 
-    X_d, norms_d, lams_d = aspace.data, aspace.norms, aspace.lambdas
-    # Warm-up / compile.
-    out = batched(X_d, norms_d, lams_d, queries, q_lams, K)
-    jax.block_until_ready(out)
-    def _sync(out):
-        # The remote transport's block_until_ready is unreliable; a scalar
-        # reduction download is the only true execution barrier.
-        return float(jnp.sum(out[1]))
+    N = data.shape[0]
+    rng = np.random.default_rng(7)
+    lam_np = np.asarray(aspace.lambdas)
 
-    t0 = time.perf_counter()
-    for qb, qlb in rep_batches:
-        out_t = batched(X_d, norms_d, lams_d, qb, qlb, K)
-    _sync(out_t)
-    qps = n_queries * reps / (time.perf_counter() - t0)
-
-    # Approximate-selection throughput (lax.approx_max_k, recall ≥ 0.95).
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def batched_approx(X, norms, lams, qs, qls, k):
+    @functools.partial(jax.jit, static_argnames=("k", "approx"))
+    def batched(X, norms, lams, qs, qls, k, approx):
         return jax.vmap(
             lambda q, ql: search_ops.search_lambda_aware(
-                X, norms, lams, q, ql, k, approx=True
+                X, norms, lams, q, ql, k, approx=approx
             )
         )(qs, qls)
 
-    _sync(batched_approx(X_d, norms_d, lams_d, queries, q_lams, K))
+    X_d, norms_d, lams_d = aspace.data, aspace.norms, aspace.lambdas
+    q_idx = rng.integers(0, N, n_queries)
+    warm = batched(
+        X_d, norms_d, lams_d, jnp.asarray(data[q_idx]),
+        jnp.asarray(lam_np[q_idx]), K, approx,
+    )
+    jax.block_until_ready(warm)
+
+    rep_batches = []
+    for _ in range(reps):
+        ridx = rng.integers(0, N, n_queries)
+        rep_batches.append(
+            (jnp.asarray(data[ridx]), jnp.asarray(lam_np[ridx]))
+        )
     t0 = time.perf_counter()
     for qb, qlb in rep_batches:
-        out_a = batched_approx(X_d, norms_d, lams_d, qb, qlb, K)
-    _sync(out_a)
-    qps_approx = n_queries * reps / (time.perf_counter() - t0)
+        out = batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
+    # Scalar download = the only reliable execution barrier on the remote
+    # transport.
+    float(jnp.sum(out[1]))
+    qps = n_queries * reps / (time.perf_counter() - t0)
+    return qps, (q_idx, np.asarray(warm[0])[:, 0])
 
-    # Recall sanity: self-queries must return themselves.
-    idx0 = np.asarray(out[0])[:, 0]
-    self_recall = float((idx0 == q_idx).mean())
 
-    # recall@10 vs brute force (BASELINE metric): held-out noisy queries,
-    # ground truth = exact cosine top-10 over the corpus.
-    n_recall_q = 128
-    noise_q = data[q_idx[:n_recall_q]] + rng.normal(
-        0, 0.05, (n_recall_q, F)
-    ).astype(np.float32)
+def _recall_setup(data, q_idx, rng, n_recall_q=128):
+    F = data.shape[1]
+    noise_q = data[q_idx[:n_recall_q]] + rng.normal(0, 0.05, (n_recall_q, F)).astype(
+        np.float32
+    )
     Xn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
     Qn = noise_q / np.maximum(np.linalg.norm(noise_q, axis=1, keepdims=True), 1e-12)
     gt = np.argsort(-(Qn @ Xn.T), axis=1)[:, :K]
+    return noise_q, gt
 
-    # Batched query-λ: one fused taumode dispatch for all noisy queries,
-    # then the same normalization the query path applies.
+
+def _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, alpha):
+    import functools
+
+    from matternet_rs_tpu.ops import search as search_ops
     from matternet_rs_tpu.ops import taumode as tm_ops
 
     raw_q = np.asarray(
@@ -155,50 +128,69 @@ def main():
             aspace.taumode.mode, aspace.taumode.param,
         )
     )
-    q_lams_noise = np.clip(
+    q_lams = np.clip(
         (raw_q - aspace.min_lambdas) / aspace.range_lambdas, 0.0, 1.0
     ).astype(np.float32)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def batched_recall(X, norms, lams, qs, qls, alpha, k):
+    def batched(X, norms, lams, qs, qls, alpha, k):
         return jax.vmap(
             lambda q, ql: search_ops.search_lambda_aware(
                 X, norms, lams, q, ql, k, alpha=alpha
             )
         )(qs, qls)
 
-    def recall_at(alpha: float) -> float:
-        idx, _ = batched_recall(
-            X_d, norms_d, lams_d,
-            jnp.asarray(noise_q), jnp.asarray(q_lams_noise),
-            jnp.float32(alpha), K,
+    idx, _ = batched(
+        aspace.data, aspace.norms, aspace.lambdas,
+        jnp.asarray(noise_q), jnp.asarray(q_lams), jnp.float32(alpha), K,
+    )
+    idx = np.asarray(idx)
+    return float(
+        np.mean(
+            [len(set(idx[i].tolist()) & set(gt[i].tolist())) / K for i in range(len(gt))]
         )
-        idx = np.asarray(idx)
-        return float(
-            np.mean([
-                len(set(idx[qi].tolist()) & set(gt[qi].tolist())) / K
-                for qi in range(n_recall_q)
-            ])
-        )
-
-    # α=0.7 is the reference's default blend (deliberately trades cosine
-    # recall for λ-proximity); α→1 recovers pure semantic recall.
-    recall_blend = recall_at(0.7)
-    recall_semantic = recall_at(0.95)
-
-    # ---- numpy baseline --------------------------------------------------
-    base_qps = _numpy_baseline_qps(
-        data, np.linalg.norm(data, axis=1), np.asarray(aspace.lambdas),
-        data[q_idx[:64]], np.asarray(q_lams[:64]),
     )
 
-    result = {
-        "metric": f"query_qps_{N//1000}k_{F}d_lambda_aware_top10",
-        "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / base_qps, 2),
-        "extra": {
-            "build_seconds": round(build_s, 2),
+
+def bench_headline(jax, jnp, N, F, extra):
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
+
+    # ---- build: cold (includes compile) then warm (jit cache hot) -------
+    t0 = time.perf_counter()
+    b = _make_builder(N)
+    aspace, gl = b.build(data)
+    jax.block_until_ready(aspace.lambdas)
+    build_cold = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    b2 = _make_builder(N)
+    aspace, gl = b2.build(data)
+    jax.block_until_ready(aspace.lambdas)
+    build_warm = time.perf_counter() - t0
+
+    # ---- query throughput ------------------------------------------------
+    qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data)
+    qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, approx=True)
+    self_recall = float((top1 == q_idx).mean())
+
+    # ---- recall@10 vs brute force ----------------------------------------
+    rng = np.random.default_rng(7)
+    noise_q, gt = _recall_setup(data, q_idx, rng)
+    recall_blend = _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, 0.7)
+    recall_semantic = _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, 0.95)
+
+    # ---- numpy scan baseline ----------------------------------------------
+    lam_np = np.asarray(aspace.lambdas)
+    base_qps = _numpy_baseline_qps(
+        data, np.linalg.norm(data, axis=1), lam_np, data[q_idx[:64]], lam_np[q_idx[:64]]
+    )
+
+    extra.update(
+        {
+            "build_seconds_cold": round(build_cold, 2),
+            "build_seconds_warm": round(build_warm, 2),
             "query_qps_approx_selection": round(qps_approx, 1),
             "self_recall_at_1": self_recall,
             "recall_at_10_vs_bruteforce_alpha0.7": round(recall_blend, 4),
@@ -206,8 +198,207 @@ def main():
             "baseline_numpy_qps": round(base_qps, 1),
             "n_items": N,
             "n_features": F,
-            "backend": jax.default_backend(),
-        },
+        }
+    )
+    return qps, base_qps, data, aspace, gl, b2, noise_q, gt
+
+
+def bench_oracle_rows(data, builder, noise_q, gt, build_warm_s, extra):
+    """Reference rows: NumPy f64 oracle on the same data/queries/GT."""
+    from matternet_rs_tpu import oracle
+
+    t0 = time.perf_counter()
+    oi = oracle.full_build(
+        data,
+        max_clusters=builder.cluster_max_clusters,
+        radius=builder.cluster_radius,
+        eps=builder.lambda_eps,
+        topk=builder.lambda_topk,
+        p=builder.lambda_p,
+        sigma=builder.lambda_sigma,
+        normalise=builder.normalise,
+        fast_lambdas=True,
+    )
+    oracle_build = time.perf_counter() - t0
+
+    def oracle_recall(alpha):
+        hits = 0
+        for qi, q in enumerate(noise_q):
+            ql = oi.prepare_query(q)
+            got = {i for i, _ in oracle.search_lambda_aware(oi.data, oi.lambdas, q, ql, K, alpha)}
+            hits += len(got & set(gt[qi].tolist()))
+        return hits / (len(noise_q) * K)
+
+    r07 = oracle_recall(0.7)
+    r095 = oracle_recall(0.95)
+
+    # Oracle query QPS: prepared-λ full scans (the reference's hot path).
+    qls = [oi.prepare_query(q) for q in noise_q[:64]]
+    t0 = time.perf_counter()
+    for q, ql in zip(noise_q[:64], qls):
+        oracle.search_lambda_aware(oi.data, oi.lambdas, q, ql, K, 0.7)
+    oracle_qps = 64 / (time.perf_counter() - t0)
+
+    extra.update(
+        {
+            "oracle_build_seconds": round(oracle_build, 2),
+            "oracle_recall_at_10_alpha0.7": round(r07, 4),
+            "oracle_recall_at_10_alpha0.95": round(r095, 4),
+            "oracle_query_qps": round(oracle_qps, 1),
+            "build_speedup_vs_numpy": round(oracle_build / max(build_warm_s, 1e-9), 2),
+            "recall_delta_tpu_minus_oracle_alpha0.7": round(
+                extra["recall_at_10_vs_bruteforce_alpha0.7"] - r07, 4
+            ),
+        }
+    )
+
+
+def bench_energy(jax, jnp, N, F, extra):
+    """Energy-pipeline build + pure-λ search throughput + retrieval sanity."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(N, F, seed=43).astype(np.float32)
+    b = _make_builder(N).with_expected_items(N).with_dims_reduction(True)
+    t0 = time.perf_counter()
+    aspace, gl_energy = b.build_energy(data)
+    jax.block_until_ready(aspace.lambdas)
+    build_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(11)
+    q_idx = rng.integers(0, N, 64)
+    hits = 0
+    t0 = time.perf_counter()
+    for i in q_idx:
+        res = em.search_energy(aspace, data[i], gl_energy, K)
+        hits += any(j == i for j, _ in res)
+    qps = 64 / (time.perf_counter() - t0)
+    extra["energy"] = {
+        "build_seconds": round(build_s, 2),
+        "self_retrieval_at_10": round(hits / 64, 4),
+        "query_qps_serial": round(qps, 1),
+        "n_subcentroids": int(aspace.sub_centroids.shape[0]),
+    }
+
+
+def bench_spectral_quality(jax, jnp, extra):
+    """Spectral-embedding quality: LOBPCG vs dense eigensolver accuracy and
+    neighbor-label preservation of the item-graph eigenmap embedding
+    (BASELINE.json SIFT1M row: 'eigenmaps spectral-embedding quality
+    parity' — synthetic stand-in, zero-egress sandbox)."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.ops import eigensolver as eig
+    from matternet_rs_tpu.ops import laplacian as lap_ops
+
+    rng = np.random.default_rng(5)
+    n, f, n_classes = 2048, 128, 8
+    centers = rng.normal(size=(n_classes, f)) * 4.0
+    labels = rng.integers(0, n_classes, n)
+    X = (centers[labels] + rng.normal(size=(n, f))).astype(np.float32)
+
+    params = GraphParams(eps=0.6, k=12, topk=12, p=2.0, sigma=None,
+                         normalise=False, sparsity_check=False)
+    gl = lap_ops.build_laplacian_matrix(X, params)  # item graph [n, n]
+
+    k_eig = 16
+    t0 = time.perf_counter()
+    vals_l, vecs_l = eig.lobpcg_smallest(gl.matrix, k_eig, iters=80, seed=0)
+    lobpcg_s = time.perf_counter() - t0
+    vals_d, _ = eig.eigsh_dense(np.asarray(gl.matrix), k_eig)
+    denom = np.maximum(np.abs(vals_d), 1e-6)
+    eig_rel_err = float(np.max(np.abs(vals_l - vals_d) / denom))
+
+    # Embedding quality: 10-NN label agreement in the eigenmap space.
+    emb = vecs_l[:, 1:]  # drop the trivial constant vector
+    d = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :10]
+    agree = float((labels[nn] == labels[:, None]).mean())
+
+    extra["spectral"] = {
+        "lobpcg_seconds": round(lobpcg_s, 2),
+        "lobpcg_vs_dense_max_rel_eigval_err": round(eig_rel_err, 6),
+        "embedding_10nn_label_agreement": round(agree, 4),
+        "n_items": n,
+        "k_eigenpairs": k_eig,
+    }
+
+
+def bench_1m(jax, jnp, extra):
+    """1M×128 row (BASELINE north star scale on one chip)."""
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    N, F = 1_000_000, 128
+    data = make_energy_test_dataset(N, F, seed=44).astype(np.float32)
+    t0 = time.perf_counter()
+    b = _make_builder(N)
+    aspace, gl = b.build(data)
+    jax.block_until_ready(aspace.lambdas)
+    build_s = time.perf_counter() - t0
+
+    qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data, reps=4)
+    qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, reps=4, approx=True)
+    extra["config_1m"] = {
+        "build_seconds": round(build_s, 2),
+        "query_qps_exact": round(qps, 1),
+        "query_qps_approx_selection": round(qps_approx, 1),
+        "self_recall_at_1": float((top1 == q_idx).mean()),
+        "n_items": N,
+    }
+
+
+def main():
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: repeat bench runs skip first-compiles.
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
+    N = int(os.environ.get("BENCH_N", 10_000))
+    F = int(os.environ.get("BENCH_F", 128))
+
+    extra = {"backend": jax.default_backend()}
+
+    qps, base_qps, data, aspace, gl, builder, noise_q, gt = bench_headline(
+        jax, jnp, N, F, extra
+    )
+
+    for name, fn, args in (
+        ("oracle", bench_oracle_rows,
+         (data, builder, noise_q, gt, extra["build_seconds_warm"], extra)),
+        ("energy", bench_energy, (jax, jnp, N, F, extra)),
+        ("spectral", bench_spectral_quality, (jax, jnp, extra)),
+        ("1m", bench_1m, (jax, jnp, extra)),
+    ):
+        if time.perf_counter() - t_start > budget_s:
+            extra[f"skipped_{name}"] = "time budget exceeded"
+            continue
+        if name == "1m" and os.environ.get("BENCH_SKIP_1M"):
+            continue
+        try:
+            fn(*args)
+        except Exception as exc:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            extra[f"error_{name}"] = repr(exc)[:200]
+
+    result = {
+        "metric": f"query_qps_{N//1000}k_{F}d_lambda_aware_top10",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / base_qps, 2),
+        "extra": extra,
     }
     print(json.dumps(result))
 
@@ -217,7 +408,7 @@ if __name__ == "__main__":
     # a transient INTERNAL error; the driver's capture should survive that.
     try:
         main()
-    except Exception as exc:   # noqa: BLE001
+    except Exception as exc:  # noqa: BLE001
         import sys
         import traceback
 

@@ -1,0 +1,444 @@
+"""Reference oracle — independent pure-NumPy f64 port of the legacy pipeline.
+
+This module re-implements the reference's exact legacy ("arrowspace") build
+and query path in double-precision NumPy, following the *reference's own
+algorithm structure* (per-node kNN scans, explicit two-pass dispersion, full
+ranking scan) rather than the TPU rebuild's fused/closed-form design. It is
+deliberately a second, independent implementation: the parity harness
+(tests/test_reference_parity.py) runs it side by side with the TPU build and
+asserts identical graph topology, λ agreement at f32 tolerance, and top-k
+ranking equality — converting "matches the reference" claims into
+measurements. bench.py uses it as the CPU build-throughput baseline
+(``build_qps_vs_numpy``).
+
+Pipeline covered (reference provenance, all under /root/reference):
+
+* incremental clustering scan      src_legacy/clustering.rs:574-932
+* kNN by rectified cosine distance src_legacy/laplacian.rs:205-294
+  (CosinePair semantics: d = 1 - max(0, cos), self excluded, d ≤ eps)
+* kernel weights w = 1/(1+(d/σ)^p), floor 1e-12        laplacian.rs:256-262
+* inline degree sparsification (top ⌈len/2⌉ by w·√(deg_i·deg_j) when
+  avg degree > 10 and len > 2)                          laplacian.rs:232-282
+* union symmetrization (both directions inserted)       laplacian.rs:297-348
+* L = D − W                                             laplacian.rs:351-419
+* per-item select_tau (Median/Mean/Fixed/Percentile, floor 1e-10)
+                                                        taumode.rs:29-70
+* synthetic λ = τ·E/(E+τ) + (1−τ)·G with the two-pass edge-dispersion G
+                                                        taumode.rs:261-408
+* min-max λ normalization (max folded from 0, range floor 1e-9)
+                                                        core.rs:1341-1354
+* λ-aware full-scan search α·cos + (1−α)·(1−min(|Δλ|,1))
+                                                        core.rs:141-179, 1156-1193
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+
+TAU_FLOOR = 1e-10
+WEIGHT_FLOOR = 1e-12
+SPARSIFY_AVG_DEGREE = 10.0
+LAMBDA_RANGE_FLOOR = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Graph build (src_legacy/laplacian.rs)
+# ---------------------------------------------------------------------------
+
+
+def standardize_columns(x: np.ndarray) -> np.ndarray:
+    """StandardScaler: z-score each column (laplacian.rs:147-156)."""
+    x = np.asarray(x, np.float64)
+    mean = x.mean(axis=0, keepdims=True)
+    std = x.std(axis=0, keepdims=True)
+    return (x - mean) / np.maximum(std, 1e-12)
+
+
+def rectified_cosine_distances(x: np.ndarray) -> np.ndarray:
+    """All-pairs ``d = 1 - max(0, cos)`` with self set to +inf.
+
+    CosinePair's distance (laplacian.rs:74-80): anti-correlated pairs
+    saturate at distance 1 so they never form edges at eps < 1.
+    """
+    x = np.asarray(x, np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    safe = np.maximum(norms, 1e-12)
+    xn = x / safe[:, None]
+    cos = xn @ xn.T
+    d = 1.0 - np.maximum(cos, 0.0)
+    np.fill_diagonal(d, np.inf)
+    return d
+
+
+def build_adjacency(nodes: np.ndarray, eps: float, topk: int, p: float,
+                    sigma: Optional[float], normalise: bool) -> np.ndarray:
+    """Dense symmetric weighted adjacency, per-node scan structure.
+
+    Follows _build_adjacency + _symmetrise_adjancency
+    (laplacian.rs:205-348): per node, take the ``topk`` nearest non-self
+    neighbours, keep those with d ≤ eps and kernel weight > 1e-12, optionally
+    sparsify, then insert both directions of every surviving edge.
+    """
+    nodes = np.asarray(nodes, np.float64)
+    n = nodes.shape[0]
+    x = standardize_columns(nodes) if normalise else nodes
+    sig = 1.0 if sigma is None else float(sigma)
+
+    d = rectified_cosine_distances(x)
+    kk = min(int(topk), n - 1)
+
+    # Per-node top-k candidates (ascending distance, stable ties by index —
+    # matches the deterministic candidate order of a fastpair tree walk).
+    cand = np.argsort(d, axis=1, kind="stable")[:, :kk]          # [n, kk]
+    cand_d = np.take_along_axis(d, cand, axis=1)                  # [n, kk]
+    valid = cand_d <= eps
+
+    # Degrees used by the sparsification score = count of eps-valid
+    # candidates (laplacian.rs:219-231).
+    degrees = valid.sum(axis=1)
+    avg_degree = degrees.mean() if n else 0.0
+    sparsify = avg_degree > SPARSIFY_AVG_DEGREE
+
+    W = np.zeros((n, n), np.float64)
+    for i in range(n):
+        entries = []  # (j, weight, score)
+        for c in range(kk):
+            if not valid[i, c]:
+                continue
+            j = int(cand[i, c])
+            dist = float(cand_d[i, c])
+            w = 1.0 / (1.0 + (dist / sig) ** p)
+            if w <= WEIGHT_FLOOR:
+                continue
+            score = w * math.sqrt(degrees[i] * degrees[j]) if sparsify else w
+            entries.append((j, w, score))
+        if sparsify and len(entries) > 2:
+            entries.sort(key=lambda t: -t[2])
+            keep = max(len(entries) // 2, 1)
+            entries = entries[:keep]
+        for j, w, _ in entries:
+            # Union symmetrization: both directions inserted with the
+            # (pair-symmetric) weight (laplacian.rs:319-322).
+            W[i, j] = max(W[i, j], w)
+            W[j, i] = max(W[j, i], w)
+    return W
+
+
+def laplacian_from_adjacency(W: np.ndarray) -> np.ndarray:
+    """Unnormalized ``L = D − W`` (laplacian.rs:351-419)."""
+    deg = W.sum(axis=1)
+    return np.diag(deg) - W
+
+
+def build_laplacian_from_centroids(
+    centroids: np.ndarray, eps: float, topk: int, p: float,
+    sigma: Optional[float], normalise: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Feature-space F×F graph from ``[C, F]`` centroids.
+
+    GraphFactory::build_laplacian_matrix_from_k_cluster transposes so graph
+    nodes are *features* with C-length profiles (graph.rs:193-249).
+    Returns ``(W, L)``.
+    """
+    centroids = np.asarray(centroids, np.float64)
+    W = build_adjacency(centroids.T, eps, topk, p, sigma, normalise)
+    return W, laplacian_from_adjacency(W)
+
+
+# ---------------------------------------------------------------------------
+# TauMode λ (src_legacy/taumode.rs)
+# ---------------------------------------------------------------------------
+
+
+def select_tau(values: np.ndarray, mode: str, param: float = 0.0) -> float:
+    """τ from an item's own values (taumode.rs:29-70), floor 1e-10."""
+    v = np.asarray(values, np.float64)
+    v = v[np.isfinite(v)]
+    if mode == "fixed":
+        return param if (math.isfinite(param) and param > 0.0) else TAU_FLOOR
+    if v.size == 0:
+        return TAU_FLOOR
+    if mode == "mean":
+        return max(float(v.mean()), TAU_FLOOR)
+    s = np.sort(v, kind="stable")
+    if mode == "percentile":
+        pp = min(max(param, 0.0), 1.0)
+        idx = int(round((s.size - 1) * pp))
+        return max(float(s[idx]), TAU_FLOOR)
+    if mode == "median":
+        mid = (
+            float(s[s.size // 2])
+            if s.size % 2 == 1
+            else 0.5 * (float(s[s.size // 2 - 1]) + float(s[s.size // 2]))
+        )
+        return max(mid, TAU_FLOOR)
+    raise ValueError(f"unknown tau mode {mode!r}")
+
+
+def rayleigh_quotient(L: np.ndarray, x: np.ndarray) -> float:
+    """``max(xᵀLx/xᵀx, 0)``; 0 if xᵀx ≤ 1e-12 (taumode.rs:326-361)."""
+    x = np.asarray(x, np.float64)
+    num = float(x @ (np.asarray(L, np.float64) @ x))
+    den = float(x @ x)
+    return max(num / den, 0.0) if den > 1e-12 else 0.0
+
+
+def item_dispersion(x: np.ndarray, L: np.ndarray) -> float:
+    """Two-pass edge dispersion ``G = Σ (e_ij/Σe)²`` over ordered pairs
+    with ``w_ij = max(-L_ij, 0)`` off-diagonal (taumode.rs:366-408)."""
+    x = np.asarray(x, np.float64)
+    A = np.maximum(-np.asarray(L, np.float64), 0.0)
+    np.fill_diagonal(A, 0.0)
+    diff = x[:, None] - x[None, :]
+    e = A * diff * diff
+    total = float(e.sum())
+    if total <= 1e-12:
+        return 0.0
+    share = e / total
+    return float(np.clip((share * share).sum(), 0.0, 1.0))
+
+
+def synthetic_lambda(x: np.ndarray, L: np.ndarray, tau: float) -> float:
+    """``S = τ·E/(E+τ) + (1−τ)·G``; zero vectors → 0 (taumode.rs:261-318)."""
+    x = np.asarray(x, np.float64)
+    if np.all(np.abs(x) <= 1e-10):
+        return 0.0
+    e_raw = rayleigh_quotient(L, x)
+    g = item_dispersion(x, L)
+    e_bounded = e_raw / (e_raw + tau)
+    return tau * e_bounded + (1.0 - tau) * g
+
+
+def taumode_lambdas(
+    X: np.ndarray, L: np.ndarray, mode: str = "median", param: float = 0.0
+) -> np.ndarray:
+    """Raw λ for every row (per-item loop, the reference's rayon map —
+    taumode.rs:117-250)."""
+    X = np.asarray(X, np.float64)
+    return np.array(
+        [synthetic_lambda(row, L, select_tau(row, mode, param)) for row in X],
+        np.float64,
+    )
+
+
+def taumode_lambdas_fast(
+    X: np.ndarray, L: np.ndarray, mode: str = "median", param: float = 0.0
+) -> np.ndarray:
+    """Vectorized f64 λ batch (closed-form expansion) — the *strong* NumPy
+    baseline for the build-throughput bench. Verified against the scan
+    version in tests/test_reference_parity.py.
+    """
+    X = np.asarray(X, np.float64)
+    L = np.asarray(L, np.float64)
+    n, f = X.shape
+
+    if mode == "fixed":
+        t = param if (math.isfinite(param) and param > 0.0) else TAU_FLOOR
+        tau = np.full(n, t)
+    elif mode == "mean":
+        tau = np.maximum(X.mean(axis=1), TAU_FLOOR)
+    elif mode == "median":
+        tau = np.maximum(np.median(X, axis=1), TAU_FLOOR)
+    elif mode == "percentile":
+        pp = min(max(param, 0.0), 1.0)
+        idx = int(round((f - 1) * pp))
+        tau = np.maximum(np.sort(X, axis=1)[:, idx], TAU_FLOOR)
+    else:
+        raise ValueError(f"unknown tau mode {mode!r}")
+
+    XL = X @ L
+    num_e = np.einsum("ij,ij->i", X, XL)
+    den = np.einsum("ij,ij->i", X, X)
+    e_raw = np.where(den > 1e-12, num_e / np.maximum(den, 1e-12), 0.0)
+    e_raw = np.maximum(e_raw, 0.0)
+
+    A = np.maximum(-L, 0.0)
+    np.fill_diagonal(A, 0.0)
+    A2 = A * A
+    deg = A.sum(axis=1)
+    deg2 = A2.sum(axis=1)
+    X2, X3, X4 = X * X, X**3, X**4
+    B1, B2 = X @ A, X2 @ A
+    C1, C2, C3, C4 = X @ A2, X2 @ A2, X3 @ A2, X4 @ A2
+    total = np.einsum("ij->i", X2 * deg - 2.0 * X * B1 + B2)
+    num4 = np.einsum(
+        "ij->i", X4 * deg2 - 4.0 * X3 * C1 + 6.0 * X2 * C2 - 4.0 * X * C3 + C4
+    )
+    g = np.where(total > 1e-12, num4 / np.maximum(total * total, 1e-24), 0.0)
+    g = np.clip(g, 0.0, 1.0)
+
+    e_bounded = e_raw / (e_raw + tau)
+    lam = tau * e_bounded + (1.0 - tau) * g
+    return np.where(np.max(np.abs(X), axis=1) <= 1e-10, 0.0, lam)
+
+
+# ---------------------------------------------------------------------------
+# λ normalization + search (src_legacy/core.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LambdaStats:
+    min: float
+    max: float
+    range: float
+
+
+def normalise_lambdas(raw: np.ndarray) -> tuple[np.ndarray, LambdaStats]:
+    """Min-max to [0,1]; max folded from 0.0, range floor 1e-9
+    (core.rs:1341-1354)."""
+    raw = np.asarray(raw, np.float64)
+    mn = float(raw.min()) if raw.size else float("inf")
+    mx = max(float(raw.max()) if raw.size else 0.0, 0.0)
+    rng = max(mx - mn, LAMBDA_RANGE_FLOOR)
+    return (raw - mn) / rng, LambdaStats(mn, mx, rng)
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+    return float(a @ b / denom) if denom > 0.0 else 0.0
+
+
+def search_lambda_aware(
+    X: np.ndarray, lambdas: np.ndarray, query: np.ndarray, q_lambda: float,
+    k: int, alpha: float,
+) -> list[tuple[int, float]]:
+    """Full-scan ranking α·cos + (1−α)·(1−min(|Δλ|,1)); stable sort desc
+    (core.rs:1156-1193)."""
+    X = np.asarray(X, np.float64)
+    q = np.asarray(query, np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    qn = float(np.linalg.norm(q))
+    denom = norms * qn
+    cos = np.where(denom > 0.0, (X @ q) / np.maximum(denom, 1e-300), 0.0)
+    lam_sim = 1.0 - np.minimum(np.abs(q_lambda - np.asarray(lambdas, np.float64)), 1.0)
+    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    order = np.argsort(-scores, kind="stable")[:k]
+    return [(int(i), float(scores[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering (src_legacy/clustering.rs:574-932, sequential mode)
+# ---------------------------------------------------------------------------
+
+
+def incremental_clustering(
+    X: np.ndarray, max_clusters: int, radius: float,
+    keep_mask: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential radius-gated create/assign scan. Returns
+    ``(centroids [C, F], assignments [N], with -1 for dropped outliers)``.
+
+    Semantics: create when nearest d² > radius·0.5 and capacity remains;
+    assign + online-mean update when d² ≤ radius; soft outlier (counted, no
+    move) when d² ≤ radius·1.5; else dropped.
+    """
+    X = np.asarray(X, np.float64)
+    n, f = X.shape
+    cents = np.zeros((max_clusters, f), np.float64)
+    counts = np.zeros(max_clusters, np.int64)
+    assignments = np.full(n, -1, np.int64)
+    ncent = 0
+    for i in range(n):
+        if keep_mask is not None and not keep_mask[i]:
+            continue
+        row = X[i]
+        if ncent == 0:
+            cents[0], counts[0], assignments[i], ncent = row, 1, 0, 1
+            continue
+        d2 = np.sum((cents[:ncent] - row) ** 2, axis=1)
+        bi = int(np.argmin(d2))
+        bd = float(d2[bi])
+        if ncent < max_clusters and bd > radius * 0.5:
+            cents[ncent], counts[ncent], assignments[i] = row, 1, ncent
+            ncent += 1
+        elif bd <= radius:
+            counts[bi] += 1
+            cents[bi] += (row - cents[bi]) / counts[bi]
+            assignments[i] = bi
+        elif bd <= radius * 1.5:
+            counts[bi] += 1
+            assignments[i] = bi
+    return cents[:ncent], assignments
+
+
+# ---------------------------------------------------------------------------
+# Oracle index: end-to-end build + query
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class OracleIndex:
+    """A fully built oracle index over raw items (f64)."""
+
+    data: np.ndarray          # [N, F]
+    W: np.ndarray             # [F, F] adjacency
+    L: np.ndarray             # [F, F] Laplacian
+    raw_lambdas: np.ndarray   # [N] pre-normalization
+    lambdas: np.ndarray       # [N] in [0, 1]
+    stats: LambdaStats
+    tau_mode: str = "median"
+    tau_param: float = 0.0
+    centroids: Optional[np.ndarray] = None
+
+    def prepare_query(self, query: np.ndarray) -> float:
+        """select_tau → synthetic λ → normalize+clamp (core.rs:865-935)."""
+        q = np.asarray(query, np.float64)
+        tau = select_tau(q, self.tau_mode, self.tau_param)
+        raw = synthetic_lambda(q, self.L, tau)
+        if abs(raw) <= 1e-12:
+            raise ValueError("undecidable query: raw λ is 0.0")
+        return float(np.clip((raw - self.stats.min) / self.stats.range, 0.0, 1.0))
+
+    def search(self, query: np.ndarray, k: int, alpha: float = 0.7):
+        q_lambda = self.prepare_query(query)
+        return search_lambda_aware(self.data, self.lambdas, query, q_lambda, k, alpha)
+
+
+def build_index(
+    rows: np.ndarray,
+    centroids: np.ndarray,
+    eps: float, topk: int, p: float = 2.0, sigma: Optional[float] = None,
+    normalise: bool = False,
+    tau_mode: str = "median", tau_param: float = 0.0,
+    fast_lambdas: bool = False,
+) -> OracleIndex:
+    """Graph + λ build from precomputed centroids (stages 2-4 of
+    build_legacy, builder.rs:831-1080). ``fast_lambdas`` switches the λ
+    batch to the vectorized f64 closed form (for throughput baselines);
+    both are verified equal in tests.
+    """
+    rows = np.asarray(rows, np.float64)
+    W, L = build_laplacian_from_centroids(centroids, eps, topk, p, sigma, normalise)
+    lam_fn = taumode_lambdas_fast if fast_lambdas else taumode_lambdas
+    raw = lam_fn(rows, L, tau_mode, tau_param)
+    lambdas, stats = normalise_lambdas(raw)
+    return OracleIndex(
+        data=rows, W=W, L=L, raw_lambdas=raw, lambdas=lambdas, stats=stats,
+        tau_mode=tau_mode, tau_param=tau_param,
+        centroids=np.asarray(centroids, np.float64),
+    )
+
+
+def full_build(
+    rows: np.ndarray,
+    max_clusters: int, radius: float,
+    eps: float, topk: int, p: float = 2.0, sigma: Optional[float] = None,
+    normalise: bool = False,
+    tau_mode: str = "median", tau_param: float = 0.0,
+    fast_lambdas: bool = True,
+) -> OracleIndex:
+    """Stages 1-4: sequential clustering → graph → λ → normalize.
+
+    The CPU reference row for the bench's build-throughput comparison.
+    """
+    rows = np.asarray(rows, np.float64)
+    centroids, _ = incremental_clustering(rows, max_clusters, radius)
+    return build_index(
+        rows, centroids, eps, topk, p, sigma, normalise,
+        tau_mode, tau_param, fast_lambdas=fast_lambdas,
+    )

@@ -1,0 +1,249 @@
+"""End-to-end ranking-parity harness: TPU build vs the NumPy f64 oracle.
+
+The oracle (matternet_rs_tpu/oracle.py) is an independent double-precision
+port of the reference's exact legacy pipeline (per-node kNN scans, two-pass
+dispersion, full-scan ranking — src_legacy/{laplacian,taumode,core}.rs).
+These tests run it side by side with the TPU build and assert:
+
+* identical graph topology (nonzero pattern of W),
+* λ agreement within f32 tolerance,
+* exact top-10 result-set equality and Kendall-τ ≥ 0.99 over top-50,
+* query-λ preparation parity,
+* full-build (clustering included) equivalence.
+
+This is the rebuild's analogue of the reference's staged-vs-monolithic and
+cross-pipeline equivalence suites (src_legacy/tests/test_eigenmaps.rs:105-429).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from matternet_rs_tpu import oracle
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.core import TauMode
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.ops import laplacian as lap_ops
+from matternet_rs_tpu.ops import taumode as tau_ops
+
+
+def _clustered_rows(n, f, n_centers=8, seed=1, spread=3.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, f)) * spread
+    return (centers[rng.integers(0, n_centers, n)] + rng.normal(size=(n, f))).astype(
+        np.float32
+    ), rng
+
+
+def _sample_centroids(rows, c, seed=0):
+    rng = np.random.default_rng(seed)
+    n = rows.shape[0]
+    return np.stack(
+        [rows[rng.choice(n, 20, replace=False)].mean(0) for _ in range(c)]
+    ).astype(np.float32)
+
+
+def _kendall_tau(order_a, order_b):
+    """Kendall-τ between two rankings restricted to their common items."""
+    common = [i for i in order_a if i in set(order_b)]
+    ra = {i: r for r, i in enumerate(order_a)}
+    rb = {i: r for r, i in enumerate(order_b)}
+    xs = [ra[i] for i in common]
+    ys = [rb[i] for i in common]
+    n = len(common)
+    if n < 2:
+        return 1.0
+    concordant = discordant = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if s > 0:
+                concordant += 1
+            elif s < 0:
+                discordant += 1
+    denom = concordant + discordant
+    return 1.0 if denom == 0 else (concordant - discordant) / denom
+
+
+# ---------------------------------------------------------------------------
+# Oracle self-consistency: the vectorized fast path equals the reference scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode,param", [("median", 0.0), ("mean", 0.0),
+                                        ("fixed", 0.3), ("percentile", 0.75)])
+def test_oracle_fast_lambdas_match_scan(mode, param):
+    rows, _ = _clustered_rows(120, 24, seed=3)
+    cents = _sample_centroids(rows, 16, seed=4)
+    _, L = oracle.build_laplacian_from_centroids(cents, 0.9, 6, 2.0, None, False)
+    scan = oracle.taumode_lambdas(rows, L, mode, param)
+    fast = oracle.taumode_lambdas_fast(rows, L, mode, param)
+    np.testing.assert_allclose(fast, scan, rtol=0, atol=1e-12)
+
+
+def test_oracle_dispersion_matches_tpu_direct():
+    rows, _ = _clustered_rows(40, 16, seed=5)
+    cents = _sample_centroids(rows, 12, seed=6)
+    _, L = oracle.build_laplacian_from_centroids(cents, 0.9, 5, 2.0, None, False)
+    for row in rows[:10]:
+        g_or = oracle.item_dispersion(row, L)
+        g_tpu = float(tau_ops.item_dispersion(jnp.asarray(row), jnp.asarray(L, jnp.float32)))
+        assert abs(g_or - g_tpu) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Graph topology + λ parity (fixed centroids isolate the graph/λ stages)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("normalise", [False, True])
+@pytest.mark.parametrize("eps,topk", [(0.9, 8), (0.5, 5)])
+def test_graph_topology_identical(normalise, eps, topk):
+    rows, _ = _clustered_rows(400, 48, seed=11)
+    cents = _sample_centroids(rows, 40, seed=12)
+    params = GraphParams(eps=eps, k=topk, topk=topk, p=2.0, sigma=None,
+                         normalise=normalise, sparsity_check=False)
+    W_tpu = np.asarray(lap_ops.build_adjacency(jnp.asarray(cents).T, params))
+    W_or = oracle.build_adjacency(cents.T, eps, topk, 2.0, None, normalise)
+    t_tpu, t_or = W_tpu > 0, W_or > 0
+    assert (t_tpu ^ t_or).sum() == 0, "graph topology diverged"
+    # Weights agree at f32 resolution on the common support.
+    np.testing.assert_allclose(
+        np.where(t_tpu, W_tpu, 0.0), np.where(t_or, W_or, 0.0), atol=5e-6
+    )
+
+
+@pytest.mark.parametrize("taumode,otau", [
+    (TauMode.median(), ("median", 0.0)),
+    (TauMode.mean(), ("mean", 0.0)),
+    (TauMode.percentile(0.9), ("percentile", 0.9)),
+])
+def test_lambda_parity_f32_tolerance(taumode, otau):
+    rows, _ = _clustered_rows(600, 48, seed=21)
+    cents = _sample_centroids(rows, 40, seed=22)
+    params = GraphParams(eps=0.9, k=8, topk=8, p=2.0, sigma=None,
+                         normalise=False, sparsity_check=False)
+    gl = lap_ops.build_laplacian_from_k_cluster(jnp.asarray(cents), params, n_items=len(rows))
+    raw_tpu = np.asarray(
+        tau_ops.taumode_lambdas(jnp.asarray(rows), gl.matrix, taumode.mode, taumode.param)
+    )
+    oi = oracle.build_index(rows, cents, eps=0.9, topk=8, tau_mode=otau[0],
+                            tau_param=otau[1], fast_lambdas=True)
+    np.testing.assert_allclose(raw_tpu, oi.raw_lambdas, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end ranking parity: full build (clustering → graph → λ → search)
+# ---------------------------------------------------------------------------
+
+
+def _parity_build(n=1000, f=64, seed=1, alpha=0.7):
+    rows, rng = _clustered_rows(n, f, seed=seed)
+    sub = rows[:200]
+    radius = float(
+        np.quantile(np.sum((sub[:, None] - sub[None, :]) ** 2, -1), 0.05)
+    )
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(0.9, 8, 2.0, None)
+        .with_cluster_params(max_clusters=48, radius=radius)
+        .with_seed(7)
+        .with_deterministic_clustering(True)
+        .with_sampling(None)
+    )
+    aspace, gl = b.build(rows)
+    oc_cents, _ = oracle.incremental_clustering(rows, b.cluster_max_clusters, b.cluster_radius)
+    oi = oracle.build_index(
+        rows, oc_cents, eps=b.lambda_eps, topk=b.lambda_topk, p=b.lambda_p,
+        sigma=b.lambda_sigma, normalise=b.normalise, fast_lambdas=True,
+    )
+    return rows, rng, aspace, gl, oi, alpha
+
+
+def test_full_build_ranking_parity():
+    rows, rng, aspace, gl, oi, alpha = _parity_build()
+
+    # Same clustering regime and λ values.
+    assert aspace.n_clusters == len(oi.centroids)
+    np.testing.assert_allclose(np.asarray(aspace.lambdas), oi.lambdas, atol=2e-5)
+
+    # Ranking parity over perturbed-item queries.
+    n = rows.shape[0]
+    queries = rows[rng.choice(n, 20, replace=False)] + 0.1 * rng.normal(
+        size=(20, rows.shape[1])
+    ).astype(np.float32)
+    exact_matches = 0
+    for q in queries.astype(np.float32):
+        ql_tpu = aspace.prepare_query_item(q, gl)
+        ql_or = oi.prepare_query(q)
+        assert abs(ql_tpu - ql_or) < 1e-4, "query-λ preparation diverged"
+
+        top10_tpu = {i for i, _ in aspace.search_lambda_aware(q, ql_tpu, 10, alpha)}
+        top10_or = {i for i, _ in oi.search(q, 10, alpha)}
+        exact_matches += top10_tpu == top10_or
+
+        order_tpu = [i for i, _ in aspace.search_lambda_aware(q, ql_tpu, 50, alpha)]
+        order_or = [i for i, _ in oi.search(q, 50, alpha)]
+        assert _kendall_tau(order_tpu, order_or) >= 0.99
+
+    assert exact_matches >= 19, f"only {exact_matches}/20 exact top-10 set matches"
+
+
+def test_full_build_ranking_parity_alpha_095():
+    rows, rng, aspace, gl, oi, _ = _parity_build(seed=2)
+    n = rows.shape[0]
+    queries = rows[rng.choice(n, 10, replace=False)]
+    for q in queries.astype(np.float32):
+        ql = aspace.prepare_query_item(q, gl)
+        top10_tpu = {i for i, _ in aspace.search_lambda_aware(q, ql, 10, 0.95)}
+        top10_or = {i for i, _ in oi.search(q, 10, 0.95)}
+        assert len(top10_tpu & top10_or) >= 9
+
+
+def test_oracle_recall_matches_tpu_recall():
+    """The λ-blend's recall vs pure-cosine ground truth is a *property of the
+    formula*, not of the implementation: the oracle (= the reference's exact
+    algorithm) and the TPU build must score the same recall@10. This resolves
+    BASELINE.md's 'reference would match by design' claim with a measurement.
+    """
+    rows, rng, aspace, gl, oi, alpha = _parity_build(n=1200, seed=3)
+    n = rows.shape[0]
+    q_idx = rng.choice(n, 25, replace=False)
+    queries = (rows[q_idx] + 0.05 * rng.normal(size=(25, rows.shape[1]))).astype(np.float32)
+
+    # Pure-cosine ground truth (f64).
+    Xn = rows.astype(np.float64)
+    Xn /= np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+
+    def recall(top10_fn):
+        hits = total = 0
+        for q in queries:
+            qn = q.astype(np.float64)
+            qn /= max(np.linalg.norm(qn), 1e-12)
+            gt = set(np.argsort(-(Xn @ qn), kind="stable")[:10].tolist())
+            got = top10_fn(q)
+            hits += len(gt & got)
+            total += 10
+        return hits / total
+
+    r_tpu = recall(
+        lambda q: {
+            i for i, _ in aspace.search_lambda_aware(
+                q, aspace.prepare_query_item(q, gl), 10, alpha
+            )
+        }
+    )
+    r_or = recall(lambda q: {i for i, _ in oi.search(q, 10, alpha)})
+    assert abs(r_tpu - r_or) <= 0.02, (r_tpu, r_or)
+
+
+def test_sigma_and_p_variants_parity():
+    rows, _ = _clustered_rows(300, 32, seed=31)
+    cents = _sample_centroids(rows, 24, seed=32)
+    for sigma, p in [(0.1, 2.0), (0.5, 1.0), (None, 3.0)]:
+        params = GraphParams(eps=0.9, k=6, topk=6, p=p, sigma=sigma,
+                             normalise=False, sparsity_check=False)
+        W_tpu = np.asarray(lap_ops.build_adjacency(jnp.asarray(cents).T, params))
+        W_or = oracle.build_adjacency(cents.T, 0.9, 6, p, sigma, False)
+        assert ((W_tpu > 0) ^ (W_or > 0)).sum() == 0
+        np.testing.assert_allclose(W_tpu, W_or, atol=5e-6)
