@@ -28,11 +28,47 @@ import numpy as np
 from matternet_rs_tpu.core import ArrowSpace, TauMode, TAUDEFAULT
 from matternet_rs_tpu.graph import GraphLaplacian
 from matternet_rs_tpu.ops import taumode as tm
-from matternet_rs_tpu.parallel.mesh import make_mesh, replicate, shard_items
+from matternet_rs_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_items,
+    shard_items_from_blocks,
+)
 from matternet_rs_tpu.parallel.search import (
     make_sharded_search,
     sharded_taumode_lambdas,
 )
+
+
+def _normalize_sharded_lambdas(mesh, raw: jax.Array, n_items: int):
+    """Masked global λ min/max + normalization, entirely on device.
+
+    Only two scalars come back to the host; the raw λ vector never does
+    (D2H through the remote tunnel is the bottleneck, and at Deep1B scale
+    it would not fit one host anyway). Padded rows (global index ≥ n) are
+    excluded from the stats and clamp harmlessly in the output.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    first = axes[0] if len(axes) == 1 else axes
+
+    @jax.jit
+    def run(raw, n):
+        idx = jnp.arange(raw.shape[0])
+        valid = idx < n
+        mn = jnp.min(jnp.where(valid, raw, jnp.inf))
+        mx = jnp.maximum(jnp.max(jnp.where(valid, raw, -jnp.inf)), 0.0)
+        rng = jnp.maximum(mx - mn, 1e-9)
+        lam = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+        return (
+            jax.lax.with_sharding_constraint(lam, NamedSharding(mesh, P(first))),
+            mn,
+            rng,
+        )
+
+    lam, mn, rng = run(raw, jnp.int32(n_items))
+    return lam, float(mn), float(rng)
 
 
 @dataclasses.dataclass
@@ -98,22 +134,79 @@ class ShardedArrowSpace:
         """
         if mesh is None:
             mesh = make_mesh(n_devices)
-        X = np.concatenate([np.asarray(s, np.float32) for s in shards], axis=0)
-        n = X.shape[0]
-        if X.shape[1] != gl.matrix.shape[0]:
+        n = sum(int(np.asarray(s).shape[0]) for s in shards)
+        f = int(np.asarray(shards[0]).shape[1])
+        if f != gl.matrix.shape[0]:
             raise ValueError(
-                f"shard feature dim {X.shape[1]} must match the graph's "
+                f"shard feature dim {f} must match the graph's "
                 f"{gl.matrix.shape[0]} (project shards before a distributed "
                 "build when using JL reduction)"
             )
-        Xs = shard_items(mesh, jnp.asarray(X))
+        # Per-device placement — the global array is never materialized on
+        # one host (largest host temporary = one device block).
+        Xs = shard_items_from_blocks(mesh, shards)
         Ls = replicate(mesh, gl.matrix)
         raw = sharded_taumode_lambdas(mesh, Xs, Ls, taumode.mode, taumode.param)
-        raw_valid = np.asarray(raw)[:n]
-        mn = float(raw_valid.min())
-        mx = max(float(raw_valid.max()), 0.0)
-        rng = max(mx - mn, 1e-9)
-        lam_norm = jnp.clip((raw - mn) / rng, 0.0, 1.0)  # padded rows harmless
+        lam_norm, mn, rng = _normalize_sharded_lambdas(mesh, raw, n)
+        norms = jnp.sqrt(jnp.sum(Xs * Xs, axis=-1))
+        return cls(
+            mesh=mesh,
+            X=Xs,
+            norms=norms,
+            lambdas=lam_norm,
+            gl=GraphLaplacian(
+                matrix=Ls,
+                init_data=replicate(mesh, gl.init_data),
+                nnodes=n,
+                graph_params=gl.graph_params,
+                energy=gl.energy,
+            ),
+            n_items=n,
+            taumode=taumode,
+            min_lambdas=mn,
+            range_lambdas=rng,
+        )
+
+    @classmethod
+    def distributed_build(
+        cls,
+        shards: Sequence[np.ndarray],
+        graph_params,
+        k_clusters: int,
+        taumode: TauMode = TAUDEFAULT,
+        n_devices: int | None = None,
+        mesh=None,
+        lloyd_iters: int = 10,
+    ) -> "ShardedArrowSpace":
+        """Fully distributed build: per-host shards → mesh-sharded items →
+        psum-reduced clustering → (tiny, replicated) F×F graph from the
+        centroids → zero-communication sharded λ → device-side global stats.
+
+        Nothing N-sized ever exists on one host; stage 1 runs as
+        device-local assignment + ``psum`` centroid/count reduction
+        (parallel/clustering.py). This is the mesh-sharded graph build the
+        BASELINE north star names.
+        """
+        from matternet_rs_tpu.ops import laplacian as lap_ops
+        from matternet_rs_tpu.parallel.clustering import distributed_lloyd
+
+        if mesh is None:
+            mesh = make_mesh(n_devices)
+        n = sum(int(np.asarray(s).shape[0]) for s in shards)
+        Xs = shard_items_from_blocks(mesh, shards)
+
+        cents, counts, _assign = distributed_lloyd(
+            mesh, Xs, n, k_clusters, iters=lloyd_iters
+        )
+        cents = cents[counts > 0]
+
+        # The graph is centroid-scale ([C, F] → F×F): built once, replicated.
+        gl = lap_ops.build_laplacian_from_k_cluster(
+            jnp.asarray(cents), graph_params, n_items=n
+        )
+        Ls = replicate(mesh, gl.matrix)
+        raw = sharded_taumode_lambdas(mesh, Xs, Ls, taumode.mode, taumode.param)
+        lam_norm, mn, rng = _normalize_sharded_lambdas(mesh, raw, n)
         norms = jnp.sqrt(jnp.sum(Xs * Xs, axis=-1))
         return cls(
             mesh=mesh,
@@ -170,6 +263,29 @@ class ShardedArrowSpace:
             self.X, self.norms, self.lambdas,
             jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
             jnp.float32(alpha),
+        )
+        return [
+            (int(i), float(s))
+            for i, s in zip(np.asarray(idx), np.asarray(sc))
+            if np.isfinite(s)
+        ]
+
+    def search_energy(
+        self, query, k: int, query_lambda: float | None = None
+    ) -> list[tuple[int, float]]:
+        """Distributed pure-λ-distance search (ascending; energy query
+        semantics, energymaps.rs:628-674)."""
+        from matternet_rs_tpu.parallel.search import make_sharded_energy_search
+
+        if query_lambda is None:
+            query_lambda = self.prepare_query_lambda(query)
+        key = ("energy", k)
+        if key not in self._search_cache:
+            self._search_cache[key] = make_sharded_energy_search(self.mesh, k)
+        fn = self._search_cache[key]
+        idx, sc = fn(
+            self.X, self.norms, self.lambdas,
+            jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
         )
         return [
             (int(i), float(s))

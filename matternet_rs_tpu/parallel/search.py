@@ -152,6 +152,56 @@ def make_multislice_search(mesh, k: int):
     return jax.jit(mapped)
 
 
+def make_sharded_energy_search(mesh, k: int):
+    """Distributed pure-λ-distance search (the energy query path,
+    energymaps.rs:628-674): ascending ``|Δλ|`` with a cosine tie-break at
+    |Δλ| < 1e-9, shard-local top-k + all-gather merge. Works on 1-D and
+    2-D ``("slice", "data")`` meshes (joint merge — candidate counts are
+    tiny either way)."""
+    axes = tuple(mesh.axis_names)
+
+    def local_fn(Xl, nl, ll, q, ql):
+        lam_dist = jnp.abs(ql - ll)
+        qn = jnp.sqrt(jnp.sum(q * q))
+        dots = jnp.dot(
+            Xl, q, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = dots / (qn * nl + 1e-9)
+        tie = jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+        scores = lam_dist + tie
+        scores = jnp.where(nl > 1e-12, scores, jnp.inf)  # padded rows lose
+
+        kk = min(k, Xl.shape[0])
+        neg_top, idx = jax.lax.top_k(-scores, kk)
+        if len(axes) == 1:
+            shard = jax.lax.axis_index(axes[0])
+        else:
+            shard = (
+                jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
+                + jax.lax.axis_index(axes[1])
+            )
+        gidx = idx + shard * Xl.shape[0]
+        all_scores = neg_top
+        all_idx = gidx
+        for ax in reversed(axes):
+            all_scores = jax.lax.all_gather(all_scores, ax, tiled=True)
+            all_idx = jax.lax.all_gather(all_idx, ax, tiled=True)
+        order = jnp.lexsort((all_idx, -all_scores))[:kk]
+        return all_idx[order], -all_scores[order]
+
+    item_spec = P(axes[0]) if len(axes) == 1 else P(axes)
+    x_spec = P(axes[0], None) if len(axes) == 1 else P(axes, None)
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(x_spec, item_spec, item_spec, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_search_lambda_aware(
     mesh, X_sharded, norms_sharded, lambdas_sharded, query, q_lambda, k: int,
     alpha: float = 0.7,
