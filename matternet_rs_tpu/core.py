@@ -213,10 +213,16 @@ class ArrowSpace:
     # ------------------------------------------------------------------
     # λ computation / normalization
     # ------------------------------------------------------------------
-    def graph_for_taumode(self, gl: GraphLaplacian) -> jax.Array:
+    def graph_for_taumode(self, gl: GraphLaplacian):
         """Precomputed signals when present, else the Laplacian
-        (taumode.rs:137-146)."""
-        return self.signals if self.signals is not None else gl.matrix
+        (taumode.rs:137-146). Beyond ``SPARSE_F_THRESHOLD`` features the
+        graph is served in exact ELL form (cached on the GraphLaplacian) so
+        λ never does dense F×F work."""
+        if self.signals is not None:
+            return self.signals
+        if gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD:
+            return gl.ell()
+        return gl.matrix
 
     def compute_taumode(self, gl: GraphLaplacian) -> None:
         """Compute raw λ for all items, then min-max normalize to [0,1]
@@ -387,7 +393,7 @@ class ArrowSpace:
             and graph.shape[0] == self.projection.reduced_dim
         ):
             Qw = self.projection.project(Q)
-        raw = taumode_ops.taumode_lambdas(
+        raw = taumode_ops.taumode_lambdas_auto(
             Qw, graph, self.taumode.mode, self.taumode.param
         )
         q_lams = jnp.clip(
@@ -423,7 +429,7 @@ class ArrowSpace:
             and graph.shape[0] == self.projection.reduced_dim
         ):
             X = self.projection.project(X)
-        raw = taumode_ops.taumode_lambdas(
+        raw = taumode_ops.taumode_lambdas_auto(
             X, graph, self.taumode.mode, self.taumode.param
         )
         lam_new = jnp.clip(

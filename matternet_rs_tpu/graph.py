@@ -58,6 +58,22 @@ class GraphLaplacian:
     nnodes: int
     graph_params: GraphParams
     energy: bool = False
+    _ell_cache: object = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def ell(self):
+        """Cached exact ELL form of the Laplacian (large-F λ/SpMV path).
+
+        Extraction costs one top-k pass over [n, n] + one scalar D2H; the
+        cache amortizes it across every λ batch and query against this
+        graph.
+        """
+        if self._ell_cache is None:
+            from matternet_rs_tpu.ops.csr import ell_from_dense_laplacian
+
+            self._ell_cache = ell_from_dense_laplacian(self.matrix)
+        return self._ell_cache
 
     # -- basic ops (reference: src_legacy/graph.rs:329-700) ---------------
 

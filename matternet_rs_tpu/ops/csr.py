@@ -11,6 +11,7 @@ the TPU-friendly layout: gathers + one reduction, no dynamic shapes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +77,75 @@ class SparseGraph:
         return jnp.diag(jnp.sum(W, axis=1)) - W
 
 
+@dataclasses.dataclass
+class EllLaplacian:
+    """Exact ELL form of a graph Laplacian: ``L = diag(diag) - W`` with the
+    symmetric non-negative adjacency W as fixed-degree ``indices/weights
+    [n, k]`` (zero-weight padding).
+
+    Every Laplacian this framework builds is top-k capped (SURVEY §7.1), so
+    the extraction is exact: off-diagonals of L are ``-w_ij ≤ 0`` and the
+    diagonal is kept separately (deg for ``L = D-W``, 1 for ``L_sym``).
+    This is the large-F production path the reference's Stage-C design note
+    asks for (surfface-core/src/laplacian.rs:19-21: keep O(F·k) edges, never
+    densify O(F²) work).
+    """
+
+    indices: jax.Array      # [n, k] int32
+    weights: jax.Array      # [n, k] f32 ≥ 0, 0 = padding
+    diag: jax.Array         # [n] f32 diagonal of L
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def max_degree(self) -> int:
+        return int(self.indices.shape[1])
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """Duck-types the dense ``[n, n]`` matrix for dimension checks."""
+        n = self.n_nodes
+        return (n, n)
+
+    def to_dense(self) -> jax.Array:
+        n, k = self.indices.shape
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+        W = jnp.zeros((n, n), jnp.float32).at[rows, self.indices].max(self.weights)
+        return jnp.diag(self.diag) - W
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ell_extract(L: jax.Array, k: int):
+    W = jnp.maximum(-L, 0.0)
+    W = W - jnp.diag(jnp.diag(W))
+    w, idx = jax.lax.top_k(W, k)
+    return idx.astype(jnp.int32), w, jnp.diag(L)
+
+
+@jax.jit
+def _ell_required_degree(L: jax.Array) -> jax.Array:
+    W = jnp.maximum(-L, 0.0)
+    W = W - jnp.diag(jnp.diag(W))
+    return jnp.max(jnp.sum(W > 0.0, axis=1))
+
+
+def ell_from_dense_laplacian(L, max_degree: int | None = None) -> EllLaplacian:
+    """Exact ELL extraction from a dense Laplacian, on device.
+
+    ``max_degree=None`` computes the true maximum row degree first (one
+    scalar D2H) so no edge is dropped. Positive off-diagonals (not a
+    Laplacian of a non-negative graph) would be silently rectified — the
+    builders here never produce them.
+    """
+    L = jnp.asarray(L, jnp.float32)
+    k = int(_ell_required_degree(L)) if max_degree is None else int(max_degree)
+    k = max(min(k, L.shape[0] - 1), 1)
+    idx, w, diag = _ell_extract(L, k)
+    return EllLaplacian(indices=idx, weights=w, diag=diag)
+
+
 @jax.jit
 def spmv_ell(indices: jax.Array, weights: jax.Array, x: jax.Array) -> jax.Array:
     """``W @ x`` in ELL layout: one gather + weighted row-reduce.
@@ -99,3 +169,31 @@ def laplacian_spmv_ell(
     if x.ndim == 2:
         return deg[:, None] * x - wx
     return deg * x - wx
+
+
+@jax.jit
+def spmv_ell_scan(indices: jax.Array, weights: jax.Array, X: jax.Array) -> jax.Array:
+    """``W @ X`` for a WIDE right-hand side ``X [n, m]`` with bounded memory.
+
+    The one-shot gather form materializes ``[n, k, m]`` — at F=8k, k=32,
+    m=2048 that is gigabytes. This variant scans over the k neighbour slots:
+    each step is one ``[n, m]`` row-gather + fused multiply-add, so peak
+    memory stays at ``O(n·m)`` and traffic at ``k·n·m`` reads (the sparse
+    path's whole point: 100×+ fewer bytes than the dense F×F matmul).
+    """
+    def body(acc, slot):
+        idx, w = slot
+        return acc + w[:, None] * X[idx], None
+
+    acc0 = jnp.zeros_like(X)
+    acc, _ = jax.lax.scan(body, acc0, (indices.T, weights.T))
+    return acc
+
+
+@jax.jit
+def ell_matmul_laplacian(ell_indices, ell_weights, ell_diag, X):
+    """``X @ L`` for item batches ``X [B, F]`` against an ELL Laplacian
+    (symmetric): ``(X@L)_bf = diag_f·X_bf − (X@W)_bf`` with
+    ``X@W = (W@Xᵀ)ᵀ``."""
+    wxt = spmv_ell_scan(ell_indices, ell_weights, X.T)   # [F, B]
+    return X * ell_diag[None, :] - wxt.T

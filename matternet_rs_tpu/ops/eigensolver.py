@@ -24,13 +24,7 @@ import numpy as np
 from matternet_rs_tpu.ops._mm import mm
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _lobpcg_dense(A: jax.Array, X0: jax.Array, k: int, iters: int):
-    n = A.shape[0]
-
-    def matvec(V):
-        return mm(A, V)
-
+def _lobpcg_core(matvec, X0: jax.Array, k: int, iters: int):
     def orthonormalize(V):
         Q, _ = jnp.linalg.qr(V)
         return Q
@@ -62,6 +56,23 @@ def _lobpcg_dense(A: jax.Array, X0: jax.Array, k: int, iters: int):
     return theta, X
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _lobpcg_dense(A: jax.Array, X0: jax.Array, k: int, iters: int):
+    return _lobpcg_core(lambda V: mm(A, V), X0, k, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _lobpcg_ell(indices, weights, diag, X0: jax.Array, k: int, iters: int):
+    """LOBPCG with the Laplacian applied as a fixed-degree ELL SpMV — the
+    large-F operator (no dense [n, n] operand): ``L@V = diag∘V − W@V``."""
+    from matternet_rs_tpu.ops.csr import spmv_ell_scan
+
+    def matvec(V):
+        return diag[:, None] * V - spmv_ell_scan(indices, weights, V)
+
+    return _lobpcg_core(matvec, X0, k, iters)
+
+
 def lobpcg_smallest(
     A,
     k: int,
@@ -69,16 +80,23 @@ def lobpcg_smallest(
     seed: int = 0,
     X0: jax.Array | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Smallest-k eigenpairs of symmetric ``A [n, n]``.
+    """Smallest-k eigenpairs of symmetric ``A``.
 
+    ``A`` is a dense ``[n, n]`` array or an
+    :class:`~matternet_rs_tpu.ops.csr.EllLaplacian` (sparse operator — the
+    F ≳ 4k regime where densifying costs F²·4 B).
     Returns ``(eigenvalues [k] ascending, eigenvectors [n, k])``.
     """
-    A = jnp.asarray(A, jnp.float32)
+    from matternet_rs_tpu.ops.csr import EllLaplacian
+
     n = A.shape[0]
     k = min(k, n)
     if X0 is None:
         X0 = jax.random.normal(jax.random.PRNGKey(seed), (n, k), jnp.float32)
-    theta, X = _lobpcg_dense(A, X0, k, iters)
+    if isinstance(A, EllLaplacian):
+        theta, X = _lobpcg_ell(A.indices, A.weights, A.diag, X0, k, iters)
+    else:
+        theta, X = _lobpcg_dense(jnp.asarray(A, jnp.float32), X0, k, iters)
     # Final exact ordering (Ritz values are already sorted by eigh).
     return np.asarray(theta), np.asarray(X)
 

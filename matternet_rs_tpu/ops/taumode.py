@@ -130,13 +130,148 @@ def taumode_lambdas(
 
 
 def synthetic_lambda(
-    x: jax.Array, L: jax.Array, tau_mode: int = TAU_MEDIAN, tau_param: float = 0.0
+    x: jax.Array, L, tau_mode: int = TAU_MEDIAN, tau_param: float = 0.0
 ) -> jax.Array:
-    """Single-vector λ (query path). Scalar result."""
+    """Single-vector λ (query path). Scalar result. ``L`` may be a dense
+    matrix or an :class:`~matternet_rs_tpu.ops.csr.EllLaplacian`."""
+    from matternet_rs_tpu.ops.csr import EllLaplacian
+
+    if isinstance(L, EllLaplacian):
+        return taumode_lambdas_ell(x[None, :], L, tau_mode, tau_param, item_chunk=8)[0]
     return taumode_lambdas(x[None, :], L, tau_mode, tau_param)[0]
 
 
 CHUNK_N = 131_072
+
+# Beyond this feature dimension λ leaves the dense F×F path: the Laplacian
+# is converted once to exact ELL (top-k capped ⇒ lossless) and every matmul
+# becomes a fixed-degree SpMV — O(N·F·k) traffic instead of O(N·F²) FLOPs
+# (the reference's Stage-C design target, surfface-core/src/laplacian.rs:19-21).
+SPARSE_F_THRESHOLD = 2048
+_ELL_ITEM_CHUNK = 512
+
+
+_ELL_GROUP = 8
+
+
+@functools.partial(jax.jit, static_argnames=("tau_mode", "tau_param"))
+def _taumode_chunk_ell(
+    Xc: jax.Array,           # [B, F]
+    indices: jax.Array,      # [F, k]
+    weights: jax.Array,      # [F, k] (= A, the non-negative off-diag weights)
+    diag: jax.Array,         # [F] diagonal of L
+    tau_mode: int,
+    tau_param: float,
+) -> jax.Array:
+    """Sparse closed-form λ for one item chunk.
+
+    One fused SpMV pass replaces the seven dense matmuls of
+    :func:`taumode_lambdas`: A and A² share the same ELL indices, so each
+    neighbour row of the stacked RHS ``[Xᵀ|X²ᵀ|X³ᵀ|X⁴ᵀ]`` is gathered ONCE
+    and consumed by both accumulators (A needs the first half with weight w,
+    A² all of it with w²). The k slots are processed in groups of
+    ``_ELL_GROUP`` so accumulator read/write traffic — the bottleneck of a
+    per-slot scan — is amortized 8×. The Rayleigh term reuses B1 via
+    ``X@L = diag∘X − X@A`` (symmetric L).
+    """
+    Xc = Xc.astype(jnp.float32)
+    tau = select_tau(Xc, tau_mode, float(tau_param))
+
+    X2 = Xc * Xc
+    X3 = X2 * Xc
+    X4 = X2 * X2
+    b = Xc.shape[0]
+    f, k = indices.shape
+
+    # RHS: [F, 4B] with column blocks x | x² | x³ | x⁴.
+    R = jnp.concatenate([Xc.T, X2.T, X3.T, X4.T], axis=1)
+
+    g = _ELL_GROUP
+    k_pad = (-k) % g
+    if k_pad:
+        indices = jnp.pad(indices, ((0, 0), (0, k_pad)))
+        weights = jnp.pad(weights, ((0, 0), (0, k_pad)))
+    idx_g = indices.T.reshape(-1, g, f)      # [k/g, g, F]
+    w_g = weights.T.reshape(-1, g, f)
+
+    def body(carry, slot):
+        accA, accA2 = carry
+        idxg, wg = slot                       # [g, F]
+        Rg = R[idxg]                          # [g, F, 4B] (one gather, two uses)
+        accA = accA + jnp.sum(wg[..., None] * Rg[:, :, : 2 * b], axis=0)
+        accA2 = accA2 + jnp.sum((wg * wg)[..., None] * Rg, axis=0)
+        return (accA, accA2), None
+
+    acc0 = (
+        jnp.zeros((f, 2 * b), jnp.float32),
+        jnp.zeros((f, 4 * b), jnp.float32),
+    )
+    (S_A, S_A2), _ = jax.lax.scan(body, acc0, (idx_g, w_g))
+
+    B1, B2 = S_A[:, :b].T, S_A[:, b:].T                 # [B, F] each
+    C1 = S_A2[:, :b].T
+    C2 = S_A2[:, b : 2 * b].T
+    C3 = S_A2[:, 2 * b : 3 * b].T
+    C4 = S_A2[:, 3 * b :].T
+
+    # Rayleigh with the true L: X@L = diag∘X − X@A.
+    XL = Xc * diag[None, :] - B1
+    num_e = jnp.sum(Xc * XL, axis=-1)
+    den = jnp.sum(Xc * Xc, axis=-1)
+    e_raw = jnp.maximum(
+        jnp.where(den > 1e-12, num_e / jnp.maximum(den, 1e-12), 0.0), 0.0
+    )
+
+    deg = jnp.sum(weights, axis=1)
+    deg2 = jnp.sum(weights * weights, axis=1)
+    total = jnp.sum(X2 * deg - 2.0 * Xc * B1 + B2, axis=-1)
+    num4 = jnp.sum(
+        X4 * deg2 - 4.0 * X3 * C1 + 6.0 * X2 * C2 - 4.0 * Xc * C3 + C4, axis=-1
+    )
+    g = jnp.where(total > 1e-12, num4 / jnp.maximum(total * total, 1e-24), 0.0)
+    g = jnp.clip(g, 0.0, 1.0)
+
+    e_bounded = jnp.where(
+        e_raw + tau > 0, e_raw / jnp.maximum(e_raw + tau, TAU_FLOOR), 0.0
+    )
+    lam = tau * e_bounded + (1.0 - tau) * g
+    is_zero = jnp.max(jnp.abs(Xc), axis=-1) <= _ZERO_VEC_EPS
+    return jnp.where(is_zero, 0.0, lam)
+
+
+def taumode_lambdas_ell(
+    X: jax.Array,
+    ell,
+    tau_mode: int = TAU_MEDIAN,
+    tau_param: float | jax.Array = 0.0,
+    item_chunk: int = _ELL_ITEM_CHUNK,
+) -> jax.Array:
+    """λ batch against an :class:`~matternet_rs_tpu.ops.csr.EllLaplacian`.
+
+    Fixed-size item chunks (one compiled program serves every N) over the
+    sparse closed form. Numerically equal to :func:`taumode_lambdas` on the
+    densified graph.
+    """
+    X = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    if n <= item_chunk:
+        pad = item_chunk - n
+        Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+        out = _taumode_chunk_ell(
+            Xp, ell.indices, ell.weights, ell.diag, tau_mode, float(tau_param)
+        )
+        return out[:n]
+    pad = (-n) % item_chunk
+    Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+    outs = []
+    for start in range(0, n + pad, item_chunk):
+        chunk = jax.lax.dynamic_slice_in_dim(Xp, start, item_chunk, axis=0)
+        outs.append(
+            _taumode_chunk_ell(
+                chunk, ell.indices, ell.weights, ell.diag, tau_mode, float(tau_param)
+            )
+        )
+    return jnp.concatenate(outs)[:n]
 
 
 def taumode_lambdas_auto(
@@ -146,8 +281,10 @@ def taumode_lambdas_auto(
     tau_param: float | jax.Array = 0.0,
 ) -> jax.Array:
     """λ batch with automatic kernel selection: the fused Pallas kernel on
-    TPU (single HBM pass over X — see ops/pallas/taumode_fused.py), the XLA
-    closed form elsewhere. Numerically equivalent paths.
+    TPU (single HBM pass over X — see ops/pallas/taumode_fused.py), the
+    exact ELL sparse path beyond ``SPARSE_F_THRESHOLD`` (no dense F×F
+    operand, no O(N·F²) work), and the XLA closed form elsewhere.
+    Numerically equivalent paths.
 
     Large N is processed in fixed CHUNK_N tiles so ONE compiled program
     serves every dataset size (compiles are expensive on remote-attached
@@ -157,6 +294,13 @@ def taumode_lambdas_auto(
 
     X = jnp.asarray(X, jnp.float32)
     n, f = X.shape
+
+    from matternet_rs_tpu.ops.csr import EllLaplacian, ell_from_dense_laplacian
+
+    if isinstance(L, EllLaplacian) or f > SPARSE_F_THRESHOLD:
+        ell = L if isinstance(L, EllLaplacian) else ell_from_dense_laplacian(L)
+        return taumode_lambdas_ell(X, ell, tau_mode, tau_param)
+
     use_pallas = n >= 32768 and tf.pallas_supported(f)
 
     if n > CHUNK_N:

@@ -1,0 +1,131 @@
+"""Large-F sparse path: exact ELL extraction, scan-SpMV, sparse λ routing,
+and the LOBPCG ELL operator.
+
+Covers VERDICT missing #3: ``ops/csr.py`` now has production callers —
+``taumode_lambdas_auto`` routes through ELL beyond F=2048 (no dense F×F
+operand), ``ArrowSpace`` serves the graph in ELL form there, and LOBPCG
+accepts the sparse operator (surfface-core/src/laplacian.rs:19-21 design
+target: O(F·k) stored edges, never O(F²) work).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matternet_rs_tpu.ops import eigensolver as eig
+from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.ops.csr import (
+    EllLaplacian,
+    ell_from_dense_laplacian,
+    spmv_ell,
+    spmv_ell_scan,
+)
+
+
+def _topk_laplacian(f, k, seed=0):
+    rng = np.random.default_rng(seed)
+    W = np.zeros((f, f), np.float32)
+    for i in range(f):
+        nbrs = rng.choice(f - 1, k, replace=False)
+        nbrs[nbrs >= i] += 1
+        W[i, nbrs] = rng.random(k).astype(np.float32)
+    W = np.maximum(W, W.T)
+    return np.diag(W.sum(1)).astype(np.float32) - W
+
+
+def test_ell_extraction_exact_roundtrip():
+    L = _topk_laplacian(150, 6)
+    ell = ell_from_dense_laplacian(L)
+    assert float(jnp.max(jnp.abs(ell.to_dense() - L))) == 0.0
+    assert ell.shape == (150, 150)
+    # Extraction uses the true max row degree (no edge dropped).
+    W = np.maximum(-L, 0.0)
+    np.fill_diagonal(W, 0.0)
+    assert ell.max_degree == int((W > 0).sum(1).max())
+
+
+def test_spmv_scan_matches_gather():
+    L = _topk_laplacian(128, 5, seed=1)
+    ell = ell_from_dense_laplacian(L)
+    rng = np.random.default_rng(2)
+    R = jnp.asarray(rng.normal(size=(128, 96)), jnp.float32)
+    a = spmv_ell(ell.indices, ell.weights, R)
+    b = spmv_ell_scan(ell.indices, ell.weights, R)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,param", [(tm.TAU_MEDIAN, 0.0), (tm.TAU_MEAN, 0.0),
+                                        (tm.TAU_FIXED, 0.4)])
+def test_sparse_lambda_equals_dense(mode, param):
+    L = _topk_laplacian(300, 8, seed=3)
+    ell = ell_from_dense_laplacian(L)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.normal(size=(600, 300)), jnp.float32)
+    dense = tm.taumode_lambdas(X, jnp.asarray(L), mode, param)
+    sparse = tm.taumode_lambdas_ell(X, ell, mode, param)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse), atol=1e-6)
+
+
+def test_sparse_lambda_chunking_boundaries():
+    L = _topk_laplacian(64, 4, seed=5)
+    ell = ell_from_dense_laplacian(L)
+    rng = np.random.default_rng(6)
+    X = jnp.asarray(rng.normal(size=(1100, 64)), jnp.float32)
+    ref = tm.taumode_lambdas(X, jnp.asarray(L), tm.TAU_MEDIAN)
+    out = tm.taumode_lambdas_ell(X, ell, tm.TAU_MEDIAN, item_chunk=256)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-6)
+
+
+def test_auto_routes_sparse_beyond_threshold():
+    f = tm.SPARSE_F_THRESHOLD + 32
+    L = _topk_laplacian(f, 5, seed=7)
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(rng.normal(size=(64, f)), jnp.float32)
+    auto = tm.taumode_lambdas_auto(X, jnp.asarray(L), tm.TAU_MEDIAN)
+    ref = tm.taumode_lambdas(X, jnp.asarray(L), tm.TAU_MEDIAN)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), atol=1e-6)
+    # An EllLaplacian input is accepted directly at any F.
+    ell = ell_from_dense_laplacian(L)
+    auto2 = tm.taumode_lambdas_auto(X, ell, tm.TAU_MEDIAN)
+    np.testing.assert_allclose(np.asarray(auto2), np.asarray(ref), atol=1e-6)
+
+
+def test_graph_serves_ell_beyond_threshold():
+    from matternet_rs_tpu.core import ArrowSpace
+    from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+
+    f = tm.SPARSE_F_THRESHOLD + 8
+    L = _topk_laplacian(f, 5, seed=9)
+    gl = GraphLaplacian(
+        matrix=jnp.asarray(L), init_data=jnp.zeros((f, 2)), nnodes=10,
+        graph_params=GraphParams(sparsity_check=False),
+    )
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(40, f)).astype(np.float32)
+    aspace = ArrowSpace.from_items(X)
+    graph = aspace.graph_for_taumode(gl)
+    assert isinstance(graph, EllLaplacian)
+    assert gl.ell() is graph              # cached
+    aspace.compute_taumode(gl)
+    ref = np.asarray(tm.taumode_lambdas(jnp.asarray(X), jnp.asarray(L), tm.TAU_MEDIAN))
+    mn = ref.min()
+    rngv = max(max(ref.max(), 0.0) - mn, 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(aspace.lambdas), np.clip((ref - mn) / rngv, 0, 1), atol=1e-5
+    )
+    # Query path runs on the ELL too.
+    ql = aspace.prepare_query_item(X[3], gl)
+    res = aspace.search_lambda_aware(X[3], ql, 5)
+    assert res[0][0] == 3
+
+
+def test_lobpcg_ell_matches_dense_operator():
+    L = _topk_laplacian(256, 6, seed=11)
+    ell = ell_from_dense_laplacian(L)
+    v_d, _ = eig.lobpcg_smallest(jnp.asarray(L), 6, iters=80)
+    v_e, _ = eig.lobpcg_smallest(ell, 6, iters=80)
+    np.testing.assert_allclose(v_d, v_e, atol=1e-4)
+    true = np.linalg.eigvalsh(L.astype(np.float64))[:6]
+    np.testing.assert_allclose(v_e, true, atol=1e-3)
