@@ -266,17 +266,28 @@ def bench_energy(jax, jnp, N, F, extra):
     build_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(11)
-    q_idx = rng.integers(0, N, 64)
-    hits = 0
+    q_idx = rng.integers(0, N, 256)
+    # Batched path (the serving path): one fused dispatch per batch.
+    idx, _ = em.search_energy_batch(aspace, data[q_idx], gl_energy, K)
+    hits = float(np.mean([(i in idx[r].tolist()) for r, i in enumerate(q_idx)]))
+    reps = []
+    for _ in range(5):
+        ridx = rng.integers(0, N, 256)
+        reps.append(data[ridx])
     t0 = time.perf_counter()
-    for i in q_idx:
-        res = em.search_energy(aspace, data[i], gl_energy, K)
-        hits += any(j == i for j, _ in res)
-    qps = 64 / (time.perf_counter() - t0)
+    for Q in reps:
+        idx, _ = em.search_energy_batch(aspace, Q, gl_energy, K)
+    qps_batch = 256 * len(reps) / (time.perf_counter() - t0)
+    # Serial path for comparison (per-query host round-trips).
+    t0 = time.perf_counter()
+    for i in q_idx[:16]:
+        em.search_energy(aspace, data[i], gl_energy, K)
+    qps_serial = 16 / (time.perf_counter() - t0)
     extra["energy"] = {
         "build_seconds": round(build_s, 2),
-        "self_retrieval_at_10": round(hits / 64, 4),
-        "query_qps_serial": round(qps, 1),
+        "self_retrieval_at_10": round(hits, 4),
+        "query_qps_batched": round(qps_batch, 1),
+        "query_qps_serial": round(qps_serial, 1),
         "n_subcentroids": int(aspace.sub_centroids.shape[0]),
     }
 

