@@ -445,13 +445,16 @@ def search_energy(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _batched_energy_search_jit(X, norms, lambdas, sub_c, sc_lams, Q, k, approx):
+def _batched_energy_search_jit(X, norms, lambdas, sub_c, sc_lams, Q, Qe, k, approx):
     # Query λ for the whole batch in ONE dispatch: nearest sub-centroid by
-    # L2 ([B, S] matmul) → its λ (core.rs:872-909, batched).
+    # L2 over the (possibly JL-projected) query ``Qe`` ([B, S] matmul) →
+    # its λ (core.rs:872-909, batched). Scoring uses the ORIGINAL-space
+    # query ``Q`` against the original-space corpus, exactly like the
+    # serial path (only λ-prep lives in the reduced space).
     d = (
-        jnp.sum(Q * Q, axis=-1, keepdims=True)
+        jnp.sum(Qe * Qe, axis=-1, keepdims=True)
         + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
-        - 2.0 * mm(Q, sub_c.T)
+        - 2.0 * mm(Qe, sub_c.T)
     )
     q_lams = sc_lams[jnp.argmin(d, axis=1)]
 
@@ -480,13 +483,14 @@ def search_energy_batch(
     Q = jnp.asarray(queries, jnp.float32)
     if Q.ndim == 1:
         Q = Q[None, :]
+    Qe = Q
     if aspace.extra_reduced_dim or (
         aspace.projection is not None
         and Q.shape[-1] == aspace.projection.original_dim
         and aspace.sub_centroids.shape[-1] == aspace.projection.reduced_dim
     ):
-        Q = aspace.projection.project(Q)
-    if Q.shape[-1] != aspace.sub_centroids.shape[-1]:
+        Qe = aspace.projection.project(Q)
+    if Qe.shape[-1] != aspace.sub_centroids.shape[-1]:
         raise ValueError(
             f"Query dimension {Q.shape[-1]} doesn't match "
             f"sub-centroid dimension {aspace.sub_centroids.shape[-1]}"
@@ -495,7 +499,7 @@ def search_energy_batch(
     idx, dist = _batched_energy_search_jit(
         aspace.data, aspace.item_norms, aspace.lambdas,
         aspace.sub_centroids, jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
-        Q, kk, approx,
+        Q, Qe, kk, approx,
     )
     return np.asarray(idx), np.asarray(dist)
 
