@@ -212,3 +212,141 @@ def test_motives_empty_and_single_node():
     )
     assert mv.spot_motives_eigen(gl) == []
     assert not mv.is_clique(gl, {0})
+
+
+# --- bridged multi-clique suites (test_motives.rs:9-213, test_subg_*) ------
+
+
+def _multi_clique_labels(data, n_cliques, spacing=20.0):
+    """Recover clique labels from grid positions (the fixture shuffles)."""
+    grid = int(np.ceil(np.sqrt(n_cliques)))
+    centers = np.zeros((n_cliques, data.shape[1]))
+    for i in range(n_cliques):
+        centers[i, 0] = (i % grid) * spacing
+        if data.shape[1] > 1:
+            centers[i, 1] = (i // grid) * spacing
+    d = ((data[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    labels = d.argmin(1)
+    dist = np.sqrt(d.min(1))
+    labels[dist > 6.0] = -1      # outliers
+    return labels
+
+
+def test_motives_multi_clique_purity():
+    """On the 6-clique grid fixture, every detected motif is clique-pure —
+    bridged/outlier points never stitch two cliques into one motif
+    (reference: test_motives.rs on make_gaussian_cliques_multi)."""
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_cliques_multi
+
+    n_cliques = 6
+    data = make_gaussian_cliques_multi(180, 0.5, n_cliques, 12, seed=11).astype(
+        np.float32
+    )
+    labels = _multi_clique_labels(data, n_cliques)
+    # Within-clique rectified-cosine distance ≈ 5e-4 (noise 0.5 at radius
+    # ~28); angularly-adjacent cliques sit at d ≈ 0.05. eps must fall
+    # between the two for the graph to separate direction classes.
+    params = GraphParams(eps=0.02, k=10, topk=10, sparsity_check=False)
+    gl = lap_ops.build_laplacian_matrix(data, params)
+    motifs = mv.spot_motives_eigen(
+        gl, mv.MotiveConfig(min_triangles=2, min_clust=0.3, max_sets=32)
+    )
+    assert len(motifs) >= 3, f"only {len(motifs)} motifs on 6 cliques"
+    # The motif graph is rectified-COSINE (like the reference's CosinePair):
+    # grid cliques with co-linear centers (e.g. [20,0] and [40,0]) are one
+    # direction and cannot be separated by any cosine method; the origin
+    # clique has no direction at all. Purity therefore holds per DIRECTION
+    # CLASS: motifs never mix angularly-distinct cliques.
+    grid = int(np.ceil(np.sqrt(n_cliques)))
+    centers = np.zeros((n_cliques, 2))
+    for i in range(n_cliques):
+        centers[i] = [(i % grid) * 20.0, (i // grid) * 20.0]
+    reps: list[np.ndarray] = []
+    dir_class = {}
+    for i in range(1, n_cliques):       # 0 = origin, no direction
+        u = centers[i] / np.linalg.norm(centers[i])
+        for v in reps:
+            if float(u @ v) > 0.99:
+                dir_class[i] = v
+                break
+        else:
+            reps.append(u)
+            dir_class[i] = u
+
+    covered = set()
+    for m in motifs:
+        dirs = {
+            tuple(np.round(dir_class[int(labels[i])], 6))
+            for i in m
+            if labels[i] >= 1
+        }
+        assert len(dirs) <= 1, f"motif spans direction classes {dirs}: {m}"
+        covered |= dirs
+    assert len(covered) >= 2      # several distinct direction classes found
+
+
+def test_motives_bridge_points_do_not_merge_cliques():
+    """The 3-blob + bridge fixture: motifs stay within blobs even though
+    bridge points sit between them (test_motives.rs:9-76)."""
+    data = make_gaussian_cliques(15, 0.4, 3, 10, seed=5).astype(np.float32)
+    # Blocks are positional here: 3 blobs of 15, then 3 bridges, 3 outliers.
+    blob_of = lambda i: i // 15 if i < 45 else -1
+    params = GraphParams(eps=0.4, k=8, topk=8, sparsity_check=False)
+    gl = lap_ops.build_laplacian_matrix(data, params)
+    motifs = mv.spot_motives_eigen(
+        gl, mv.MotiveConfig(min_triangles=2, min_clust=0.3)
+    )
+    assert motifs, "no motifs on the clique fixture"
+    for m in motifs:
+        blobs = {blob_of(i) for i in m if blob_of(i) >= 0}
+        assert len(blobs) <= 1, f"motif merged blobs {blobs}"
+
+
+def test_motives_eigen_vs_energy_consistency():
+    """Energy-variant motifs (sub-centroid graph → items via centroid_map)
+    land on the same clusters the eigen variant finds on the item graph
+    (test_motives.rs:117-213)."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_cliques_multi
+
+    n_cliques = 4
+    data = make_gaussian_cliques_multi(160, 0.5, n_cliques, 16, seed=13).astype(
+        np.float32
+    )
+    labels = _multi_clique_labels(data, n_cliques)
+
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(17)
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=24, radius=30.0)
+        .with_dims_reduction(True)
+        .with_sampling(None)
+        .with_expected_items(len(data))
+    )
+    aspace, gl_energy = b.build_energy(data)
+    motifs_en = mv.spot_motives_energy(
+        gl_energy, aspace, mv.MotiveConfig(min_triangles=1, min_clust=0.15)
+    )
+    # Item graph for the eigen variant.
+    params = GraphParams(eps=0.5, k=10, topk=10, sparsity_check=False)
+    gl_items = lap_ops.build_laplacian_matrix(data, params)
+    motifs_ei = mv.spot_motives_eigen(
+        gl_items, mv.MotiveConfig(min_triangles=2, min_clust=0.3, max_sets=32)
+    )
+    assert motifs_ei, "eigen motifs missing"
+    if not motifs_en:
+        pytest.skip("energy variant found no motifs at this config (allowed)")
+
+    def majority_labels(motifs):
+        out = set()
+        for m in motifs:
+            ls = [int(labels[i]) for i in m if labels[i] >= 0]
+            if ls:
+                vals, cnt = np.unique(ls, return_counts=True)
+                out.add(int(vals[cnt.argmax()]))
+        return out
+
+    # The clique families the two variants identify must overlap.
+    assert majority_labels(motifs_en) & majority_labels(motifs_ei)

@@ -134,3 +134,129 @@ def test_lambda_modes_differ():
     lam_med = np.asarray(tm.taumode_lambdas(X, L, tm.TAU_MEDIAN))
     lam_fixed = np.asarray(tm.taumode_lambdas(X, L, tm.TAU_FIXED, 0.7))
     assert not np.allclose(lam_med, lam_fixed)
+
+
+# --- builder-level λ invariants (test_taumode.rs:163-890) -------------------
+
+
+def _build(seed=42, n=200, f=32, **kw):
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(n, f, seed=seed).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(seed)
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=20, radius=25.0)
+        .with_sampling(None)
+    )
+    for k, v in kw.items():
+        getattr(b, "with_" + k)(v)
+    aspace, gl = b.build(data)
+    return data, aspace, gl
+
+
+def test_builder_lambdas_invariants():
+    """Post-normalization λ: in [0,1], finite, min 0, max 1, count N
+    (test_taumode.rs:271-319)."""
+    _, aspace, _ = _build()
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape == (200,)
+    assert np.isfinite(lam).all()
+    assert lam.min() == pytest.approx(0.0, abs=1e-6)
+    assert lam.max() == pytest.approx(1.0, abs=1e-6)
+    assert aspace.range_lambdas > 0
+
+
+def test_builder_lambdas_different_tau_modes():
+    """Different synthesis modes produce valid but distinct λ distributions
+    (test_taumode.rs:206-271)."""
+    from matternet_rs_tpu.core import TauMode
+
+    raws = {}
+    for mode in (TauMode.median(), TauMode.mean(), TauMode.fixed(0.5),
+                 TauMode.percentile(0.9)):
+        _, aspace, gl = _build(synthesis=mode)
+        lam = np.asarray(aspace.lambdas)
+        assert np.isfinite(lam).all() and lam.min() >= 0 and lam.max() <= 1
+        raws[mode.name] = (aspace.min_lambdas, aspace.max_lambdas)
+    # Raw λ ranges differ across modes (the τ policy matters).
+    assert len({tuple(np.round(v, 9)) for v in raws.values()}) >= 3
+
+
+def test_builder_lambdas_deterministic():
+    """Same seed ⇒ bit-identical λ (the functional-JAX determinism the
+    reference could only assert statistically, test_taumode.rs:330-432)."""
+    _, a1, _ = _build(seed=77)
+    _, a2, _ = _build(seed=77)
+    np.testing.assert_array_equal(np.asarray(a1.lambdas), np.asarray(a2.lambdas))
+
+
+def test_taumode_consistency_with_projection():
+    """λ with an active JL projection: deterministic, bounded, and the
+    query path projects original-dim queries to the same λ as pre-projected
+    ones (test_taumode.rs:501-571)."""
+    data, aspace, gl = _build(n=300, f=128, dims_reduction=True)
+    if aspace.projection is None:
+        pytest.skip("JL did not engage")
+    lam = np.asarray(aspace.lambdas)
+    assert np.isfinite(lam).all() and lam.min() >= 0 and lam.max() <= 1
+    q = data[7]
+    ql_orig = aspace.prepare_query_item(q, gl)
+    q_proj = np.asarray(aspace.projection.project(q))
+    ql_pre = aspace.prepare_query_item(q_proj, gl)
+    assert ql_orig == pytest.approx(ql_pre, abs=1e-6)
+
+
+def test_lambda_scale_invariance_with_fixed_tau():
+    """With τ fixed, both E (Rayleigh) and G (normalized shares) are scale
+    invariant — so λ(c·x) == λ(x) (test_taumode.rs:644-685)."""
+    L = _graph(seed=12)
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(rng.normal(size=(8, 12)).astype(np.float32))
+    lam1 = np.asarray(tm.taumode_lambdas(X, L, tm.TAU_FIXED, 0.3))
+    lam2 = np.asarray(tm.taumode_lambdas(4.0 * X, L, tm.TAU_FIXED, 0.3))
+    np.testing.assert_allclose(lam1, lam2, atol=1e-5)
+
+
+def test_energy_lambda_bounds_and_inheritance():
+    """Energy pipeline: sub-centroid λ normalized to [0,1]; every item λ is
+    inherited from exactly one sub-centroid (test_taumode.rs:781-890)."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(250, 64, seed=3).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(9)
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=25, radius=25.0)
+        .with_dims_reduction(True)
+        .with_sampling(None)
+        .with_expected_items(250)
+    )
+    aspace, gl = b.build_energy(data)
+    sc_lam = np.asarray(aspace.subcentroid_lambdas, np.float64)
+    lam = np.asarray(aspace.lambdas, np.float64)
+    assert sc_lam.min() >= 0 and sc_lam.max() <= 1
+    assert lam.min() >= 0 and lam.max() <= 1
+    # Every item λ equals its mapped sub-centroid's λ.
+    cmap = np.asarray(aspace.centroid_map)
+    np.testing.assert_allclose(lam, sc_lam[cmap], atol=1e-6)
+
+
+def test_lambda_larger_dataset_invariants():
+    """5k×64 build: λ invariants hold at scale and the batch is identical
+    to per-item evaluation on a sample (test_taumode.rs:685-781)."""
+    data, aspace, gl = _build(seed=5, n=5000, f=64)
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape == (5000,) and np.isfinite(lam).all()
+    graph = aspace.graph_for_taumode(gl)
+    for i in (0, 1234, 4999):
+        raw = float(tm.synthetic_lambda(jnp.asarray(data[i]), graph,
+                                        aspace.taumode.mode, aspace.taumode.param))
+        expect = (raw - aspace.min_lambdas) / aspace.range_lambdas
+        assert float(lam[i]) == pytest.approx(np.clip(expect, 0, 1), abs=1e-5)
