@@ -25,6 +25,11 @@ from matternet_rs_tpu.ops._mm import mm
 
 
 def _lobpcg_core(matvec, X0: jax.Array, k: int, iters: int):
+    """Blocked LOBPCG with per-block orthogonalization and the standard
+    Ritz-restricted conjugate direction (P built from the R/P rows of the
+    Ritz coefficients, not an X-projection) — converges on clustered
+    spectra where the naive variant stalls."""
+
     def orthonormalize(V):
         Q, _ = jnp.linalg.qr(V)
         return Q
@@ -37,19 +42,47 @@ def _lobpcg_core(matvec, X0: jax.Array, k: int, iters: int):
     def body(carry, _):
         X, AX, theta, P = carry
         R = AX - X * theta[None, :]
-        # Subspace: [X, R, P] (P is zero on the first iteration).
-        S = jnp.concatenate([X, R, P], axis=1)
-        Q = orthonormalize(S)
-        AQ = matvec(Q)
-        G = mm(Q.T, AQ)
+        # Orthogonalize the blocks against X (and each other via QR) so the
+        # Rayleigh-Ritz basis S keeps block identity: S = [X | R' | P'].
+        R = R - mm(X, mm(X.T, R))
+        R = orthonormalize(R)
+        P_ = P - mm(X, mm(X.T, P)) - mm(R, mm(R.T, P))
+        # Normalize P columns; a zero P (first iteration) stays harmless.
+        p_norm = jnp.sqrt(jnp.sum(P_ * P_, axis=0))
+        P_ = jnp.where(p_norm[None, :] > 1e-8, P_ / jnp.maximum(p_norm, 1e-8), 0.0)
+
+        S = jnp.concatenate([X, R, P_], axis=1)           # [n, 3k]
+        AS = matvec(S)
+        G = mm(S.T, AS)
         G = 0.5 * (G + G.T)
-        evals, evecs = jnp.linalg.eigh(G)
-        C = evecs[:, :k]                     # smallest k Ritz vectors
-        X_new = mm(Q, C)
-        AX_new = mm(AQ, C)
+        M = mm(S.T, S)
+        M = 0.5 * (M + M.T)
+        # Generalized Rayleigh-Ritz via a regularized Cholesky-free
+        # transform: M ≈ I except for the (possibly degenerate) P block —
+        # solve with eigh of M^{-1/2} G M^{-1/2} through jnp.linalg.
+        w, V = jnp.linalg.eigh(M)
+        valid = w > 1e-6
+        inv_sqrt = jnp.where(valid, 1.0 / jnp.sqrt(jnp.maximum(w, 1e-6)), 0.0)
+        T = V * inv_sqrt[None, :]
+        Gt = mm(T.T, mm(G, T))
+        Gt = 0.5 * (Gt + Gt.T)
+        # Rank-deficient directions of S were zeroed by the soft inverse —
+        # they would otherwise appear as spurious 0-eigenvalues and win the
+        # smallest-k selection. Push them past the top of the spectrum.
+        big = 10.0 * (jnp.sum(jnp.abs(jnp.diag(G))) + 1.0)
+        Gt = Gt + jnp.diag(jnp.where(valid, 0.0, big))
+        evals, evecs = jnp.linalg.eigh(Gt)
+        C = mm(T, evecs[:, :k])                            # back-transform
+        X_new = mm(S, C)
+        AX_new = mm(AS, C)
         theta_new = evals[:k]
-        # Conjugate direction: component of the step outside old X.
-        P_new = X_new - X * jnp.sum(X * X_new, axis=0)[None, :]
+        # Conjugate direction: the R/P contribution to the new X.
+        C_rp = C.at[:k, :].set(0.0)
+        P_new = mm(S, C_rp)
+        # Renormalize X columns (guards drift from the soft inverse).
+        xn = jnp.sqrt(jnp.sum(X_new * X_new, axis=0))
+        X_new = X_new / jnp.maximum(xn, 1e-12)[None, :]
+        AX_new = AX_new / jnp.maximum(xn, 1e-12)[None, :]
         return (X_new, AX_new, theta_new, P_new), None
 
     (X, AX, theta, P), _ = jax.lax.scan(body, (X, AX, theta, P), None, length=iters)

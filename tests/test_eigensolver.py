@@ -67,3 +67,33 @@ def test_spectral_embedding_on_built_graph():
     emb = es.spectral_embedding(np.asarray(gl.matrix), 4, iters=60)
     assert emb.shape == (40, 4)
     assert np.isfinite(emb).all()
+
+
+def test_lobpcg_clustered_spectrum_with_nullspace():
+    """Disconnected graph (8 components ⇒ 8 exact-zero eigenvalues) plus a
+    tight cluster of nonzero eigenvalues: LOBPCG must recover BOTH groups —
+    the round-1 implementation collapsed everything into the nullspace."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n_blocks, per = 8, 48
+    n = n_blocks * per
+    W = np.zeros((n, n), np.float32)
+    for b in range(n_blocks):
+        s = b * per
+        blk = rng.random((per, per)).astype(np.float32) * 0.5
+        blk = np.triu(blk, 1)
+        W[s:s+per, s:s+per] = blk + blk.T
+    L = np.diag(W.sum(1)).astype(np.float32) - W
+
+    from matternet_rs_tpu.ops import eigensolver as eig
+
+    k = 12
+    vals_d, _ = eig.eigsh_dense(L, k)
+    vals_l, _ = eig.lobpcg_smallest(jnp.asarray(L), k, iters=100, seed=0)
+    err = np.abs(vals_l - vals_d) / (np.abs(vals_d) + 1e-2)
+    assert float(err.max()) < 5e-3, (vals_l, vals_d)
+    # The nullspace really is 8-dimensional and found as ~0.
+    assert np.all(np.abs(vals_l[:8]) < 1e-4)
+    assert np.all(vals_l[8:] > 0.1)
