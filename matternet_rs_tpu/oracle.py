@@ -442,3 +442,224 @@ def full_build(
         rows, centroids, eps, topk, p, sigma, normalise,
         tau_mode, tau_param, fast_lambdas=fast_lambdas,
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy pipeline oracle (src_legacy/energymaps.rs)
+#
+# Same independence contract as the eigen oracle: plain f64 NumPy following
+# the reference's scan structure. Random projections are *inputs* (the
+# materialized [F, r] / [F, 2] matrices) — RNG streams differ between
+# implementations by design (SURVEY §7.3), so parity is over the math given
+# identical projections.
+# ---------------------------------------------------------------------------
+
+
+def optical_compress(
+    centroids: np.ndarray, proj2d: np.ndarray, token_budget: int,
+    trim_quantile: float,
+) -> np.ndarray:
+    """Optical compression (energymaps.rs:314-447), per-bin loop form:
+    JL→2D, √budget × √budget grid binning, per-bin norm-quantile trim +
+    mean pool in bin-id order, low-norm top-up."""
+    centroids = np.asarray(centroids, np.float64)
+    x, f = centroids.shape
+    if token_budget == 0 or token_budget >= x:
+        return centroids.copy()
+    xy = centroids @ np.asarray(proj2d, np.float64)
+    g = int(np.ceil(np.sqrt(token_budget)))
+    px = (xy[:, 0] - xy[:, 0].min()) / (xy[:, 0].max() - xy[:, 0].min() + 1e-9)
+    py = (xy[:, 1] - xy[:, 1].min()) / (xy[:, 1].max() - xy[:, 1].min() + 1e-9)
+    bx = np.clip(np.floor(px * g), 0, g - 1).astype(int)
+    by = np.clip(np.floor(py * g), 0, g - 1).astype(int)
+    bin_ids = by * g + bx
+
+    norms = np.linalg.norm(centroids, axis=1)
+    out_rows: list[np.ndarray] = []
+    for b in range(g * g):
+        members = np.nonzero(bin_ids == b)[0]
+        if members.size == 0:
+            continue
+        if members.size > 4:
+            order = members[np.argsort(norms[members], kind="stable")]
+            keep = max(int(np.ceil(len(order) * (1.0 - trim_quantile))), 1)
+            members = order[:keep]
+        out_rows.append(centroids[members].mean(axis=0))
+        if len(out_rows) >= token_budget:
+            break
+    if len(out_rows) < token_budget:
+        for i in np.argsort(norms, kind="stable"):
+            if len(out_rows) >= token_budget:
+                break
+            out_rows.append(centroids[i])
+    return np.stack(out_rows)
+
+
+def diffuse(X: np.ndarray, L: np.ndarray, eta: float, steps: int) -> np.ndarray:
+    """Heat diffusion ``x' = x − η·x·Lᵀ`` iterated (energymaps.rs:485-530)."""
+    work = np.asarray(X, np.float64).copy()
+    L = np.asarray(L, np.float64)
+    for _ in range(steps):
+        work = work - eta * (work @ L.T)
+    return work
+
+
+def node_energy_and_dispersion(X: np.ndarray, L: np.ndarray):
+    """(λ, G) per row with the UPPER-TRIANGLE edge scan
+    (energymaps.rs:923-1045: each undirected pair counted once)."""
+    X = np.asarray(X, np.float64)
+    L = np.asarray(L, np.float64)
+    A = np.maximum(-L, 0.0)
+    np.fill_diagonal(A, 0.0)
+    iu = np.triu_indices(L.shape[0], 1)
+    w = A[iu]
+    lam = np.empty(X.shape[0])
+    gini = np.empty(X.shape[0])
+    for r, xrow in enumerate(X):
+        lam[r] = rayleigh_quotient(L, xrow)
+        d = xrow[iu[0]] - xrow[iu[1]]
+        e = w * d * d
+        total = e.sum()
+        if total <= 1e-12:
+            gini[r] = 0.0
+        else:
+            share = e / total
+            gini[r] = float(np.clip((share * share).sum(), 0.0, 1.0))
+    return lam, gini
+
+
+def split_subcentroids(
+    work: np.ndarray, gini: np.ndarray, split_quantile: float,
+    neighbor_k: int, split_tau: float,
+) -> np.ndarray:
+    """±τ·gradient split of the top-dispersion quantile
+    (energymaps.rs:531-621), per-row scan form."""
+    work = np.asarray(work, np.float64)
+    x, f = work.shape
+    g_sorted = np.sort(gini)
+    thresh = g_sorted[int(round((len(g_sorted) - 1) * split_quantile))]
+    rows = [work]
+    to_split = np.nonzero(gini >= thresh)[0]
+    if to_split.size and x > 1:
+        k = min(neighbor_k, x - 1)
+        for i in to_split:
+            d2 = np.sum((work - work[i]) ** 2, axis=1)
+            order = np.argsort(d2, kind="stable")
+            nbrs = [j for j in order if j != i][:k]
+            mean = work[nbrs].mean(axis=0)
+            c = work[i]
+            d = c - mean
+            n = max(np.sqrt((d * d).sum()), 1e-9)
+            direction = d / n
+            std_loc = float(np.sqrt(np.mean((d - d.mean()) ** 2)))
+            tau = split_tau * max(std_loc, 1e-6)
+            rows.append((c + tau * direction)[None, :])
+            rows.append((c - tau * direction)[None, :])
+    return np.concatenate(rows, axis=0)
+
+
+@dataclasses.dataclass
+class OracleEnergyIndex:
+    """A fully built oracle energy index (f64)."""
+
+    data: np.ndarray              # [N, F] raw items
+    data_work: np.ndarray         # [N, F'] items in the λ-prep space
+    sub_centroids: np.ndarray     # [S, F']
+    subcentroid_lambdas: np.ndarray  # [S] normalized
+    centroid_map: np.ndarray      # [N]
+    lambdas: np.ndarray           # [N] inherited sub-centroid λ
+    L_energy: np.ndarray
+
+    def prepare_query(self, query: np.ndarray, projection: Optional[np.ndarray] = None) -> float:
+        q = np.asarray(query, np.float64)
+        if projection is not None and q.shape[-1] == projection.shape[0]:
+            q = q @ np.asarray(projection, np.float64)
+        d = np.linalg.norm(self.sub_centroids - q[None, :], axis=1)
+        return float(self.subcentroid_lambdas[int(np.argmin(d))])
+
+    def search(self, query: np.ndarray, k: int,
+               projection: Optional[np.ndarray] = None) -> list[tuple[int, float]]:
+        """Pure λ-distance scan with cosine tie-break at |Δλ| < 1e-9
+        (energymaps.rs:628-674), ascending."""
+        q_lambda = self.prepare_query(query, projection)
+        q = np.asarray(query, np.float64)
+        lam_dist = np.abs(q_lambda - self.lambdas)
+        qn = max(np.linalg.norm(q), 1e-9)
+        norms = np.linalg.norm(self.data, axis=1)
+        cos = (self.data @ q) / (qn * norms + 1e-9)
+        tie = np.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+        scores = lam_dist + tie
+        order = np.argsort(scores, kind="stable")[:k]
+        return [(int(i), float(scores[i])) for i in order]
+
+
+def build_energy_index(
+    rows: np.ndarray,
+    centroids: np.ndarray,
+    eps: float, k: int, topk: int,
+    optical_tokens: Optional[int], trim_quantile: float,
+    eta: float, steps: int, split_quantile: float, neighbor_k: int,
+    split_tau: float,
+    proj2d: Optional[np.ndarray] = None,
+    projection: Optional[np.ndarray] = None,
+    normalise: bool = False,
+    tau_mode: str = "median", tau_param: float = 0.0,
+) -> OracleEnergyIndex:
+    """Energy build from precomputed (possibly projected) centroids
+    (energymaps.rs:1116-1391): optical compression → bootstrap L₀ →
+    diffusion + split → energy Laplacian → sub-centroid λ → item
+    assignment with cosine tie-break.
+    """
+    rows = np.asarray(rows, np.float64)
+    centroids = np.asarray(centroids, np.float64)
+
+    if optical_tokens is not None and proj2d is not None:
+        centroids = optical_compress(centroids, proj2d, optical_tokens, trim_quantile)
+
+    def boot(nodes):
+        x = nodes.shape[0]
+        return build_laplacian_from_centroids(
+            nodes, eps, min(topk, 4, x - 1), 2.0, None, normalise
+        )[1]
+
+    l0 = boot(centroids)
+    work = diffuse(centroids, l0, eta, steps)
+    _, gini = node_energy_and_dispersion(work, l0)
+    sub_centroids = split_subcentroids(work, gini, split_quantile, neighbor_k, split_tau)
+
+    L_energy = boot(sub_centroids)
+
+    raw = taumode_lambdas(sub_centroids, L_energy, tau_mode, tau_param)
+    sc_lambdas, _ = normalise_lambdas(raw)
+
+    # Item assignment (energymaps.rs:1246-1342): nearest sub-centroid by L2
+    # in the working space → its λ → λ-distance re-assignment with cosine
+    # tie-break among |Δλ| < 1e-11 candidates.
+    Xw = rows @ np.asarray(projection, np.float64) if projection is not None else rows
+    scn = sub_centroids / np.maximum(
+        np.linalg.norm(sub_centroids, axis=1, keepdims=True), 1e-12
+    )
+    cmap = np.empty(rows.shape[0], np.int64)
+    for i, xw in enumerate(Xw):
+        d2 = np.sum((sub_centroids - xw) ** 2, axis=1)
+        item_lambda = sc_lambdas[int(np.argmin(d2))]
+        lam_dist = np.abs(item_lambda - sc_lambdas)
+        best = lam_dist.min()
+        ties = np.abs(lam_dist - best) < 1e-11
+        if ties.sum() > 1:
+            xn = xw / max(np.linalg.norm(xw), 1e-12)
+            cos = scn @ xn
+            cos = np.where(ties, cos, -np.inf)
+            cmap[i] = int(np.argmax(cos))
+        else:
+            cmap[i] = int(np.argmin(lam_dist))
+
+    return OracleEnergyIndex(
+        data=rows,
+        data_work=Xw,
+        sub_centroids=sub_centroids,
+        subcentroid_lambdas=sc_lambdas,
+        centroid_map=cmap,
+        lambdas=sc_lambdas[cmap],
+        L_energy=L_energy,
+    )

@@ -247,3 +247,78 @@ def test_sigma_and_p_variants_parity():
         W_or = oracle.build_adjacency(cents.T, 0.9, 6, p, sigma, False)
         assert ((W_tpu > 0) ^ (W_or > 0)).sum() == 0
         np.testing.assert_allclose(W_tpu, W_or, atol=5e-6)
+
+
+# ---------------------------------------------------------------------------
+# Energy-pipeline parity: TPU build vs the f64 oracle
+# ---------------------------------------------------------------------------
+
+
+def test_energy_pipeline_parity():
+    """End-to-end energy-build parity: optical compression, diffusion +
+    dispersion split, energy Laplacian, sub-centroid λ, item assignment,
+    and the λ-distance search all match the f64 oracle (random projections
+    are shared inputs — parity is over the math given identical
+    projections, SURVEY §7.3)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.reduction import ImplicitProjection
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    rows = make_energy_test_dataset(400, 96, seed=6).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(11)
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=60, radius=25.0)
+        .with_dims_reduction(True)
+        .with_sampling(None)
+        .with_expected_items(len(rows))
+    )
+    aspace, gl_energy = b.build_energy(rows)
+    p = em.EnergyParams.from_builder(b)
+
+    # Oracle build from the same stage-1 state: identical clustering scan,
+    # then the SAME materialized projection matrices.
+    oc_cents, _ = oracle.incremental_clustering(
+        rows, b.cluster_max_clusters, b.cluster_radius
+    )
+    proj = None
+    if aspace.projection is not None:
+        proj = np.asarray(aspace.projection.matrix(), np.float64)
+        oc_cents = oc_cents @ proj
+    fdim = oc_cents.shape[1]
+    proj2d = np.asarray(
+        ImplicitProjection(fdim, 2, b.clustering_seed or 0).matrix(), np.float64
+    )
+    oi = oracle.build_energy_index(
+        rows, oc_cents,
+        eps=b.lambda_eps, k=b.lambda_k, topk=b.lambda_topk,
+        optical_tokens=p.optical_tokens, trim_quantile=p.trim_quantile,
+        eta=p.eta, steps=p.steps, split_quantile=p.split_quantile,
+        neighbor_k=p.neighbor_k, split_tau=p.split_tau,
+        proj2d=proj2d, projection=proj, normalise=b.normalise,
+    )
+
+    # Sub-centroid state matches.
+    sc_tpu = np.asarray(aspace.sub_centroids)
+    assert sc_tpu.shape == oi.sub_centroids.shape, (
+        sc_tpu.shape, oi.sub_centroids.shape,
+    )
+    np.testing.assert_allclose(sc_tpu, oi.sub_centroids, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(aspace.subcentroid_lambdas), oi.subcentroid_lambdas, atol=2e-4
+    )
+
+    # Item → sub-centroid assignment matches (boundary ties may flip a few).
+    agree = float(np.mean(np.asarray(aspace.centroid_map) == oi.centroid_map))
+    assert agree >= 0.99, f"centroid_map agreement {agree}"
+
+    # Search parity on self-queries and perturbed queries.
+    rng = np.random.default_rng(4)
+    for qi in rng.integers(0, len(rows), 8):
+        q = rows[qi]
+        res_tpu = [i for i, _ in em.search_energy(aspace, q, gl_energy, 10)]
+        res_or = [i for i, _ in oi.search(q, 10, projection=proj)]
+        assert res_tpu[0] == res_or[0]
+        assert len(set(res_tpu) & set(res_or)) >= 9, (res_tpu, res_or)
