@@ -322,3 +322,121 @@ def test_energy_pipeline_parity():
         res_or = [i for i, _ in oi.search(q, 10, projection=proj)]
         assert res_tpu[0] == res_or[0]
         assert len(set(res_tpu) & set(res_or)) >= 9, (res_tpu, res_or)
+
+
+# ---------------------------------------------------------------------------
+# Staged pipeline (B0 → D) parity vs the f64 staged oracle
+# ---------------------------------------------------------------------------
+
+
+def test_staged_pipeline_parity():
+    """The surfface staged chain matches the independent f64 port stage by
+    stage from a shared stage-A state: preflight decision + arrays, MST
+    edges + traversal order, RTS-smoothed state, Stage-C L_sym topology and
+    values, Stage-D λ."""
+    from matternet_rs_tpu import oracle_staged as osg
+    from matternet_rs_tpu.pipeline.centroid import CentroidState
+    from matternet_rs_tpu.pipeline.clustering import ClusteringConfig, ClusteringStage
+    from matternet_rs_tpu.pipeline.laplacian import LaplacianConfig, LaplacianStage
+    from matternet_rs_tpu.pipeline.mst import MSTConfig, MSTStage
+    from matternet_rs_tpu.pipeline.preflight import PreflightConfig, PreflightStage
+    from matternet_rs_tpu.pipeline.smoothing import SmoothingConfig, SmoothingStage
+    from matternet_rs_tpu.pipeline import spectral
+
+    rows, _ = _clustered_rows(400, 24, seed=9, spread=4.0)
+    a_out = ClusteringStage(
+        ClusteringConfig(max_clusters=24, radius_threshold=30.0)
+    ).execute(rows)
+    means = np.asarray(a_out.state.means, np.float64)
+    variances = np.asarray(a_out.state.variances, np.float64)
+
+    # --- TPU chain from the shared state ---------------------------------
+    b0 = PreflightStage(PreflightConfig()).execute(a_out.state)
+    state = CentroidState(
+        means=b0.normalized_centroids, variances=b0.variances,
+        counts=a_out.state.counts,
+    )
+    mst = MSTStage(MSTConfig()).execute(state)
+    kal = SmoothingStage(SmoothingConfig()).execute(state, mst)
+    lap = LaplacianStage(LaplacianConfig()).execute(kal.to_centroid_state())
+    lam_tpu = spectral.compute_lambdas(lap.matrix, jnp.asarray(rows))
+
+    # --- Oracle chain ------------------------------------------------------
+    res = osg.run_staged(means, variances, rows)
+
+    # B0: same normalization decision and arrays.
+    assert res.was_normalized == b0.was_normalized
+    np.testing.assert_allclose(
+        np.asarray(b0.normalized_centroids), res.preflight_means, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(b0.variances), res.preflight_vars, atol=1e-6)
+
+    # B1: identical MST edge set (undirected) and traversal order.
+    tpu_edges = {frozenset((e.u, e.v)) for e in mst.mst_edges}
+    or_edges = {frozenset((u, v)) for u, v, _ in res.mst.mst_edges}
+    assert tpu_edges == or_edges
+    np.testing.assert_array_equal(mst.centroid_order, res.mst.centroid_order)
+    assert abs(mst.total_weight - res.mst.total_weight) < 1e-4 * max(
+        res.mst.total_weight, 1.0
+    )
+
+    # B2: smoothed state matches at f32 tolerance.
+    np.testing.assert_allclose(
+        np.asarray(kal.smoothed_means), res.smoothed_means, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kal.smoothed_variances), res.smoothed_vars, atol=1e-5
+    )
+
+    # C: identical topology, values at f32 tolerance.
+    L_tpu = np.asarray(lap.matrix)
+    assert ((np.abs(L_tpu) > 1e-9) ^ (np.abs(res.L) > 1e-9)).sum() == 0
+    np.testing.assert_allclose(L_tpu, res.L, atol=1e-4)
+
+    # D: λ parity for every item.
+    np.testing.assert_allclose(lam_tpu, res.lambdas, atol=5e-4, rtol=1e-3)
+
+
+def test_staged_pipeline_parity_trunk_aware_sqeuclidean():
+    """Config variants: squared-Euclidean MST metric + trunk-aware RTS."""
+    from matternet_rs_tpu import oracle_staged as osg
+    from matternet_rs_tpu.pipeline.centroid import CentroidState
+    from matternet_rs_tpu.pipeline.clustering import ClusteringConfig, ClusteringStage
+    from matternet_rs_tpu.pipeline.mst import MSTConfig, MSTStage
+    from matternet_rs_tpu.pipeline.preflight import PreflightConfig, PreflightStage
+    from matternet_rs_tpu.pipeline.smoothing import SmoothingConfig, SmoothingStage
+
+    rows, _ = _clustered_rows(300, 16, seed=12, spread=4.0)
+    a_out = ClusteringStage(
+        ClusteringConfig(max_clusters=20, radius_threshold=30.0)
+    ).execute(rows)
+    b0 = PreflightStage(PreflightConfig()).execute(a_out.state)
+    state = CentroidState(
+        means=b0.normalized_centroids, variances=b0.variances,
+        counts=a_out.state.counts,
+    )
+    cfg = MSTConfig(distance_metric="sqeuclidean", thickness_weight="geometric_mean")
+    mst = MSTStage(cfg).execute(state)
+    kal = SmoothingStage(SmoothingConfig.trunk_aware(0.3)).execute(state, mst)
+
+    res_mst = osg.mst_stage(
+        np.asarray(b0.normalized_centroids, np.float64),
+        np.asarray(b0.variances, np.float64),
+        distance_metric="sqeuclidean", thickness_weight="geometric_mean",
+    )
+    assert {frozenset((e.u, e.v)) for e in mst.mst_edges} == {
+        frozenset((u, v)) for u, v, _ in res_mst.mst_edges
+    }
+    np.testing.assert_array_equal(mst.centroid_order, res_mst.centroid_order)
+
+    order = res_mst.centroid_order
+    trunk_flags = np.zeros(len(order), bool)
+    for t in range(1, len(order)):
+        trunk_flags[t] = (int(order[t - 1]), int(order[t])) in res_mst.trunk_edges
+    sm, sv = osg.kalman_rts(
+        np.asarray(b0.normalized_centroids, np.float64)[order],
+        np.asarray(b0.variances, np.float64)[order],
+        trunk_flags, transition_model="trunk_aware", trunk_factor=0.3,
+    )
+    np.testing.assert_allclose(np.asarray(kal.smoothed_means), sm, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kal.smoothed_variances), sv, atol=1e-5)
