@@ -221,9 +221,14 @@ class ArrowSpaceBuilder:
             import jax as _jax
 
             _jax.block_until_ready(gl.matrix)
-        self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
-        if self.prebuilt_spectral and aspace.signals is not None:
-            self._persist_sparse("aspace-signals", np.asarray(aspace.signals))
+        # NOTE: device→host pulls are gated behind the persistence check —
+        # evaluating np.asarray(...) as a call argument forces a D2H even
+        # when persistence is off, and the remote transport charges a large
+        # fixed cost for the first materialization of a jit output.
+        if self.persistence is not None:
+            self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
+            if self.prebuilt_spectral and aspace.signals is not None:
+                self._persist_sparse("aspace-signals", np.asarray(aspace.signals))
 
         # Stage 4: taumode λ + sorted index
         with timer.stage("taumode", items=n_items):

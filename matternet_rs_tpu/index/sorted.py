@@ -14,8 +14,17 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.jit
+def _build_sorted_jit(lam: jax.Array):
+    order = jnp.argsort(lam, stable=True)
+    mean = jnp.mean(lam)
+    std = jnp.sqrt(jnp.mean((mean - lam) ** 2))
+    return lam[order], order.astype(jnp.int32), std
 
 
 @dataclasses.dataclass
@@ -127,10 +136,11 @@ class DeviceSortedLambdas:
         lam = jnp.asarray(lambdas, jnp.float32)
         if lam.size == 0:
             raise ValueError("cannot build sorted index from empty lambdas")
-        order = jnp.argsort(lam, stable=True)
-        mean = jnp.mean(lam)
-        std = jnp.sqrt(jnp.mean((mean - lam) ** 2))
-        return cls(lam[order], order.astype(jnp.int32), float(std))
+        # One fused jit: eager op-by-op dispatch costs seconds at 1M on a
+        # remote-attached TPU (each op is a separate round-trip + program);
+        # jitted this is ~60 ms.
+        sl, order, std = _build_sorted_jit(lam)
+        return cls(sl, order, float(std))
 
     # -- device band query -------------------------------------------------
     def range_bylambda(self, lambda_q: float, k: int, p: float) -> list[tuple[int, float]]:

@@ -143,6 +143,21 @@ def synthetic_lambda(
 
 CHUNK_N = 131_072
 
+
+@functools.partial(jax.jit, static_argnames=("tau_mode", "tau_param"))
+def _pallas_chunk_with_tau(chunk, L, tau_mode, tau_param):
+    """τ selection + the fused Pallas λ kernel in one compiled program."""
+    from matternet_rs_tpu.ops.pallas import taumode_fused as tf
+
+    tau = select_tau(chunk, tau_mode, tau_param)
+    fn = (
+        tf.taumode_lambdas_pallas
+        if chunk.shape[1] <= tf.MAX_PALLAS_F
+        else tf.taumode_lambdas_pallas_bigf
+    )
+    return fn(chunk, L, tau)
+
+
 # Beyond this feature dimension λ leaves the dense F×F path: the Laplacian
 # is converted once to exact ELL (top-k capped ⇒ lossless) and every matmul
 # becomes a fixed-degree SpMV — O(N·F·k) traffic instead of O(N·F²) FLOPs
@@ -287,29 +302,25 @@ def taumode_lambdas_auto(
     if n > CHUNK_N:
         pad = (-n) % CHUNK_N
         Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+        Ld = jnp.asarray(L, jnp.float32) if use_pallas else L
         outs = []
         for start in range(0, n + pad, CHUNK_N):
             chunk = jax.lax.dynamic_slice_in_dim(Xp, start, CHUNK_N, axis=0)
             if use_pallas:
-                tau = select_tau(chunk, tau_mode, float(tau_param))
-                fn = (
-                    tf.taumode_lambdas_pallas
-                    if f <= tf.MAX_PALLAS_F
-                    else tf.taumode_lambdas_pallas_bigf
+                # τ + kernel fused in ONE jit per chunk: the eager median
+                # (a full sort) plus per-op dispatch used to dominate the λ
+                # stage at 1M on remote-attached TPUs.
+                outs.append(
+                    _pallas_chunk_with_tau(chunk, Ld, tau_mode, float(tau_param))
                 )
-                outs.append(fn(chunk, jnp.asarray(L, jnp.float32), tau))
             else:
                 outs.append(taumode_lambdas(chunk, L, tau_mode, tau_param))
         return jnp.concatenate(outs)[:n]
 
     if use_pallas:
-        tau = select_tau(X, tau_mode, float(tau_param))
-        fn = (
-            tf.taumode_lambdas_pallas
-            if f <= tf.MAX_PALLAS_F
-            else tf.taumode_lambdas_pallas_bigf
+        return _pallas_chunk_with_tau(
+            X, jnp.asarray(L, jnp.float32), tau_mode, float(tau_param)
         )
-        return fn(X, jnp.asarray(L, jnp.float32), tau)
     return taumode_lambdas(X, L, tau_mode, tau_param)
 
 
