@@ -43,8 +43,13 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO_PATH.exists() and not _build():
-            return None
+        stale = _SO_PATH.exists() and any(
+            src.stat().st_mtime > _SO_PATH.stat().st_mtime
+            for src in _NATIVE_DIR.glob("*.cpp")
+        )
+        if (not _SO_PATH.exists() or stale) and not _build():
+            if not _SO_PATH.exists():
+                return None
         try:
             lib = ctypes.CDLL(str(_SO_PATH))
         except OSError as exc:
@@ -64,6 +69,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.mrs_shard_reader_open.restype = ctypes.c_void_p
+        lib.mrs_shard_reader_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.mrs_shard_reader_next.restype = ctypes.c_int64
+        lib.mrs_shard_reader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char),
+        ]
+        lib.mrs_shard_reader_close.restype = None
+        lib.mrs_shard_reader_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -136,3 +152,76 @@ def nearest_centroid_batch(X: np.ndarray, centroids: np.ndarray):
         d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return idx, d2
+
+
+class ShardReader:
+    """Streaming block reader over raw f32 shard files with native
+    background read-ahead (native/shard_reader.cpp): the next block is read
+    from disk while the caller uploads the current one. Iterates
+    ``[block_rows, f]`` float32 arrays (the last block may be shorter).
+
+    Falls back to a pure-Python generator over ``np.memmap`` views when the
+    native library is unavailable.
+    """
+
+    def __init__(self, paths, block_rows: int, n_features: int):
+        self.paths = [str(p) for p in paths]
+        self.block_rows = int(block_rows)
+        self.f = int(n_features)
+        self.row_bytes = self.f * 4
+        self._lib = get_lib()
+        self._handle = None
+        if self._lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths]
+            )
+            self._handle = self._lib.mrs_shard_reader_open(
+                arr, len(self.paths), self.block_rows, self.row_bytes
+            )
+        self._py_iter = None if self._handle else self._python_blocks()
+
+    def _python_blocks(self):
+        buf = np.empty((self.block_rows, self.f), np.float32)
+        fill = 0
+        for p in self.paths:
+            mm = np.memmap(p, dtype=np.float32).reshape(-1, self.f)
+            pos = 0
+            while pos < len(mm):
+                take = min(self.block_rows - fill, len(mm) - pos)
+                buf[fill : fill + take] = mm[pos : pos + take]
+                fill += take
+                pos += take
+                if fill == self.block_rows:
+                    yield buf.copy()
+                    fill = 0
+        if fill:
+            yield buf[:fill].copy()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._handle is not None:
+            out = np.empty((self.block_rows, self.f), np.float32)
+            rows = self._lib.mrs_shard_reader_next(
+                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
+            )
+            if rows < 0:
+                self.close()
+                raise IOError("native shard reader IO error")
+            if rows == 0:
+                self.close()
+                raise StopIteration
+            return out[:rows]
+        return next(self._py_iter)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.mrs_shard_reader_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover — best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -321,6 +321,37 @@ def search_lambda_aware(
     return [(int(i), float(scores[i])) for i in order]
 
 
+def search_lambda_aware_hybrid(
+    X: np.ndarray, lambdas: np.ndarray, query: np.ndarray, q_lambda: float,
+    k: int, alpha: float,
+) -> list[tuple[int, float]]:
+    """Hybrid search (core.rs:1197-1323): candidate union of the λ-score
+    top-k, {cos > 0.9999}, and the semantic top-1; high-semantic members
+    keep their cosine as the final score (insertion precedence), the rest
+    keep the blended score; sorted desc, truncated to k."""
+    if k == 0:
+        return []
+    X = np.asarray(X, np.float64)
+    q = np.asarray(query, np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    qn = float(np.linalg.norm(q))
+    denom = norms * qn
+    cos = np.where(denom > 0.0, (X @ q) / np.maximum(denom, 1e-300), 0.0)
+    lam_sim = 1.0 - np.minimum(np.abs(q_lambda - np.asarray(lambdas, np.float64)), 1.0)
+    lambda_score = alpha * cos + (1.0 - alpha) * lam_sim
+
+    score_map: dict[int, float] = {}
+    for i in np.nonzero(cos > 0.9999)[0]:          # high-semantic first
+        score_map[int(i)] = float(cos[i])
+    for i in np.argsort(-lambda_score, kind="stable")[:k]:
+        score_map.setdefault(int(i), float(lambda_score[i]))
+    sem_top = int(np.argmax(cos))
+    score_map.setdefault(sem_top, float(cos[sem_top]))
+
+    out = sorted(score_map.items(), key=lambda t: (-t[1], t[0]))
+    return [(i, s) for i, s in out[:k]]
+
+
 # ---------------------------------------------------------------------------
 # Incremental clustering (src_legacy/clustering.rs:574-932, sequential mode)
 # ---------------------------------------------------------------------------

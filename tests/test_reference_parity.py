@@ -440,3 +440,28 @@ def test_staged_pipeline_parity_trunk_aware_sqeuclidean():
     )
     np.testing.assert_allclose(np.asarray(kal.smoothed_means), sm, atol=1e-4)
     np.testing.assert_allclose(np.asarray(kal.smoothed_variances), sv, atol=1e-5)
+
+
+def test_hybrid_search_parity():
+    """Hybrid search (λ-top-k ∪ high-cos ∪ semantic-top-1 with cosine
+    precedence) matches the oracle item-for-item (core.rs:1197-1323)."""
+    rows, rng, aspace, gl, oi, _ = _parity_build(n=800, seed=5)
+    n = rows.shape[0]
+    # Include exact self-queries (cos = 1 > 0.9999 exercises the
+    # high-semantic branch) and perturbed ones.
+    q_ids = rng.choice(n, 6, replace=False)
+    queries = np.concatenate(
+        [rows[q_ids], rows[q_ids] + 0.05 * rng.normal(size=(6, rows.shape[1])).astype(np.float32)]
+    )
+    for q in queries.astype(np.float32):
+        ql = aspace.prepare_query_item(q, gl)
+        res_tpu = aspace.search_lambda_aware_hybrid(q, ql, 10)
+        res_or = oracle.search_lambda_aware_hybrid(
+            rows, oi.lambdas, q, oi.prepare_query(q), 10, 0.7
+        )
+        ids_tpu = [i for i, _ in res_tpu]
+        ids_or = [i for i, _ in res_or]
+        assert ids_tpu[0] == ids_or[0]
+        assert len(set(ids_tpu) & set(ids_or)) >= len(ids_or) - 1, (
+            ids_tpu, ids_or,
+        )

@@ -1,0 +1,91 @@
+"""Shard store + native streaming reader + streamed distributed build."""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu import native
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.parallel.mesh import make_mesh
+from matternet_rs_tpu.storage import shards as ss
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(5, 24)) * 4.0
+    X = (centers[rng.integers(0, 5, 5000)] + rng.normal(size=(5000, 24))).astype(
+        np.float32
+    )
+    d = tmp_path_factory.mktemp("shards")
+    manifest = ss.write_shards(X, d, rows_per_shard=1337)  # uneven shards
+    return X, d, manifest
+
+
+def test_write_shards_manifest(store):
+    X, d, m = store
+    assert m["n_rows"] == 5000 and m["n_features"] == 24
+    assert [s["rows"] for s in m["shards"]] == [1337, 1337, 1337, 989]
+    assert ss.read_manifest(d) == m
+
+
+@pytest.mark.parametrize("block_rows", [500, 1337, 4096])
+def test_stream_blocks_roundtrip(store, block_rows):
+    X, d, _ = store
+    got = np.concatenate(list(ss.stream_blocks(d, block_rows)))
+    np.testing.assert_array_equal(got, X)
+
+
+def test_native_reader_available_and_matches_python(store):
+    X, d, m = store
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    paths = [d / s["file"] for s in m["shards"]]
+    nat = native.ShardReader(paths, 768, 24)
+    assert nat._handle is not None, "native reader did not engage"
+    nat_blocks = list(nat)
+    py = native.ShardReader(paths, 768, 24)
+    py._handle, py._py_iter = None, py._python_blocks()  # force fallback
+    py_blocks = list(py)
+    assert len(nat_blocks) == len(py_blocks)
+    for a, b in zip(nat_blocks, py_blocks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_write_shards_streaming_producer(tmp_path):
+    rng = np.random.default_rng(1)
+    blocks = [rng.normal(size=(700, 8)).astype(np.float32) for _ in range(4)]
+    m = ss.write_shards(iter(blocks), tmp_path, rows_per_shard=1000)
+    assert m["n_rows"] == 2800
+    got = np.concatenate(list(ss.stream_blocks(tmp_path, 512)))
+    np.testing.assert_array_equal(got, np.concatenate(blocks))
+
+
+def test_shard_items_from_store_matches_memory(store):
+    X, d, _ = store
+    mesh = make_mesh(8)
+    Xs, n = ss.shard_items_from_store(mesh, d)
+    assert n == 5000
+    got = np.asarray(Xs)
+    np.testing.assert_array_equal(got[:n], X)
+    assert np.all(got[n:] == 0.0)
+
+
+def test_distributed_build_from_store_end_to_end(store):
+    X, d, _ = store
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    sa = ss.distributed_build_from_store(d, params, k_clusters=10, n_devices=8)
+    assert sa.n_items == 5000
+    res = sa.search(X[42], k=5)
+    assert res[0][0] == 42
+    lam = np.asarray(sa.lambdas)[:5000]
+    assert lam.min() >= 0.0 and lam.max() <= 1.0
+
+    # Equals the in-memory distributed build on the same data.
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    sa_mem = ShardedArrowSpace.distributed_build(
+        [X], params, k_clusters=10, n_devices=8
+    )
+    np.testing.assert_allclose(
+        lam, np.asarray(sa_mem.lambdas)[:5000], atol=1e-6
+    )
