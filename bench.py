@@ -336,6 +336,59 @@ def bench_spectral_quality(jax, jnp, extra):
     }
 
 
+def bench_largef(jax, jnp, extra):
+    """DBpedia-scale feature dimension (BASELINE config #4 shape): the
+    graph+λ build stages at F=1536 (Pallas F-tiled λ) and F=4096 (exact
+    ELL sparse λ), vs the strongest practical NumPy baseline (the f64
+    closed-form BLAS matmuls — the oracle's fast path). λ is
+    row-independent, so throughputs are compared as items/sec."""
+    from matternet_rs_tpu import oracle
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.ops import laplacian as lap_ops
+    from matternet_rs_tpu.ops import taumode as tm_ops
+
+    rng = np.random.default_rng(3)
+    out = {}
+    for F, n_tpu, n_np in ((1536, 50_000, 5_000), (4096, 20_000, 1_000)):
+        X = rng.normal(size=(n_tpu, F)).astype(np.float32)
+        cents = np.stack(
+            [X[rng.choice(n_tpu, 20, replace=False)].mean(0) for _ in range(200)]
+        )
+        params = GraphParams(eps=1.0, k=6, topk=4, sparsity_check=False)
+
+        t0 = time.perf_counter()
+        gl = lap_ops.build_laplacian_from_k_cluster(
+            jnp.asarray(cents), params, n_items=n_tpu
+        )
+        jax.block_until_ready(gl.matrix)
+        graph_s = time.perf_counter() - t0
+
+        Xd = jnp.asarray(X)
+        graph = gl.ell() if F > tm_ops.SPARSE_F_THRESHOLD else gl.matrix
+        lam = tm_ops.taumode_lambdas_auto(Xd, graph, tm_ops.TAU_MEDIAN)
+        float(jnp.sum(lam))                     # warm + true barrier
+        t0 = time.perf_counter()
+        lam = tm_ops.taumode_lambdas_auto(Xd, graph, tm_ops.TAU_MEDIAN)
+        float(jnp.sum(lam))
+        tpu_s = time.perf_counter() - t0
+
+        L_np = np.asarray(gl.matrix, np.float64)
+        t0 = time.perf_counter()
+        oracle.taumode_lambdas_fast(X[:n_np].astype(np.float64), L_np)
+        np_s = time.perf_counter() - t0
+
+        tpu_ips = n_tpu / tpu_s
+        np_ips = n_np / np_s
+        out[f"F{F}"] = {
+            "graph_build_seconds": round(graph_s, 3),
+            "lambda_items_per_sec_tpu": round(tpu_ips, 1),
+            "lambda_items_per_sec_numpy_f64": round(np_ips, 1),
+            "lambda_speedup_vs_numpy": round(tpu_ips / np_ips, 1),
+            "path": "ell_sparse" if F > tm_ops.SPARSE_F_THRESHOLD else "pallas_tiled",
+        }
+    extra["largef"] = out
+
+
 def bench_1m(jax, jnp, extra):
     """1M×128 row (BASELINE north star scale on one chip)."""
     from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
@@ -393,6 +446,7 @@ def main():
         ("1m", bench_1m, (jax, jnp, extra)),
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),
+        ("largef", bench_largef, (jax, jnp, extra)),
     ):
         if time.perf_counter() - t_start > budget_s:
             extra[f"skipped_{name}"] = "time budget exceeded"
