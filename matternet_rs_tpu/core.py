@@ -187,6 +187,8 @@ class ArrowSpace:
 
     # cached row norms for cosine scoring
     _norms: Optional[jax.Array] = None
+    # cached ELL form of `signals` (large-F spectral mode)
+    _signals_ell: Optional[object] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -222,9 +224,16 @@ class ArrowSpace:
     def graph_for_taumode(self, gl: GraphLaplacian):
         """Precomputed signals when present, else the Laplacian
         (taumode.rs:137-146). Beyond ``SPARSE_F_THRESHOLD`` features the
-        graph is served in exact ELL form (cached on the GraphLaplacian) so
-        λ never does dense F×F work."""
+        graph is served in exact ELL form (cached — extraction does a full
+        [F, F] pass + a blocking scalar D2H, so per-query re-extraction
+        would dominate serving on remote-attached TPUs)."""
         if self.signals is not None:
+            if self.signals.shape[0] > taumode_ops.SPARSE_F_THRESHOLD:
+                if self._signals_ell is None:
+                    from matternet_rs_tpu.ops.csr import ell_from_dense_laplacian
+
+                    self._signals_ell = ell_from_dense_laplacian(self.signals)
+                return self._signals_ell
             return self.signals
         if gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD:
             return gl.ell()

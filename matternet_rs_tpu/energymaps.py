@@ -269,12 +269,15 @@ def diffuse_and_split_subcentroids(
 
     rows = [work_np]
     to_split = np.nonzero(gini >= thresh)[0]
-    if to_split.size and x > 1:
+    k = min(p.neighbor_k, x - 1)
+    if to_split.size and x > 1 and k >= 1:
         # One batched kNN matmul + fully vectorized ±τ·gradient split —
-        # no per-split-row Python loop (VERDICT weak #5).
+        # no per-split-row Python loop (VERDICT weak #5). k < 1 degrades
+        # to no split (the scalar loop's zero-mean fallback produced
+        # degenerate ±τ·ĉ rows; no-split is the saner behaviour and
+        # unreachable with the EnergyParams presets anyway).
         from matternet_rs_tpu.ops.knn import knn
 
-        k = min(p.neighbor_k, x - 1)
         _, idx = knn(work[to_split], work, k=k + 1, metric="sqeuclidean")
         idx = np.asarray(idx)                                  # [S, k+1]
         # Drop self per row, keep neighbour order, take k.

@@ -69,17 +69,28 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ]
-        lib.mrs_shard_reader_open.restype = ctypes.c_void_p
-        lib.mrs_shard_reader_open.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.mrs_shard_reader_next.restype = ctypes.c_int64
-        lib.mrs_shard_reader_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char),
-        ]
-        lib.mrs_shard_reader_close.restype = None
-        lib.mrs_shard_reader_close.argtypes = [ctypes.c_void_p]
+        # Shard-reader symbols may be absent when an older .so could not be
+        # rebuilt (no toolchain): keep the clustering fast path working and
+        # let ShardReader fall back to the Python memmap reader.
+        try:
+            lib.mrs_shard_reader_open.restype = ctypes.c_void_p
+            lib.mrs_shard_reader_open.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.mrs_shard_reader_next.restype = ctypes.c_int64
+            lib.mrs_shard_reader_next.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char),
+            ]
+            lib.mrs_shard_reader_close.restype = None
+            lib.mrs_shard_reader_close.argtypes = [ctypes.c_void_p]
+            lib._has_shard_reader = True
+        except AttributeError:
+            log.warning(
+                "native library lacks the shard reader (stale build without "
+                "a toolchain to rebuild); using the Python memmap reader"
+            )
+            lib._has_shard_reader = False
         _lib = lib
         return _lib
 
@@ -171,7 +182,7 @@ class ShardReader:
         self.row_bytes = self.f * 4
         self._lib = get_lib()
         self._handle = None
-        if self._lib is not None:
+        if self._lib is not None and getattr(self._lib, "_has_shard_reader", False):
             arr = (ctypes.c_char_p * len(self.paths))(
                 *[p.encode() for p in self.paths]
             )
@@ -213,6 +224,10 @@ class ShardReader:
                 self.close()
                 raise StopIteration
             return out[:rows]
+        if self._py_iter is None:
+            # Native stream already exhausted/closed — stay exhausted
+            # (callers may probe past the end, e.g. padding-only devices).
+            raise StopIteration
         return next(self._py_iter)
 
     def close(self) -> None:

@@ -188,12 +188,3 @@ def spmv_ell_scan(indices: jax.Array, weights: jax.Array, X: jax.Array) -> jax.A
     acc0 = jnp.zeros_like(X)
     acc, _ = jax.lax.scan(body, acc0, (indices.T, weights.T))
     return acc
-
-
-@jax.jit
-def ell_matmul_laplacian(ell_indices, ell_weights, ell_diag, X):
-    """``X @ L`` for item batches ``X [B, F]`` against an ELL Laplacian
-    (symmetric): ``(X@L)_bf = diag_f·X_bf − (X@W)_bf`` with
-    ``X@W = (W@Xᵀ)ᵀ``."""
-    wxt = spmv_ell_scan(ell_indices, ell_weights, X.T)   # [F, B]
-    return X * ell_diag[None, :] - wxt.T

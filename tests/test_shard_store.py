@@ -89,3 +89,28 @@ def test_distributed_build_from_store_end_to_end(store):
     np.testing.assert_allclose(
         lam, np.asarray(sa_mem.lambdas)[:5000], atol=1e-6
     )
+
+
+def test_reader_exhaustion_keeps_raising_stopiteration(store):
+    """Padding-only devices probe past the end: every next() after
+    exhaustion must raise StopIteration (native reader regression)."""
+    X, d, m = store
+    paths = [d / s["file"] for s in m["shards"]]
+    r = native.ShardReader(paths, 4096, 24)
+    list(r)                                # exhaust
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(r)
+
+
+def test_store_with_padding_only_devices(tmp_path):
+    """N smaller than the mesh: several devices receive pure padding."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(10, 6)).astype(np.float32)
+    ss.write_shards(X, tmp_path, rows_per_shard=4)
+    mesh = make_mesh(8)
+    Xs, n = ss.shard_items_from_store(mesh, tmp_path)
+    assert n == 10
+    got = np.asarray(Xs)
+    np.testing.assert_array_equal(got[:10], X)
+    assert np.all(got[10:] == 0.0)
