@@ -694,3 +694,58 @@ def build_energy_index(
         lambdas=sc_lambdas[cmap],
         L_energy=L_energy,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-λ index (src_legacy/sorted_index.rs)
+# ---------------------------------------------------------------------------
+
+
+def sorted_band_query(
+    lambdas: np.ndarray, q_lambda: float, k: int, p: float,
+) -> list[tuple[int, float]]:
+    """Band range query over the sorted-λ order (sorted_index.rs:64-80):
+    band = σ/2^p with the reference's f32 std (f32 mean, f32 variance —
+    laplacian.rs:431-448); all items with λ ∈ [λq−band, λq+band] in
+    ascending-λ order, truncated to k ONLY when ≥ k are in band."""
+    lam = np.asarray(lambdas, np.float64)
+    order = np.argsort(lam, kind="stable")
+    s_lam = lam[order]
+    mean32 = np.float32(lam.sum()) / np.float32(lam.size)
+    var32 = np.mean((mean32 - lam.astype(np.float32)) ** 2, dtype=np.float32)
+    band = float(np.sqrt(var32)) / (2.0 ** p)
+    lo = np.searchsorted(s_lam, q_lambda - band, side="left")
+    hi = np.searchsorted(s_lam, q_lambda + band, side="right")
+    out = [(int(order[i]), float(s_lam[i])) for i in range(lo, hi)]
+    return out[:k] if len(out) >= k else out
+
+
+def k_nearest_by_lambda(
+    lambdas: np.ndarray, q_lambda: float, k: int, p: float,
+    base_delta: Optional[float] = None, growth: float = 1.7,
+    max_multiplier: float = 10.0,
+) -> list[tuple[int, float]]:
+    """Expanding-window k-nearest by |Δλ| (sorted_index.rs:85-140)."""
+    lam = np.asarray(lambdas, np.float64)
+    if k == 0 or lam.size == 0:
+        return []
+    order = np.argsort(lam, kind="stable")
+    s_lam = lam[order]
+    mean32 = np.float32(lam.sum()) / np.float32(lam.size)
+    var32 = np.mean((mean32 - lam.astype(np.float32)) ** 2, dtype=np.float32)
+    std = float(np.sqrt(var32))
+    delta = abs(base_delta if base_delta is not None else max(std * p, 1e-9))
+    growth = growth if np.isfinite(growth) and growth > 1.0 else 1.7
+    max_delta = min(delta * max(max_multiplier, 1.0), 1.0)
+    while True:
+        lo = np.searchsorted(s_lam, max(q_lambda - delta, 0.0), side="left")
+        hi = np.searchsorted(s_lam, min(q_lambda + delta, 1.0), side="right")
+        if hi - lo >= k or delta >= max_delta:
+            break
+        delta = min(delta * growth, max_delta)
+    idx = order[lo:hi]
+    vals = s_lam[lo:hi]
+    if idx.size == 0:
+        return []
+    sub = np.argsort(np.abs(vals - q_lambda), kind="stable")[:k]
+    return [(int(idx[i]), float(vals[i])) for i in sub]

@@ -129,3 +129,28 @@ def test_lobpcg_ell_matches_dense_operator():
     np.testing.assert_allclose(v_d, v_e, atol=1e-4)
     true = np.linalg.eigvalsh(L.astype(np.float64))[:6]
     np.testing.assert_allclose(v_e, true, atol=1e-3)
+
+
+def test_signals_ell_cached_beyond_threshold():
+    """Spectral-signals mode at F > threshold serves a CACHED EllLaplacian
+    (re-extraction per query batch was a code-review finding)."""
+    from matternet_rs_tpu.core import ArrowSpace
+    from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+
+    f = tm.SPARSE_F_THRESHOLD + 16
+    L = _topk_laplacian(f, 4, seed=21)
+    gl = GraphLaplacian(
+        matrix=jnp.asarray(L), init_data=jnp.zeros((f, 2)), nnodes=10,
+        graph_params=GraphParams(sparsity_check=False),
+    )
+    rng = np.random.default_rng(22)
+    aspace = ArrowSpace.from_items(rng.normal(size=(20, f)).astype(np.float32))
+    aspace.signals = jnp.asarray(_topk_laplacian(f, 4, seed=23))
+    g1 = aspace.graph_for_taumode(gl)
+    g2 = aspace.graph_for_taumode(gl)
+    assert isinstance(g1, EllLaplacian)
+    assert g1 is g2                         # cached, not re-extracted
+    # And it is the signals graph, not the Laplacian.
+    np.testing.assert_allclose(
+        np.asarray(g1.to_dense()), np.asarray(aspace.signals), atol=1e-6
+    )

@@ -465,3 +465,29 @@ def test_hybrid_search_parity():
         assert len(set(ids_tpu) & set(ids_or)) >= len(ids_or) - 1, (
             ids_tpu, ids_or,
         )
+
+
+def test_sorted_index_band_query_parity():
+    """Band query and expanding-window k-nearest over the sorted-λ index
+    match the oracle port of sorted_index.rs (both the host and the
+    device-resident index variants)."""
+    from matternet_rs_tpu.index.sorted import DeviceSortedLambdas, SortedLambdas
+
+    rng = np.random.default_rng(13)
+    lam = rng.random(500).astype(np.float32)
+    host = SortedLambdas.build_from(lam)
+    dev = DeviceSortedLambdas.build_from(lam)
+
+    for q, k, p in ((0.5, 10, 2.0), (0.03, 5, 1.0), (0.97, 20, 3.0)):
+        expect = oracle.sorted_band_query(lam, q, k, p)
+        got_h = host.range_bylambda(q, k, p)
+        got_d = dev.range_bylambda(q, k, p)
+        assert [i for i, _ in got_h] == [i for i, _ in expect]
+        assert [i for i, _ in got_d] == [i for i, _ in expect]
+        np.testing.assert_allclose(
+            [v for _, v in got_h], [v for _, v in expect], atol=1e-6
+        )
+
+        expect_k = oracle.k_nearest_by_lambda(lam, q, k, p)
+        got_k = host.k_nearest_by_lambda(q, k, p)
+        assert [i for i, _ in got_k] == [i for i, _ in expect_k]
