@@ -105,6 +105,40 @@ def cmd_serve(args) -> None:
     serve(service, args.host, args.port)
 
 
+def cmd_shard_write(args) -> None:
+    from matternet_rs_tpu.storage import shards as ss
+
+    data = _load_matrix(args.data).astype(np.float32)
+    manifest = ss.write_shards(data, args.out, rows_per_shard=args.rows_per_shard)
+    print(json.dumps({"status": "sharded", "out": str(args.out), **manifest}))
+
+
+def cmd_build_distributed(args) -> None:
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.storage import shards as ss
+
+    params = GraphParams(
+        eps=args.eps, k=args.k, topk=min(args.k, 4), sparsity_check=False
+    )
+    sa = ss.distributed_build_from_store(
+        args.store_dir, params, k_clusters=args.k_clusters,
+        n_devices=args.n_devices, lloyd_iters=args.lloyd_iters,
+    )
+    info = {
+        "status": "built",
+        "n_items": sa.n_items,
+        "n_devices": int(sa.mesh.devices.size),
+        "lambda_range": sa.range_lambdas,
+    }
+    if args.query is not None:
+        q = _load_matrix(args.query).astype(np.float32)
+        q = q if q.ndim == 1 else q[0]
+        info["query_top"] = [
+            {"index": i, "score": round(s, 6)} for i, s in sa.search(q, k=args.topk)
+        ]
+    print(json.dumps(info))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="matternet_rs_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -142,6 +176,28 @@ def main(argv=None) -> None:
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8757)
     pv.set_defaults(fn=cmd_serve)
+
+    pw = sub.add_parser(
+        "shard-write", help="write a matrix into the raw shard store"
+    )
+    pw.add_argument("data")
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--rows-per-shard", type=int, default=262_144)
+    pw.set_defaults(fn=cmd_shard_write)
+
+    pd = sub.add_parser(
+        "build-distributed",
+        help="mesh-distributed build streamed from a shard store",
+    )
+    pd.add_argument("store_dir")
+    pd.add_argument("--k-clusters", type=int, default=64)
+    pd.add_argument("--eps", type=float, default=1.0)
+    pd.add_argument("--k", type=int, default=6)
+    pd.add_argument("--n-devices", type=int, default=None)
+    pd.add_argument("--lloyd-iters", type=int, default=10)
+    pd.add_argument("--query", default=None, help=".npy query to run after build")
+    pd.add_argument("--topk", type=int, default=10)
+    pd.set_defaults(fn=cmd_build_distributed)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -44,3 +44,30 @@ def test_cli_build_search_info(data_file, tmp_path, capsys):
 def test_cli_rejects_unknown_format(tmp_path):
     with pytest.raises(SystemExit):
         main(["build", "data.csv", "--out", str(tmp_path)])
+
+
+def test_cli_shard_write_and_build_distributed(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from matternet_rs_tpu.__main__ import main
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(600, 16)).astype(np.float32)
+    data_path = tmp_path / "data.npy"
+    np.save(data_path, X)
+    q_path = tmp_path / "q.npy"
+    np.save(q_path, X[7])
+    store = tmp_path / "store"
+
+    main(["shard-write", str(data_path), "--out", str(store),
+          "--rows-per-shard", "250"])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["n_rows"] == 600 and len(doc["shards"]) == 3
+
+    main(["build-distributed", str(store), "--k-clusters", "8",
+          "--n-devices", "4", "--query", str(q_path), "--topk", "5"])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["n_items"] == 600 and doc["n_devices"] == 4
+    assert doc["query_top"][0]["index"] == 7
