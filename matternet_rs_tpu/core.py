@@ -55,6 +55,19 @@ def _batched_search_jit(X, norms, lams, Q, q_lams, k, alpha, approx):
     )(Q, q_lams)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
+def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alpha, approx):
+    """Search with the query-λ normalization folded in — one dispatch
+    instead of four (sub/div/clip each cost a round-trip when eager on a
+    remote-attached TPU)."""
+    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    return jax.vmap(
+        lambda q, ql: search_ops.search_lambda_aware(
+            X, norms, lams, q, ql, k, alpha, approx=approx
+        )
+    )(Q, q_lams)
+
+
 @dataclasses.dataclass(frozen=True)
 class TauMode:
     """τ-selection policy (reference: src_legacy/taumode.rs:17-25).
@@ -411,6 +424,13 @@ class ArrowSpace:
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
+        b = Q.shape[0]
+        # Pad the batch to the next power of two: micro-batched serving sees
+        # many distinct batch sizes, and each unpadded size would compile its
+        # own program.
+        b_pad = 1 << max(b - 1, 1).bit_length() if b > 1 else 1
+        if b_pad != b:
+            Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
 
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
             Qe = Q
@@ -427,6 +447,9 @@ class ArrowSpace:
                 )
             )(Qe)
             raw = q_lams
+            idx, sc = _batched_search_jit(
+                self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, approx
+            )
         else:
             graph = self.graph_for_taumode(gl)
             Qw = Q
@@ -439,15 +462,16 @@ class ArrowSpace:
             raw = taumode_ops.taumode_lambdas_auto(
                 Qw, graph, self.taumode.mode, self.taumode.param
             )
-            q_lams = jnp.clip(
-                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+            # Normalization folded into the search dispatch (no eager
+            # sub/div/clip round-trips).
+            idx, sc = _batched_search_normalized_jit(
+                self.data, self.norms, self.lambdas, Q, raw,
+                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
+                k, alpha, approx,
             )
-        idx, sc = _batched_search_jit(
-            self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, approx
-        )
         if return_raw:
-            return np.asarray(idx), np.asarray(sc), np.asarray(raw)
-        return np.asarray(idx), np.asarray(sc)
+            return np.asarray(idx)[:b], np.asarray(sc)[:b], np.asarray(raw)[:b]
+        return np.asarray(idx)[:b], np.asarray(sc)[:b]
 
     def add_items(self, new_rows, gl: GraphLaplacian) -> None:
         """Incrementally insert items into a built index.

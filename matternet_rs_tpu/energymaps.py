@@ -486,6 +486,12 @@ def search_energy_batch(
     Q = jnp.asarray(queries, jnp.float32)
     if Q.ndim == 1:
         Q = Q[None, :]
+    b = Q.shape[0]
+    # Power-of-two batch padding: one compiled program per size bucket
+    # (micro-batched serving produces many distinct batch sizes).
+    b_pad = 1 << max(b - 1, 1).bit_length() if b > 1 else 1
+    if b_pad != b:
+        Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
     Qe = Q
     if aspace.extra_reduced_dim or (
         aspace.projection is not None
@@ -504,7 +510,7 @@ def search_energy_batch(
         aspace.sub_centroids, jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
         Q, Qe, kk, approx,
     )
-    return np.asarray(idx), np.asarray(dist)
+    return np.asarray(idx)[:b], np.asarray(dist)[:b]
 
 
 @jax.jit
