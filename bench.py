@@ -336,6 +336,45 @@ def bench_spectral_quality(jax, jnp, extra):
     }
 
 
+def bench_blend_quality(jax, jnp, extra):
+    """The product claim, measured: on a fixture where cosine is ambiguous
+    (same-direction items split into spectrally smooth vs rough styles with
+    equal-magnitude noise), the λ blend improves precision@10 over pure
+    cosine. VERDICT weak #2."""
+    from matternet_rs_tpu.core import TauMode
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_cosine_tied_smoothness_dataset
+
+    X, labels, styles = make_cosine_tied_smoothness_dataset(seed=0)
+    aspace, gl = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_synthesis(TauMode.fixed(0.5))
+        .with_cluster_params(max_clusters=80, radius=30.0)
+        .with_sampling(None)
+        .build(X)
+    )
+
+    def precision(alpha, seed=99):
+        rng = np.random.default_rng(seed)
+        ps = []
+        for m in range(labels.max() + 1):
+            rel = np.nonzero((labels == m) & (styles == 0))[0]
+            q = X[rel[0]] + rng.normal(0, 0.03, X.shape[1]).astype(np.float32)
+            ql = aspace.prepare_query_item(q, gl)
+            res = aspace.search_lambda_aware(q, ql, K, alpha=alpha)
+            ps.append(len({i for i, _ in res} & set(rel.tolist())) / K)
+        return float(np.mean(ps))
+
+    p_cos, p_blend = precision(1.0), precision(0.7)
+    extra["blend_quality"] = {
+        "precision_at_10_pure_cosine": round(p_cos, 4),
+        "precision_at_10_blend_alpha0.7": round(p_blend, 4),
+        "lambda_blend_gain": round(p_blend - p_cos, 4),
+    }
+
+
 def bench_largef(jax, jnp, extra):
     """DBpedia-scale feature dimension (BASELINE config #4 shape): the
     graph+λ build stages at F=1536 (Pallas F-tiled λ) and F=4096 (exact
@@ -411,6 +450,77 @@ def bench_1m(jax, jnp, extra):
         "n_items": N,
     }
 
+    # IVF-pruned path: probe 32 of ~1k buckets (≈3% of the corpus scanned).
+    try:
+        from matternet_rs_tpu.index.ivf import ivf_search_batch
+
+        t0 = time.perf_counter()
+        ivf = aspace.build_ivf_index(bucket_size=1024)
+        jax.block_until_ready(ivf.bucket_items)
+        ivf_build_s = time.perf_counter() - t0
+
+        rng = np.random.default_rng(13)
+        lam_np = np.asarray(aspace.lambdas)
+        nprobe = 32
+
+        def run(Q, QL):
+            return ivf_search_batch(
+                ivf.centroids, ivf.centroid_norms, ivf.bucket_items,
+                ivf.bucket_centroid, ivf.bucket_lambda_lo, ivf.bucket_lambda_hi,
+                aspace.data, aspace.norms, aspace.lambdas,
+                Q, QL, K, 0.7, nprobe,
+            )
+
+        qi = rng.integers(0, N, 256)
+        warm = run(jnp.asarray(data[qi]), jnp.asarray(lam_np[qi]))
+        jax.block_until_ready(warm)
+        # Recall vs the exact blended scan on the same queries.
+        from matternet_rs_tpu.ops import search as search_ops
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("k",))
+        def exact_batch(X, norms, lams, qs, qls, k):
+            return jax.vmap(
+                lambda q, ql: search_ops.search_lambda_aware(
+                    X, norms, lams, q, ql, k
+                )
+            )(qs, qls)
+
+        ex_idx, _ = exact_batch(
+            aspace.data, aspace.norms, aspace.lambdas,
+            jnp.asarray(data[qi]), jnp.asarray(lam_np[qi]), K,
+        )
+        ex_idx = np.asarray(ex_idx)
+        iv_idx = np.asarray(warm[0])
+        ivf_recall = float(
+            np.mean([
+                len(set(iv_idx[r].tolist()) & set(ex_idx[r].tolist())) / K
+                for r in range(len(qi))
+            ])
+        )
+        reps = []
+        for _ in range(4):
+            ridx = rng.integers(0, N, 256)
+            reps.append((jnp.asarray(data[ridx]), jnp.asarray(lam_np[ridx])))
+        t0 = time.perf_counter()
+        for Q, QL in reps:
+            out = run(Q, QL)
+        float(jnp.sum(out[1]))
+        ivf_qps = 256 * len(reps) / (time.perf_counter() - t0)
+        extra["config_1m"].update(
+            {
+                "ivf_build_seconds": round(ivf_build_s, 2),
+                "ivf_query_qps_nprobe32": round(ivf_qps, 1),
+                "ivf_recall_at_10_vs_exact": round(ivf_recall, 4),
+                "ivf_n_buckets": ivf.n_buckets,
+            }
+        )
+    except Exception as exc:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        extra["config_1m"]["error_ivf"] = repr(exc)[:200]
+
 
 def main():
     import pathlib
@@ -446,6 +556,7 @@ def main():
         ("1m", bench_1m, (jax, jnp, extra)),
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),
+        ("blend", bench_blend_quality, (jax, jnp, extra)),
         ("largef", bench_largef, (jax, jnp, extra)),
     ):
         if time.perf_counter() - t_start > budget_s:

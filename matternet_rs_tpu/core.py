@@ -202,6 +202,8 @@ class ArrowSpace:
     _norms: Optional[jax.Array] = None
     # cached ELL form of `signals` (large-F spectral mode)
     _signals_ell: Optional[object] = None
+    # optional IVF pruned-search layout (index/ivf.py)
+    ivf: Optional[object] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -565,6 +567,89 @@ class ArrowSpace:
             k, alpha, window,
         )
         return [(int(i), float(s)) for i, s in zip(idx, sc)]
+
+    # ------------------------------------------------------------------
+    # IVF-pruned search (beyond-reference: reuses the build's clustering
+    # to prune the query-time scan; index/ivf.py)
+    # ------------------------------------------------------------------
+    def build_ivf_index(self, bucket_size: int = 1024, seed: int = 0):
+        """Bucketed IVF layout over the item store. Seeds centroids from
+        the build-stage cluster assignments when present (stage 1 already
+        paid for them), else a jitted k-means++ run."""
+        from matternet_rs_tpu.index.ivf import build_ivf
+
+        self.ivf = build_ivf(
+            self.data,
+            assignments=self.cluster_assignments,
+            n_clusters=self.n_clusters or None,
+            bucket_size=bucket_size,
+            seed=seed,
+            lambdas=None if self.lambdas is None else np.asarray(self.lambdas),
+        )
+        return self.ivf
+
+    def search_lambda_aware_ivf(
+        self, query, query_lambda: float, k: int, alpha: float = 0.7,
+        nprobe: int = 8,
+    ) -> list[tuple[int, float]]:
+        """Pruned blended top-k over the ``nprobe`` most query-similar
+        buckets (exact scoring on the pruned candidate set; approximate
+        overall — converges to :meth:`search_lambda_aware` as ``nprobe``
+        approaches the bucket count)."""
+        from matternet_rs_tpu.index.ivf import ivf_search
+
+        if self.ivf is None:
+            raise ValueError("build_ivf_index() first")
+        if query_lambda == 0.0:
+            raise ValueError(
+                "Lambda of the item is 0.0, prepare the item before searching"
+            )
+        idx, sc = ivf_search(
+            self.ivf.centroids, self.ivf.centroid_norms,
+            self.ivf.bucket_items, self.ivf.bucket_centroid,
+            self.ivf.bucket_lambda_lo, self.ivf.bucket_lambda_hi,
+            self.data, self.norms, self.lambdas,
+            jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
+            k, alpha, nprobe,
+        )
+        return [(int(i), float(s)) for i, s in zip(idx, sc) if np.isfinite(s)]
+
+    def search_batch_ivf(
+        self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
+        nprobe: int = 8,
+    ):
+        """Batched pruned search with fused query-λ preparation (same λ
+        routing as :meth:`search_batch`). Returns ``(indices [B, k],
+        scores [B, k])`` — padded rows carry -inf scores."""
+        from matternet_rs_tpu.index.ivf import ivf_search_batch
+
+        if self.ivf is None:
+            raise ValueError("build_ivf_index() first")
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        b = Q.shape[0]
+        graph = self.graph_for_taumode(gl)
+        Qw = Q
+        if (
+            self.projection is not None
+            and Q.shape[-1] == self.projection.original_dim
+            and graph.shape[0] == self.projection.reduced_dim
+        ):
+            Qw = self.projection.project(Q)
+        raw = taumode_ops.taumode_lambdas_auto(
+            Qw, graph, self.taumode.mode, self.taumode.param
+        )
+        q_lams = jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+        idx, sc = ivf_search_batch(
+            self.ivf.centroids, self.ivf.centroid_norms,
+            self.ivf.bucket_items, self.ivf.bucket_centroid,
+            self.ivf.bucket_lambda_lo, self.ivf.bucket_lambda_hi,
+            self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, nprobe,
+        )
+        return np.asarray(idx)[:b], np.asarray(sc)[:b]
 
     def range_search(self, query, query_lambda: float, eps: float):
         """All items with ``λq - λi ≤ eps`` (signed, core.rs:1389-1424)."""

@@ -1,1 +1,1 @@
-"""Index structures: sorted-λ band index."""
+"""Index structures: sorted-λ band index, IVF bucketed pruning."""

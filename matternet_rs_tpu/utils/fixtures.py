@@ -138,3 +138,52 @@ def make_gaussian_cliques_multi(
         out = np.concatenate([out, rng.uniform(-10.0, hi, size=(1, dims))], axis=0)
     rng.shuffle(out)
     return out
+
+
+def make_cosine_tied_smoothness_dataset(
+    n_directions: int = 40,
+    per_style: int = 10,
+    n_groups: int = 8,
+    group_size: int = 8,
+    noise: float = 0.45,
+    seed: int = 0,
+):
+    """Dataset where cosine is deliberately ambiguous and only spectral
+    smoothness separates relevant items from distractors.
+
+    Features come in ``n_groups`` correlated groups. Every item of a
+    direction ``m`` shares the same per-group means ``g`` (so all of them
+    are cosine-close to a query from that direction), but comes in two
+    styles with equal-magnitude noise: *smooth* (group-constant noise —
+    low Dirichlet energy against the feature graph) and *rough*
+    (sign-alternating noise within each group — high energy). A pure
+    cosine ranker cannot tell the styles apart; the λ term can. This is
+    the product claim of the reference's λ-aware search
+    (src_legacy/core.rs:1156-1193) reduced to a measurable fixture.
+
+    Returns ``(X [n_directions·2·per_style, n_groups·group_size] f32,
+    direction_labels, style_labels)`` with style 0 = smooth, 1 = rough.
+    """
+    rng = np.random.default_rng(seed)
+    ones = np.ones(group_size)
+    alt = np.tile([1.0, -1.0], group_size // 2)
+
+    def expand(g, pat):
+        return np.repeat(g, group_size) * np.tile(pat, n_groups)
+
+    items, labels, styles = [], [], []
+    for m in range(n_directions):
+        # |g| bounded away from 0: tiny group means make the item's λ
+        # noise-dominated, which blurs the style separation.
+        g = rng.choice([-1.0, 1.0], n_groups) * rng.uniform(0.7, 1.5, n_groups)
+        for s, pat in ((0, ones), (1, alt)):
+            for _ in range(per_style):
+                h = rng.normal(size=n_groups) * noise
+                items.append(expand(g, ones) + expand(h, pat))
+                labels.append(m)
+                styles.append(s)
+    return (
+        np.asarray(items, np.float32),
+        np.asarray(labels),
+        np.asarray(styles),
+    )

