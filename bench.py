@@ -62,7 +62,10 @@ def _make_builder(N):
     )
 
 
-def _qps_protocol(jax, jnp, aspace, data, n_queries=256, reps=10, approx=False):
+def _qps_protocol(
+    jax, jnp, aspace, data, n_queries=256, reps=10, approx=False,
+    quantized=False,
+):
     """Measured QPS with a DIFFERENT query batch per rep: the remote-TPU
     transport dedupes identical dispatches, so same-args timing loops lie."""
     import functools
@@ -81,7 +84,8 @@ def _qps_protocol(jax, jnp, aspace, data, n_queries=256, reps=10, approx=False):
             )
         )(qs, qls)
 
-    X_d, norms_d, lams_d = aspace.data, aspace.norms, aspace.lambdas
+    X_d = aspace._scan_corpus(quantized)
+    norms_d, lams_d = aspace.norms, aspace.lambdas
     q_idx = rng.integers(0, N, n_queries)
     warm = batched(
         X_d, norms_d, lams_d, jnp.asarray(data[q_idx]),
@@ -173,7 +177,12 @@ def bench_headline(jax, jnp, N, F, extra):
     # ---- query throughput ------------------------------------------------
     qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data)
     qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, approx=True)
+    qps_bf16, (bq_idx, btop1) = _qps_protocol(
+        jax, jnp, aspace, data, approx=True, quantized=True
+    )
     self_recall = float((top1 == q_idx).mean())
+    extra["query_qps_bf16_approx"] = round(qps_bf16, 1)
+    extra["self_recall_at_1_bf16"] = float((btop1 == bq_idx).mean())
 
     # ---- recall@10 vs brute force ----------------------------------------
     rng = np.random.default_rng(7)
@@ -442,84 +451,24 @@ def bench_1m(jax, jnp, extra):
 
     qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data, reps=4)
     qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, reps=4, approx=True)
+    qps_bf16, (bq_idx, btop1) = _qps_protocol(
+        jax, jnp, aspace, data, reps=4, approx=True, quantized=True
+    )
     extra["config_1m"] = {
         "build_seconds": round(build_s, 2),
         "query_qps_exact": round(qps, 1),
         "query_qps_approx_selection": round(qps_approx, 1),
+        "query_qps_bf16_approx": round(qps_bf16, 1),
         "self_recall_at_1": float((top1 == q_idx).mean()),
+        "self_recall_at_1_bf16": float((btop1 == bq_idx).mean()),
         "n_items": N,
     }
 
-    # IVF-pruned path: probe 32 of ~1k buckets (≈3% of the corpus scanned).
-    try:
-        from matternet_rs_tpu.index.ivf import ivf_search_batch
-
-        t0 = time.perf_counter()
-        ivf = aspace.build_ivf_index(bucket_size=1024)
-        jax.block_until_ready(ivf.bucket_items)
-        ivf_build_s = time.perf_counter() - t0
-
-        rng = np.random.default_rng(13)
-        lam_np = np.asarray(aspace.lambdas)
-        nprobe = 32
-
-        def run(Q, QL):
-            return ivf_search_batch(
-                ivf.centroids, ivf.centroid_norms, ivf.bucket_items,
-                ivf.bucket_centroid, ivf.bucket_lambda_lo, ivf.bucket_lambda_hi,
-                aspace.data, aspace.norms, aspace.lambdas,
-                Q, QL, K, 0.7, nprobe,
-            )
-
-        qi = rng.integers(0, N, 256)
-        warm = run(jnp.asarray(data[qi]), jnp.asarray(lam_np[qi]))
-        jax.block_until_ready(warm)
-        # Recall vs the exact blended scan on the same queries.
-        from matternet_rs_tpu.ops import search as search_ops
-        import functools as _ft
-
-        @_ft.partial(jax.jit, static_argnames=("k",))
-        def exact_batch(X, norms, lams, qs, qls, k):
-            return jax.vmap(
-                lambda q, ql: search_ops.search_lambda_aware(
-                    X, norms, lams, q, ql, k
-                )
-            )(qs, qls)
-
-        ex_idx, _ = exact_batch(
-            aspace.data, aspace.norms, aspace.lambdas,
-            jnp.asarray(data[qi]), jnp.asarray(lam_np[qi]), K,
-        )
-        ex_idx = np.asarray(ex_idx)
-        iv_idx = np.asarray(warm[0])
-        ivf_recall = float(
-            np.mean([
-                len(set(iv_idx[r].tolist()) & set(ex_idx[r].tolist())) / K
-                for r in range(len(qi))
-            ])
-        )
-        reps = []
-        for _ in range(4):
-            ridx = rng.integers(0, N, 256)
-            reps.append((jnp.asarray(data[ridx]), jnp.asarray(lam_np[ridx])))
-        t0 = time.perf_counter()
-        for Q, QL in reps:
-            out = run(Q, QL)
-        float(jnp.sum(out[1]))
-        ivf_qps = 256 * len(reps) / (time.perf_counter() - t0)
-        extra["config_1m"].update(
-            {
-                "ivf_build_seconds": round(ivf_build_s, 2),
-                "ivf_query_qps_nprobe32": round(ivf_qps, 1),
-                "ivf_recall_at_10_vs_exact": round(ivf_recall, 4),
-                "ivf_n_buckets": ivf.n_buckets,
-            }
-        )
-    except Exception as exc:  # noqa: BLE001
-        import traceback
-
-        traceback.print_exc()
-        extra["config_1m"]["error_ivf"] = repr(exc)[:200]
+    # IVF-pruned search is deliberately NOT benchmarked here: measured on
+    # this chip it loses to the flat fused scan at every batch size while
+    # the corpus is HBM-resident (B=1: 22 ms vs 3.2 ms — random-row gathers
+    # vs streaming the corpus through the MXU). See DESIGN.md "Negative
+    # result: IVF pruning on HBM-resident corpora".
 
 
 def main():

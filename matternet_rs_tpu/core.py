@@ -204,6 +204,8 @@ class ArrowSpace:
     _signals_ell: Optional[object] = None
     # optional IVF pruned-search layout (index/ivf.py)
     ivf: Optional[object] = None
+    # optional bf16 corpus copy for memory-bound scans (ops/search._scan_dots)
+    _data_bf16: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -393,9 +395,25 @@ class ArrowSpace:
     # ------------------------------------------------------------------
     # Search (core.rs:1156-1424)
     # ------------------------------------------------------------------
+    def enable_quantized_scan(self) -> None:
+        """Cache a bf16 copy of the corpus: halves the HBM read of the
+        exact scan (the [N, F] traffic is the query-path bottleneck) at
+        ~0.4% relative dot error. Search with ``quantized=True``."""
+        self._data_bf16 = self.data.astype(jnp.bfloat16)
+
+    def _scan_corpus(self, quantized: bool) -> jax.Array:
+        if not quantized:
+            return self.data
+        if self._data_bf16 is None or (
+            self._data_bf16.shape[0] != self.data.shape[0]
+        ):
+            self.enable_quantized_scan()
+        return self._data_bf16
+
     def search_lambda_aware(
         self, query, query_lambda: float, k: int, alpha: float = 0.7,
         approx: bool = False, recall_target: float = 0.95,
+        quantized: bool = False,
     ) -> list[tuple[int, float]]:
         if query_lambda == 0.0:
             raise ValueError(
@@ -403,7 +421,7 @@ class ArrowSpace:
             )
         q = jnp.asarray(query, jnp.float32)
         idx, sc = search_ops.search_lambda_aware(
-            self.data, self.norms, self.lambdas, q,
+            self._scan_corpus(quantized), self.norms, self.lambdas, q,
             jnp.float32(query_lambda), k, alpha,
             approx=approx, recall_target=recall_target,
         )
@@ -412,6 +430,7 @@ class ArrowSpace:
     def search_batch(
         self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
         approx: bool = False, return_raw: bool = False,
+        quantized: bool = False,
     ):
         """Batched query path: fused λ preparation for all queries (one
         taumode dispatch, or one nearest-sub-centroid matmul in energy
@@ -450,7 +469,8 @@ class ArrowSpace:
             )(Qe)
             raw = q_lams
             idx, sc = _batched_search_jit(
-                self.data, self.norms, self.lambdas, Q, q_lams, k, alpha, approx
+                self._scan_corpus(quantized), self.norms, self.lambdas,
+                Q, q_lams, k, alpha, approx,
             )
         else:
             graph = self.graph_for_taumode(gl)
@@ -467,7 +487,7 @@ class ArrowSpace:
             # Normalization folded into the search dispatch (no eager
             # sub/div/clip round-trips).
             idx, sc = _batched_search_normalized_jit(
-                self.data, self.norms, self.lambdas, Q, raw,
+                self._scan_corpus(quantized), self.norms, self.lambdas, Q, raw,
                 jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
                 k, alpha, approx,
             )

@@ -1,11 +1,18 @@
 """IVF-pruned λ-aware search: cluster-bucketed candidate pruning.
 
-Beyond-reference throughput path. The reference always full-scans at query
-time (``/root/reference/src_legacy/core.rs:1156-1193``) even though its
-build stage 1 already clustered every item (``clustering.rs:574-932``);
-this index reuses that structure the way classic IVF does: rank centroids
-for the query, gather only the items in the best ``nprobe`` buckets, and
-run the exact blended λ-aware score on that candidate set.
+The reference always full-scans at query time
+(``/root/reference/src_legacy/core.rs:1156-1193``) even though its build
+stage 1 already clustered every item (``clustering.rs:574-932``); this
+index reuses that structure the way classic IVF does: rank centroids for
+the query, gather only the items in the best ``nprobe`` buckets, and run
+the exact blended λ-aware score on that candidate set.
+
+**When to use it** (measured, DESIGN.md): NOT for HBM-resident corpora —
+on TPU the flat fused scan beats this at every batch size (streaming the
+corpus through the MXU is faster than gathering scattered rows). The
+pruned candidate set pays off when the corpus is *not* on the chip:
+beyond-HBM / host-offloaded shards (prune before upload) and CPU serving,
+where gather cost is proportional to rows touched.
 
 TPU-first layout: clusters are packed into **fixed-size buckets** so every
 shape is static under jit. A cluster with more than ``bucket_size`` members

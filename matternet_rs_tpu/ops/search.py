@@ -25,12 +25,28 @@ from matternet_rs_tpu.ops._mm import mm
 SEMANTIC_THRESHOLD = 0.9999
 
 
+def _scan_dots(X: jax.Array, query: jax.Array) -> jax.Array:
+    """Corpus·query dots, specialized on the corpus dtype at trace time.
+
+    A bf16 corpus is the TPU-idiomatic throughput lever for the exact scan:
+    the [N, F] read is the bottleneck, and bf16 halves the HBM bytes while
+    one MXU pass (vs the multi-pass f32 decomposition) does the arithmetic;
+    accumulation stays f32 via ``preferred_element_type``. f32 corpora keep
+    the parity-grade HIGHEST-precision path (ops/_mm.py).
+    """
+    if X.dtype == jnp.bfloat16:
+        return jnp.dot(
+            X, query.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    return mm(X, query)
+
+
 @jax.jit
 def cosine_scores(X: jax.Array, norms: jax.Array, query: jax.Array) -> jax.Array:
     """Cosine similarity of ``query`` against every row (0 for zero norms)."""
     qn = jnp.sqrt(jnp.sum(query * query))
     denom = norms * qn
-    dots = mm(X, query)
+    dots = _scan_dots(X, query)
     return jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
 
 

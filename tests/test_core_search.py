@@ -309,3 +309,60 @@ def test_tiled_batched_search_exact_across_tiles():
         np.testing.assert_allclose(np.sort(sc[qi])[::-1], gt_scores, atol=2e-5)
         # The returned indices really score what they claim.
         np.testing.assert_allclose(scores[idx[qi]], sc[qi], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# bf16 quantized scan (memory-bound throughput path, ops/search._scan_dots)
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_scan_self_top1(built):
+    aspace, gl, data = built
+    ql = aspace.prepare_query_item(data[7], gl)
+    res = aspace.search_lambda_aware(data[7], ql, 5, quantized=True)
+    assert res[0][0] == 7
+
+
+def test_quantized_scan_high_overlap_with_f32(built):
+    aspace, gl, data = built
+    rng = np.random.default_rng(4)
+    overlaps = []
+    for i in rng.integers(0, len(data), 16):
+        q = data[i] + rng.normal(0, 0.05, data.shape[1]).astype(np.float32)
+        ql = aspace.prepare_query_item(q, gl)
+        exact = [j for j, _ in aspace.search_lambda_aware(q, ql, 10)]
+        quant = [j for j, _ in aspace.search_lambda_aware(q, ql, 10, quantized=True)]
+        overlaps.append(len(set(exact) & set(quant)) / 10)
+    assert np.mean(overlaps) >= 0.9, f"bf16 overlap {np.mean(overlaps):.3f}"
+
+
+def test_quantized_scan_scores_close(built):
+    aspace, gl, data = built
+    ql = aspace.prepare_query_item(data[3], gl)
+    exact = dict(aspace.search_lambda_aware(data[3], ql, 10))
+    quant = dict(aspace.search_lambda_aware(data[3], ql, 10, quantized=True))
+    common = set(exact) & set(quant)
+    assert common
+    for i in common:
+        assert abs(exact[i] - quant[i]) < 0.01
+
+
+def test_quantized_batch_matches_serial(built):
+    aspace, gl, data = built
+    Q = data[[3, 9, 21]]
+    idx, _ = aspace.search_batch(Q, gl, 5, quantized=True)
+    for r, i in enumerate((3, 9, 21)):
+        ql = aspace.prepare_query_item(data[i], gl)
+        serial = aspace.search_lambda_aware(data[i], ql, 5, quantized=True)
+        assert idx[r].tolist() == [j for j, _ in serial]
+
+
+def test_quantized_cache_invalidated_on_add(built):
+    aspace, gl, data = built
+    aspace.enable_quantized_scan()
+    n0 = aspace._data_bf16.shape[0]
+    aspace.add_items(data[:2] + 0.01, gl)
+    ql = aspace.prepare_query_item(data[5], gl)
+    res = aspace.search_lambda_aware(data[5], ql, 5, quantized=True)
+    assert aspace._data_bf16.shape[0] == n0 + 2
+    assert res[0][0] == 5
