@@ -7,7 +7,9 @@ The "production serving" surface the reference reserved as a stub
 * ``GET  /health``         → {"status": "ok", ...}
 * ``GET  /info``           → index metadata
 * ``POST /search``         → {"query": [floats], "k": 10, "alpha": 0.7,
-                              "approx": false} → ranked results
+                              "approx": false, "quantized": false}
+                              → ranked results (``quantized`` scans the
+                              bf16 corpus copy — half the HBM read)
 * ``POST /search_energy``  → energy-mode search (if the index was built
                               with the energy pipeline)
 
@@ -42,6 +44,7 @@ class _Pending:
     alpha: float
     approx: bool
     mode: str                      # "blend" | "energy"
+    quantized: bool = False        # bf16 corpus scan (blend mode only)
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: Optional[list] = None
     error: Optional[Exception] = None
@@ -123,15 +126,16 @@ class IndexService:
             groups: dict[tuple, list[_Pending]] = {}
             for p in batch:
                 groups.setdefault(
-                    (p.mode, p.k, p.alpha, p.approx, p.query.shape[0]), []
+                    (p.mode, p.k, p.alpha, p.approx, p.quantized,
+                     p.query.shape[0]), []
                 ).append(p)
-            for (mode, k, alpha, approx, _dim), members in groups.items():
+            for (mode, k, alpha, approx, quantized, _dim), members in groups.items():
                 for start in range(0, len(members), self.max_batch):
-                    self._dispatch(mode, k, alpha, approx,
+                    self._dispatch(mode, k, alpha, approx, quantized,
                                    members[start : start + self.max_batch])
 
     def _dispatch(self, mode: str, k: int, alpha: float, approx: bool,
-                  members: list[_Pending]) -> None:
+                  quantized: bool, members: list[_Pending]) -> None:
         try:
             Q = np.stack([p.query for p in members])
             if mode == "energy":
@@ -148,7 +152,8 @@ class IndexService:
                     p.done.set()
             else:
                 idx, sc, raw = self.aspace.search_batch(
-                    Q, self.gl, k, alpha, approx=approx, return_raw=True
+                    Q, self.gl, k, alpha, approx=approx, return_raw=True,
+                    quantized=quantized,
                 )
                 for p, row_i, row_s, r in zip(members, idx, sc, raw):
                     if abs(float(r)) <= 1e-12:
@@ -193,9 +198,12 @@ class IndexService:
         return q
 
     def search(self, query, k: int = 10, alpha: float = 0.7,
-               approx: bool = False) -> list[dict]:
+               approx: bool = False, quantized: bool = False) -> list[dict]:
         q = self._validate(query)
-        return self._submit(_Pending(q, int(k), float(alpha), bool(approx), "blend"))
+        return self._submit(
+            _Pending(q, int(k), float(alpha), bool(approx), "blend",
+                     quantized=bool(quantized))
+        )
 
     def search_energy(self, query, k: int = 10) -> list[dict]:
         q = self._validate(query)
@@ -240,6 +248,7 @@ def make_handler(service: IndexService):
                     results = service.search(
                         query, k, float(doc.get("alpha", 0.7)),
                         bool(doc.get("approx", False)),
+                        bool(doc.get("quantized", False)),
                     )
                 elif self.path == "/search_energy":
                     results = service.search_energy(query, k)

@@ -155,3 +155,18 @@ def test_batched_energy_endpoint(tmp_path_factory):
         assert info["batches_dispatched"] < info["queries_served"]
     finally:
         srv.shutdown()
+
+
+def test_search_quantized_endpoint(server):
+    base, data = server
+    code, doc = _post(
+        base + "/search",
+        {"query": data[12].tolist(), "k": 5, "quantized": True},
+    )
+    assert code == 200
+    assert doc["results"][0]["index"] == 12
+    # bf16 scores stay close to the f32 path.
+    _, exact = _post(base + "/search", {"query": data[12].tolist(), "k": 5})
+    assert doc["results"][0]["score"] == pytest.approx(
+        exact["results"][0]["score"], abs=0.01
+    )
