@@ -146,3 +146,123 @@ def test_sampler_seed_determinism():
     d1 = [s1.should_keep(1.0, 5, 10) for _ in range(50)]
     d2 = [s2.should_keep(1.0, 5, 10) for _ in range(50)]
     assert d1 == d2
+
+
+# ---------------------------------------------------------------------------
+# Deepened heuristics coverage (reference test_clus.rs:25-574)
+# ---------------------------------------------------------------------------
+
+
+def test_intrinsic_dimension_plane():
+    """A 2-D manifold embedded in 10-D estimates ID ≈ 2 (Two-NN)."""
+    rng = np.random.default_rng(3)
+    uv = rng.normal(size=(400, 2))
+    basis = rng.normal(size=(2, 10))
+    X = (uv @ basis).astype(np.float32)
+    est = clus.estimate_intrinsic_dimension(X, seed=0)
+    assert 1 <= est <= 4, f"plane ID estimate {est}"
+
+
+def test_intrinsic_dimension_full_space_higher_than_line():
+    rng = np.random.default_rng(4)
+    line = (np.outer(rng.normal(size=300), np.ones(10))
+            + rng.normal(0, 1e-3, (300, 10))).astype(np.float32)
+    full = rng.normal(size=(300, 10)).astype(np.float32)
+    assert clus.estimate_intrinsic_dimension(
+        full, seed=0
+    ) > clus.estimate_intrinsic_dimension(line, seed=0)
+
+
+def test_optimal_k_more_clusters_detected():
+    """optimal-k tracks the true cluster count once above the k_min floor
+    (reference clustering.rs:106-129 bounds k_min at 8 for this N/F)."""
+    def blobs(n_c, seed):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_c, 12)) * 30.0
+        return (centers[rng.integers(0, n_c, 600)]
+                + rng.normal(size=(600, 12))).astype(np.float32)
+
+    k3, _, _ = clus.compute_optimal_k(blobs(3, 0), seed=0)
+    k12, _, _ = clus.compute_optimal_k(blobs(12, 0), seed=0)
+    assert k3 <= 9, f"3 blobs detected k={k3}"
+    assert k12 >= 11, f"12 blobs detected k={k12}"
+
+
+def test_optimal_k_deterministic():
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 8)).astype(np.float32)
+    a = clus.compute_optimal_k(X, seed=7)
+    b = clus.compute_optimal_k(X, seed=7)
+    assert a == b
+
+
+def test_threshold_zero_variance_features():
+    """Zero-variance columns must not produce NaN/0 radius."""
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    X[:, 2] = 3.0
+    X[:, 5] = 0.0
+    r = clus.compute_threshold_from_pilot(X, 4, seed=0)
+    assert np.isfinite(r) and r > 0
+
+
+def test_threshold_scales_with_spread():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    r1 = clus.compute_threshold_from_pilot(X, 4, seed=0)
+    r2 = clus.compute_threshold_from_pilot(10.0 * X, 4, seed=0)
+    assert r2 > 2 * r1
+
+
+def test_kmeans_handles_k_larger_than_unique_points():
+    X = np.repeat(np.eye(3, 8, dtype=np.float32), 4, axis=0)
+    a, c = clus.kmeans_lloyd(X, 8, seed=0)
+    assert c.shape[0] <= 8 and len(a) == 12
+    assert np.isfinite(c).all()
+
+
+def test_ch_score_increases_with_separation():
+    rng = np.random.default_rng(8)
+    a0 = np.concatenate([np.zeros(100, int), np.ones(100, int)])
+    close = np.concatenate([
+        rng.normal(0, 1, (100, 5)), rng.normal(1, 1, (100, 5))
+    ]).astype(np.float32)
+    far = np.concatenate([
+        rng.normal(0, 1, (100, 5)), rng.normal(20, 1, (100, 5))
+    ]).astype(np.float32)
+    assert clus.calinski_harabasz_score(
+        far, a0, 2
+    ) > clus.calinski_harabasz_score(close, a0, 2)
+
+
+def test_incremental_outliers_marked_minus_one():
+    """Rows farther than the relaxed radius after saturation stay -1."""
+    rng = np.random.default_rng(9)
+    X = np.concatenate([
+        rng.normal(0, 0.05, (50, 4)),
+        rng.normal(50.0, 0.05, (1, 4)),      # far outlier
+    ]).astype(np.float32)
+    out = clus.incremental_clustering(X, max_clusters=1, radius=1.0)
+    assert out.assignments[-1] == -1
+    assert (out.assignments[:50] == 0).all()
+
+
+def test_incremental_sizes_match_assignments():
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(300, 6)).astype(np.float32)
+    out = clus.incremental_clustering(X, max_clusters=12, radius=2.0)
+    for c in range(out.centroids.shape[0]):
+        assert out.sizes[c] == (out.assignments == c).sum()
+
+
+def test_incremental_centroids_near_member_mean():
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 6)) * 10
+    X = (centers[rng.integers(0, 4, 400)]
+         + rng.normal(0, 0.3, (400, 6))).astype(np.float32)
+    out = clus.incremental_clustering(X, max_clusters=4, radius=10.0)
+    for c in range(out.centroids.shape[0]):
+        members = X[out.assignments == c]
+        if len(members) > 5:
+            d = np.linalg.norm(out.centroids[c] - members.mean(0))
+            assert d < 1.0, f"centroid {c} drifted {d}"
