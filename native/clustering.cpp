@@ -95,26 +95,23 @@ std::int64_t mrs_incremental_cluster(
     const float* row = X + i * f;
     double* __restrict rb = rowbuf.data();
     double xsq = 0.0;
+#pragma omp simd reduction(+ : xsq)
     for (std::int64_t j = 0; j < f; ++j) {
       rb[j] = static_cast<double>(row[j]);
       xsq += rb[j] * rb[j];
     }
 
     // Nearest centroid (linear scan — C is small; contiguous and branch-free).
+    // `omp simd reduction` licenses reassociation for THIS loop only, so the
+    // f64 dot vectorizes (plain loops can't: FP reduction reordering; and a
+    // manual 4-accumulator unroll blocks the vectorizer outright).
     std::int64_t best = 0;
     double best_d2 = std::numeric_limits<double>::infinity();
     for (std::int64_t c = 0; c < ncent; ++c) {
       const double* __restrict cc = centroids + c * f;
-      double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
-      std::int64_t j = 0;
-      for (; j + 4 <= f; j += 4) {
-        a0 += rb[j] * cc[j];
-        a1 += rb[j + 1] * cc[j + 1];
-        a2 += rb[j + 2] * cc[j + 2];
-        a3 += rb[j + 3] * cc[j + 3];
-      }
-      double dot = a0 + a1 + a2 + a3;
-      for (; j < f; ++j) dot += rb[j] * cc[j];
+      double dot = 0.0;
+#pragma omp simd reduction(+ : dot)
+      for (std::int64_t j = 0; j < f; ++j) dot += rb[j] * cc[j];
       double d2 = xsq + cnorm2[c] - 2.0 * dot;
       if (d2 < 0.0) d2 = 0.0;
       if (d2 < best_d2) {
@@ -168,6 +165,7 @@ void mrs_nearest_centroid(
     for (std::int64_t c = 0; c < ncent; ++c) {
       const double* cc = centroids + c * f;
       double d2 = 0.0;
+#pragma omp simd reduction(+ : d2)
       for (std::int64_t j = 0; j < f; ++j) {
         const double diff = static_cast<double>(row[j]) - cc[j];
         d2 += diff * diff;
