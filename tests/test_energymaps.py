@@ -188,3 +188,119 @@ def test_gaussian_hd_fixture_build():
     aspace, gl = b.build(data)
     res = eigenmaps.search(aspace, data[99], gl, 5)
     assert res[0][0] == 99
+
+
+# ---------------------------------------------------------------------------
+# Deepened build-variant coverage (test_energy_builder.rs:14-410)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_map_all_items_valid(built):
+    aspace, _, data = built
+    cm = np.asarray(aspace.centroid_map)
+    assert cm.shape[0] == data.shape[0]
+    S = aspace.sub_centroids.shape[0]
+    assert cm.min() >= 0 and cm.max() < S
+
+
+def test_item_norms_cached_and_correct(built):
+    aspace, _, data = built
+    norms = np.asarray(aspace.item_norms)
+    np.testing.assert_allclose(
+        norms, np.linalg.norm(data, axis=1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_subcentroid_lambdas_normalized(built):
+    aspace, _, _ = built
+    sl = np.asarray(aspace.subcentroid_lambdas)
+    assert sl.min() >= 0.0 and sl.max() <= 1.0
+    assert len(np.unique(sl)) > 1, "sub-centroid λ degenerate"
+
+
+def test_high_resolution_preset_builds_more_subcentroids():
+    data = make_energy_test_dataset(200, 32, seed=5).astype(np.float32)
+    b1, b2 = energy_builder(), energy_builder()
+    a_def, _ = b1.build_energy(
+        data, em.EnergyParams(optical_tokens=20, neighbor_k=5, candidate_m=10)
+    )
+    hi = em.EnergyParams.high_resolution(b2)
+    hi.optical_tokens = 20
+    a_hi, _ = b2.build_energy(data, hi)
+    # High-resolution splits a larger dispersion quantile → ≥ as many
+    # sub-centroids (reference EnergyParams::high_resolution semantics).
+    assert a_hi.sub_centroids.shape[0] >= a_def.sub_centroids.shape[0]
+
+
+def test_energy_build_deterministic():
+    data = make_energy_test_dataset(150, 24, seed=6).astype(np.float32)
+    outs = []
+    for _ in range(2):
+        b = energy_builder()
+        p = em.EnergyParams(optical_tokens=16, neighbor_k=4, candidate_m=8)
+        aspace, _ = b.build_energy(data, p)
+        outs.append(
+            (np.asarray(aspace.sub_centroids), np.asarray(aspace.lambdas))
+        )
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_energy_search_k_exceeds_n(built):
+    aspace, gl, data = built
+    res = em.search_energy(aspace, data[0], gl, k=10 * len(data))
+    assert len(res) == len(data)
+
+
+def test_energy_search_deterministic(built):
+    aspace, gl, data = built
+    a = em.search_energy(aspace, data[3], gl, 10)
+    b = em.search_energy(aspace, data[3], gl, 10)
+    assert a == b
+
+
+def test_diffusion_more_steps_smoother():
+    """Heat diffusion monotonically reduces the Dirichlet energy of the
+    row profiles against the feature graph (energymaps.rs:485-520)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(30, 8)).astype(np.float32)
+    b = energy_builder()
+    l0 = em.bootstrap_centroid_laplacian(X, b)     # [F, F] feature graph
+    L = np.asarray(l0.matrix, np.float64)
+
+    def dirichlet(Y):
+        return float(np.trace(Y @ L @ Y.T))
+
+    Y1 = np.asarray(
+        em._diffusion_kernel(jnp.asarray(X), l0.matrix, 0.1, jnp.zeros(2))
+    ).astype(np.float64)
+    Y2 = np.asarray(
+        em._diffusion_kernel(jnp.asarray(X), l0.matrix, 0.1, jnp.zeros(8))
+    ).astype(np.float64)
+    assert dirichlet(Y2) < dirichlet(Y1) < dirichlet(X.astype(np.float64))
+
+
+def test_optical_trim_removes_high_norm_rows_within_bin():
+    """The norm-quantile trim is per grid bin (energymaps.rs:783-817):
+    same-direction rows land in the same 2-D projection bin, and the
+    highest-norm fifth is excluded from that bin's pooled mean."""
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=16).astype(np.float32)
+    low = np.stack([base * rng.uniform(0.9, 1.1) for _ in range(20)])
+    high = np.stack([base * 50.0 for _ in range(5)])
+    cents = np.concatenate([low, high])          # one bin, 25 members
+    out = np.asarray(em.optical_compress_centroids(cents, 2, 0.2))
+    # The pooled token for the shared bin sits near the low-norm mean —
+    # untrimmed, the five 50× rows would drag its norm ~10× higher.
+    norms = np.linalg.norm(out, axis=1)
+    assert norms.min() < 2 * np.linalg.norm(base)
+
+
+def test_energy_no_graph_rebuild_on_search(built):
+    """Search must not mutate index state (cached norms/λ unchanged)."""
+    aspace, gl, data = built
+    lam0 = np.asarray(aspace.lambdas).copy()
+    em.search_energy(aspace, data[5], gl, 5)
+    np.testing.assert_array_equal(lam0, np.asarray(aspace.lambdas))
