@@ -1,0 +1,304 @@
+"""Streaming index: single-chip search over a corpus larger than HBM.
+
+Completes the larger-than-memory story the shard store opens
+(``storage/shards.py``: Deep1B-scale ingest, SURVEY §2.5 north star). The
+distributed build spreads the corpus across a mesh's combined HBM; this
+index is the orthogonal axis — ONE chip, corpus on disk:
+
+* build: stage-1 clustering on a strided row sample (native scan), graph
+  from centroids (F×F, tiny), then one streamed pass computing raw λ for
+  every row (fixed-shape device chunks) written back beside the shards as
+  ``lambdas.bin`` + ``index.json`` (graph + stats) — the index itself is
+  O(F²), never O(N).
+* search: stream ``[block_rows, F]`` corpus blocks + the matching λ slices
+  through the device (the native read-ahead reader overlaps disk IO with
+  the previous block's scoring), blended top-k per block, host merge.
+  HBM residency is one block regardless of N.
+
+The reference has no out-of-core path at all (its builder takes a full
+in-memory Vec, SURVEY §2.4); this is TPU-native capability beyond it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matternet_rs_tpu.core import TAUDEFAULT, TauMode
+from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+from matternet_rs_tpu.ops import taumode as taumode_ops
+from matternet_rs_tpu.storage import shards as shard_store
+
+INDEX_FILE = "index.json"
+LAMBDA_FILE = "lambdas.bin"
+DEFAULT_BLOCK_ROWS = 131_072
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _score_block(X, lams, query, qn, q_lam, alpha, mn, rng, valid, k):
+    """Blended top-k over one corpus block (λ arrives raw, normalized
+    in-dispatch; invalid tail rows masked to -inf)."""
+    norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
+    dots = jnp.dot(X, query, preferred_element_type=jnp.float32)
+    denom = norms * qn
+    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+    lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_n - q_lam), 1.0)
+    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = jnp.where(jnp.arange(X.shape[0]) < valid, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
+    norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                     # [B]
+    dots = jnp.dot(Q, X.T, preferred_element_type=jnp.float32)  # [B, n]
+    denom = norms[None, :] * qn[:, None]
+    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+    lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_n[None, :] - q_lams[:, None]), 1.0)
+    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = jnp.where(jnp.arange(X.shape[0])[None, :] < valid, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+@dataclasses.dataclass
+class StreamingIndex:
+    directory: Path
+    gl: GraphLaplacian
+    taumode: TauMode
+    min_lambdas: float
+    range_lambdas: float
+    n_items: int
+    n_features: int
+    block_rows: int = DEFAULT_BLOCK_ROWS
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build_from_store(
+        cls,
+        directory,
+        graph_params: GraphParams,
+        max_clusters: int,
+        radius: float,
+        taumode: TauMode = TAUDEFAULT,
+        block_rows: int = DEFAULT_BLOCK_ROWS,
+        sample_rows: int = 200_000,
+        seed: int = 0,
+    ) -> "StreamingIndex":
+        """Two streamed passes over the store: (1) strided row sample →
+        incremental clustering → F×F graph; (2) raw λ for every row,
+        written to ``lambdas.bin`` with global stats in ``index.json``."""
+        from matternet_rs_tpu.clustering import incremental_clustering
+        from matternet_rs_tpu.ops import laplacian as lap_ops
+
+        directory = Path(directory)
+        m = shard_store.read_manifest(directory)
+        n, f = m["n_rows"], m["n_features"]
+
+        # Pass 1: strided sample (deterministic, covers the whole store).
+        stride = max(1, n // max(sample_rows, 1))
+        sample: list[np.ndarray] = []
+        offset = 0
+        for block in shard_store.stream_blocks(directory, block_rows):
+            first = (-offset) % stride
+            sample.append(block[first::stride])
+            offset += len(block)
+        Xs = np.concatenate(sample)[:sample_rows]
+        out = incremental_clustering(Xs, max_clusters, radius)
+        gl = lap_ops.build_laplacian_from_k_cluster(
+            jnp.asarray(out.centroids), graph_params, n_items=n
+        )
+
+        # Pass 2: streamed λ (raw), fixed-shape device chunks.
+        graph = gl.ell() if f > taumode_ops.SPARSE_F_THRESHOLD else gl.matrix
+        mn, mx = np.inf, -np.inf
+        with open(directory / LAMBDA_FILE, "wb") as fh:
+            for block in shard_store.stream_blocks(directory, block_rows):
+                raw = np.asarray(
+                    taumode_ops.taumode_lambdas_auto(
+                        jnp.asarray(block), graph, taumode.mode, taumode.param
+                    ),
+                    np.float32,
+                )
+                mn = min(mn, float(raw.min()))
+                mx = max(mx, float(raw.max()))
+                fh.write(raw.tobytes())
+        rng = (mx - mn) if mx > mn else 1.0
+
+        idx = cls(
+            directory=directory, gl=gl, taumode=taumode,
+            min_lambdas=mn, range_lambdas=rng, n_items=n, n_features=f,
+            block_rows=block_rows,
+        )
+        idx._save_meta()
+        return idx
+
+    def _save_meta(self) -> None:
+        meta = {
+            "min_lambdas": self.min_lambdas,
+            "range_lambdas": self.range_lambdas,
+            "n_items": self.n_items,
+            "n_features": self.n_features,
+            "block_rows": self.block_rows,
+            "taumode": {"mode": int(self.taumode.mode),
+                        "param": float(self.taumode.param)},
+            "graph_params": dataclasses.asdict(self.gl.graph_params),
+            "graph_matrix": np.asarray(self.gl.matrix).tolist(),
+            "graph_nnodes": self.gl.nnodes,
+        }
+        (self.directory / INDEX_FILE).write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, directory) -> "StreamingIndex":
+        """Resume from ``index.json`` + ``lambdas.bin`` (no recompute)."""
+        directory = Path(directory)
+        meta = json.loads((directory / INDEX_FILE).read_text())
+        params = GraphParams(**meta["graph_params"])
+        matrix = jnp.asarray(np.asarray(meta["graph_matrix"], np.float32))
+        gl = GraphLaplacian(
+            matrix=matrix, init_data=matrix, nnodes=meta["graph_nnodes"],
+            graph_params=params,
+        )
+        return cls(
+            directory=directory, gl=gl,
+            taumode=TauMode(meta["taumode"]["mode"], meta["taumode"]["param"]),
+            min_lambdas=meta["min_lambdas"], range_lambdas=meta["range_lambdas"],
+            n_items=meta["n_items"], n_features=meta["n_features"],
+            block_rows=meta["block_rows"],
+        )
+
+    # ------------------------------------------------------------------
+    def prepare_query_lambda(self, query) -> float:
+        q = jnp.asarray(query, jnp.float32)
+        graph = (
+            self.gl.ell()
+            if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
+            else self.gl.matrix
+        )
+        raw = float(
+            taumode_ops.synthetic_lambda(
+                q, graph, self.taumode.mode, self.taumode.param
+            )
+        )
+        return float(
+            np.clip((raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0)
+        )
+
+    def _lambda_blocks(self):
+        lam = np.memmap(
+            self.directory / LAMBDA_FILE, np.float32, "r", shape=(self.n_items,)
+        )
+        for start in range(0, self.n_items, self.block_rows):
+            yield lam[start : start + self.block_rows]
+
+    def search(self, query, k: int, alpha: float = 0.7) -> list[tuple[int, float]]:
+        """Streamed exact blended top-k: one block of HBM at a time."""
+        q = jnp.asarray(query, jnp.float32)
+        if q.shape[-1] != self.n_features:
+            raise ValueError(
+                f"Query dimension {q.shape[-1]} doesn't match index "
+                f"dimension {self.n_features}"
+            )
+        q_lam = jnp.float32(self.prepare_query_lambda(query))
+        qn = jnp.sqrt(jnp.sum(q * q))
+        kk = min(k, self.n_items)
+
+        best_scores = np.full(kk, -np.inf, np.float32)
+        best_ids = np.full(kk, -1, np.int64)
+        offset = 0
+        reader = shard_store.stream_blocks(self.directory, self.block_rows)
+        for block, lam in zip(reader, self._lambda_blocks()):
+            valid = len(block)
+            if valid < self.block_rows:        # pad tail to the fixed shape
+                block = np.concatenate(
+                    [block,
+                     np.zeros((self.block_rows - valid, self.n_features),
+                              np.float32)]
+                )
+                lam = np.concatenate(
+                    [lam, np.zeros(self.block_rows - valid, np.float32)]
+                )
+            top, idx = _score_block(
+                jnp.asarray(block), jnp.asarray(lam), q, qn, q_lam,
+                jnp.float32(alpha), jnp.float32(self.min_lambdas),
+                jnp.float32(self.range_lambdas), jnp.int32(valid),
+                min(kk, self.block_rows),
+            )
+            top = np.asarray(top)
+            gids = np.asarray(idx, np.int64) + offset
+            # host merge of the running top-k with this block's top-k
+            cat_s = np.concatenate([best_scores, top])
+            cat_i = np.concatenate([best_ids, gids])
+            sel = np.argsort(-cat_s, kind="stable")[:kk]
+            best_scores, best_ids = cat_s[sel], cat_i[sel]
+            offset += valid
+        reader.close()
+        return [
+            (int(i), float(s))
+            for i, s in zip(best_ids, best_scores) if i >= 0
+        ]
+
+    def search_batch(self, queries, k: int, alpha: float = 0.7):
+        """Batched streamed top-k. Returns ``(indices [B, k], scores [B, k])``."""
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if Q.shape[-1] != self.n_features:
+            raise ValueError(
+                f"Query dimension {Q.shape[-1]} doesn't match index "
+                f"dimension {self.n_features}"
+            )
+        graph = (
+            self.gl.ell()
+            if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
+            else self.gl.matrix
+        )
+        raw = taumode_ops.taumode_lambdas_auto(
+            Q, graph, self.taumode.mode, self.taumode.param
+        )
+        q_lams = jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+        b = Q.shape[0]
+        kk = min(k, self.n_items)
+
+        best_scores = np.full((b, kk), -np.inf, np.float32)
+        best_ids = np.full((b, kk), -1, np.int64)
+        offset = 0
+        reader = shard_store.stream_blocks(self.directory, self.block_rows)
+        for block, lam in zip(reader, self._lambda_blocks()):
+            valid = len(block)
+            if valid < self.block_rows:
+                block = np.concatenate(
+                    [block,
+                     np.zeros((self.block_rows - valid, self.n_features),
+                              np.float32)]
+                )
+                lam = np.concatenate(
+                    [lam, np.zeros(self.block_rows - valid, np.float32)]
+                )
+            top, idx = _score_block_batch(
+                jnp.asarray(block), jnp.asarray(lam), Q, q_lams,
+                jnp.float32(alpha), jnp.float32(self.min_lambdas),
+                jnp.float32(self.range_lambdas), jnp.int32(valid),
+                min(kk, self.block_rows),
+            )
+            top = np.asarray(top)
+            gids = np.asarray(idx, np.int64) + offset
+            cat_s = np.concatenate([best_scores, top], axis=1)
+            cat_i = np.concatenate([best_ids, gids], axis=1)
+            sel = np.argsort(-cat_s, kind="stable", axis=1)[:, :kk]
+            best_scores = np.take_along_axis(cat_s, sel, axis=1)
+            best_ids = np.take_along_axis(cat_i, sel, axis=1)
+            offset += valid
+        reader.close()
+        return best_ids, best_scores

@@ -1,0 +1,135 @@
+"""Streaming (out-of-core) index: build from the shard store, streamed
+exact search, block-size invariance, resume, batched/serial agreement.
+
+Reference counterpart: none (the reference is strictly in-memory,
+SURVEY §2.4) — this is the single-chip larger-than-HBM capability.
+"""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.index.streaming import StreamingIndex
+from matternet_rs_tpu.storage import shards as shard_store
+from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+N, F, K = 3000, 24, 10
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_store")
+    data = make_energy_test_dataset(N, F, seed=21).astype(np.float32)
+    shard_store.write_shards(data, d, rows_per_shard=700)   # 5 shards
+    return d, data
+
+
+@pytest.fixture(scope="module")
+def index(store):
+    d, _ = store
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    return StreamingIndex.build_from_store(
+        d, params, max_clusters=20, radius=20.0, block_rows=512,
+        sample_rows=N,
+    )
+
+
+def test_build_writes_lambda_file_and_meta(store, index):
+    d, _ = store
+    lam = np.fromfile(d / "lambdas.bin", np.float32)
+    assert lam.shape == (N,)
+    assert np.isfinite(lam).all()
+    assert (d / "index.json").exists()
+    assert index.range_lambdas > 0
+
+
+def test_self_query_top1(store, index):
+    _, data = store
+    res = index.search(data[42], K)
+    assert res[0][0] == 42
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_block_boundary_items_retrievable(store, index):
+    """Items at block and shard boundaries must carry correct global ids."""
+    _, data = store
+    for i in (0, 511, 512, 699, 700, 1399, 1400, N - 1):
+        res = index.search(data[i], 3)
+        assert res[0][0] == i, f"boundary item {i} → {res[:2]}"
+
+
+def test_block_size_invariance(store):
+    """The streamed merge is exact: results identical for any block size."""
+    d, data = store
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    small = StreamingIndex.build_from_store(
+        d, params, max_clusters=20, radius=20.0, block_rows=300,
+        sample_rows=N,
+    )
+    big = StreamingIndex.build_from_store(
+        d, params, max_clusters=20, radius=20.0, block_rows=8192,
+        sample_rows=N,
+    )
+    rng = np.random.default_rng(2)
+    for i in rng.integers(0, N, 8):
+        q = data[i] + rng.normal(0, 0.05, F).astype(np.float32)
+        a = small.search(q, K)
+        b = big.search(q, K)
+        assert [j for j, _ in a] == [j for j, _ in b]
+        np.testing.assert_allclose(
+            [s for _, s in a], [s for _, s in b], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_batched_matches_serial(store, index):
+    _, data = store
+    rng = np.random.default_rng(3)
+    qidx = rng.integers(0, N, 6)
+    idx, sc = index.search_batch(data[qidx], K)
+    for r, i in enumerate(qidx):
+        serial = index.search(data[i], K)
+        assert idx[r].tolist() == [j for j, _ in serial]
+        np.testing.assert_allclose(
+            sc[r], [s for _, s in serial], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_resume_from_disk(store, index):
+    _, data = store
+    loaded = StreamingIndex.load(index.directory)
+    assert loaded.n_items == N and loaded.n_features == F
+    assert loaded.min_lambdas == pytest.approx(index.min_lambdas)
+    q = data[7]
+    assert loaded.search(q, 5) == index.search(q, 5)
+
+
+def test_wrong_dim_query_raises(index):
+    with pytest.raises(ValueError, match="dimension"):
+        index.search(np.ones(F + 3, np.float32), 5)
+    with pytest.raises(ValueError, match="dimension"):
+        index.search_batch(np.ones((2, F + 3), np.float32), 5)
+
+
+def test_k_exceeds_n_clamped(store, index):
+    _, data = store
+    res = index.search(data[0], 10 * N)
+    assert len(res) == N
+
+
+def test_lambda_matches_inmemory_formula(store, index):
+    """Streamed λ == one-shot λ against the same graph (the streaming
+    chunking must not change the math)."""
+    d, data = store
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops import taumode as tm
+
+    lam_stream = np.fromfile(d / "lambdas.bin", np.float32)
+    lam_direct = np.asarray(
+        tm.taumode_lambdas_auto(
+            jnp.asarray(data), index.gl.matrix,
+            index.taumode.mode, index.taumode.param,
+        )
+    )
+    np.testing.assert_allclose(lam_stream, lam_direct, rtol=1e-5, atol=1e-6)
