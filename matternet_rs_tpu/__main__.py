@@ -139,6 +139,43 @@ def cmd_build_distributed(args) -> None:
     print(json.dumps(info))
 
 
+def cmd_build_streaming(args) -> None:
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+
+    params = GraphParams(
+        eps=args.eps, k=args.k, topk=min(args.k, 4), sparsity_check=False
+    )
+    si = StreamingIndex.build_from_store(
+        args.store_dir, params, max_clusters=args.max_clusters,
+        radius=args.radius, block_rows=args.block_rows,
+        sample_rows=args.sample_rows,
+    )
+    print(json.dumps({
+        "status": "built",
+        "n_items": si.n_items,
+        "n_features": si.n_features,
+        "block_rows": si.block_rows,
+        "lambda_range": si.range_lambdas,
+    }))
+
+
+def cmd_search_streaming(args) -> None:
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+
+    si = StreamingIndex.load(args.store_dir)
+    q = _load_matrix(args.query).astype(np.float32)
+    queries = q[None, :] if q.ndim == 1 else q
+    idx, sc = si.search_batch(queries, args.k, args.alpha)
+    print(json.dumps({
+        "results": [
+            [{"index": int(i), "score": round(float(s), 6)}
+             for i, s in zip(ri, rs)]
+            for ri, rs in zip(idx, sc)
+        ]
+    }))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="matternet_rs_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +235,28 @@ def main(argv=None) -> None:
     pd.add_argument("--query", default=None, help=".npy query to run after build")
     pd.add_argument("--topk", type=int, default=10)
     pd.set_defaults(fn=cmd_build_distributed)
+
+    pbs = sub.add_parser(
+        "build-streaming",
+        help="out-of-core single-chip index over a shard store",
+    )
+    pbs.add_argument("store_dir")
+    pbs.add_argument("--max-clusters", type=int, default=64)
+    pbs.add_argument("--radius", type=float, default=25.0)
+    pbs.add_argument("--eps", type=float, default=1.0)
+    pbs.add_argument("--k", type=int, default=6)
+    pbs.add_argument("--block-rows", type=int, default=131_072)
+    pbs.add_argument("--sample-rows", type=int, default=200_000)
+    pbs.set_defaults(fn=cmd_build_streaming)
+
+    pss = sub.add_parser(
+        "search-streaming", help="streamed exact query over an out-of-core index"
+    )
+    pss.add_argument("store_dir")
+    pss.add_argument("--query", required=True)
+    pss.add_argument("--k", type=int, default=10)
+    pss.add_argument("--alpha", type=float, default=0.7)
+    pss.set_defaults(fn=cmd_search_streaming)
 
     args = p.parse_args(argv)
     args.fn(args)

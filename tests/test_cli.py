@@ -71,3 +71,22 @@ def test_cli_shard_write_and_build_distributed(tmp_path, capsys):
     doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert doc["n_items"] == 600 and doc["n_devices"] == 4
     assert doc["query_top"][0]["index"] == 7
+
+
+def test_cli_streaming_build_and_search(data_file, tmp_path, capsys):
+    data_path, q_path, data = data_file
+    store = tmp_path / "store"
+
+    main(["shard-write", str(data_path), "--out", str(store),
+          "--rows-per-shard", "50"])
+    sharded = json.loads(capsys.readouterr().out)
+    assert sharded["n_rows"] == 120
+
+    main(["build-streaming", str(store), "--max-clusters", "10",
+          "--radius", "4.0", "--block-rows", "64", "--sample-rows", "120"])
+    built = json.loads(capsys.readouterr().out)
+    assert built["status"] == "built" and built["n_items"] == 120
+
+    main(["search-streaming", str(store), "--query", str(q_path), "--k", "5"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["results"][0][0]["index"] == 7
