@@ -41,12 +41,24 @@ LAMBDA_FILE = "lambdas.bin"
 DEFAULT_BLOCK_ROWS = 131_072
 
 
+def _host_bf16(block: np.ndarray) -> np.ndarray:
+    """f32 → bf16 on the HOST: halves the H2D bytes of each streamed block
+    (the out-of-core bottleneck on any transport)."""
+    import ml_dtypes
+
+    return block.astype(ml_dtypes.bfloat16)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _score_block(X, lams, query, qn, q_lam, alpha, mn, rng, valid, k):
     """Blended top-k over one corpus block (λ arrives raw, normalized
-    in-dispatch; invalid tail rows masked to -inf)."""
-    norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
-    dots = jnp.dot(X, query, preferred_element_type=jnp.float32)
+    in-dispatch; invalid tail rows masked to -inf). A bf16 block keeps
+    f32 accumulation (norms upcast in-reduction; dot via
+    preferred_element_type)."""
+    Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
+    norms = jnp.sqrt(jnp.sum(Xf * Xf, axis=-1))
+    q_cast = query.astype(X.dtype)
+    dots = jnp.dot(X, q_cast, preferred_element_type=jnp.float32)
     denom = norms * qn
     cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
     lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
@@ -58,9 +70,12 @@ def _score_block(X, lams, query, qn, q_lam, alpha, mn, rng, valid, k):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
-    norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
+    Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
+    norms = jnp.sqrt(jnp.sum(Xf * Xf, axis=-1))
     qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                     # [B]
-    dots = jnp.dot(Q, X.T, preferred_element_type=jnp.float32)  # [B, n]
+    dots = jnp.dot(
+        Q.astype(X.dtype), X.T, preferred_element_type=jnp.float32
+    )                                                           # [B, n]
     denom = norms[None, :] * qn[:, None]
     cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
     lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
@@ -200,8 +215,14 @@ class StreamingIndex:
         for start in range(0, self.n_items, self.block_rows):
             yield lam[start : start + self.block_rows]
 
-    def search(self, query, k: int, alpha: float = 0.7) -> list[tuple[int, float]]:
-        """Streamed exact blended top-k: one block of HBM at a time."""
+    def search(
+        self, query, k: int, alpha: float = 0.7, quantized: bool = False,
+    ) -> list[tuple[int, float]]:
+        """Streamed exact blended top-k: one block of HBM at a time.
+
+        ``quantized=True`` converts each block to bf16 on the host before
+        upload — half the H2D bytes (the out-of-core bottleneck) at the
+        usual bf16 ranking fidelity (DESIGN.md)."""
         q = jnp.asarray(query, jnp.float32)
         if q.shape[-1] != self.n_features:
             raise ValueError(
@@ -227,6 +248,8 @@ class StreamingIndex:
                 lam = np.concatenate(
                     [lam, np.zeros(self.block_rows - valid, np.float32)]
                 )
+            if quantized:
+                block = _host_bf16(block)
             top, idx = _score_block(
                 jnp.asarray(block), jnp.asarray(lam), q, qn, q_lam,
                 jnp.float32(alpha), jnp.float32(self.min_lambdas),
@@ -247,7 +270,9 @@ class StreamingIndex:
             for i, s in zip(best_ids, best_scores) if i >= 0
         ]
 
-    def search_batch(self, queries, k: int, alpha: float = 0.7):
+    def search_batch(
+        self, queries, k: int, alpha: float = 0.7, quantized: bool = False,
+    ):
         """Batched streamed top-k. Returns ``(indices [B, k], scores [B, k])``."""
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
@@ -286,6 +311,8 @@ class StreamingIndex:
                 lam = np.concatenate(
                     [lam, np.zeros(self.block_rows - valid, np.float32)]
                 )
+            if quantized:
+                block = _host_bf16(block)
             top, idx = _score_block_batch(
                 jnp.asarray(block), jnp.asarray(lam), Q, q_lams,
                 jnp.float32(alpha), jnp.float32(self.min_lambdas),

@@ -133,3 +133,24 @@ def test_lambda_matches_inmemory_formula(store, index):
         )
     )
     np.testing.assert_allclose(lam_stream, lam_direct, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_streaming_high_overlap(store, index):
+    _, data = store
+    rng = np.random.default_rng(5)
+    overlaps = []
+    for i in rng.integers(0, N, 8):
+        q = data[i] + rng.normal(0, 0.05, F).astype(np.float32)
+        exact = [j for j, _ in index.search(q, K)]
+        quant = [j for j, _ in index.search(q, K, quantized=True)]
+        overlaps.append(len(set(exact) & set(quant)) / K)
+    assert np.mean(overlaps) >= 0.85, f"bf16 stream overlap {np.mean(overlaps)}"
+    # self-query survives quantization
+    res = index.search(data[9], 3, quantized=True)
+    assert res[0][0] == 9
+
+
+def test_quantized_streaming_batch(store, index):
+    _, data = store
+    idx, _ = index.search_batch(data[[4, 8]], 5, quantized=True)
+    assert idx[0][0] == 4 and idx[1][0] == 8
