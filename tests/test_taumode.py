@@ -260,3 +260,125 @@ def test_lambda_larger_dataset_invariants():
                                         aspace.taumode.mode, aspace.taumode.param))
         expect = (raw - aspace.min_lambdas) / aspace.range_lambdas
         assert float(lam[i]) == pytest.approx(np.clip(expect, 0, 1), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Deepened invariants (test_taumode.rs:300-890)
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_lambda_matches_batch_row():
+    """Single-item synthetic_lambda == the batched engine's row for every
+    τ mode (the query path must score exactly like the build path)."""
+    L = _graph()
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(6, L.shape[0])).astype(np.float32)
+    for mode, param in ((tm.TAU_MEDIAN, 0.0), (tm.TAU_MEAN, 0.0),
+                        (tm.TAU_FIXED, 0.35), (tm.TAU_PERCENTILE, 0.8)):
+        batch = np.asarray(tm.taumode_lambdas(jnp.asarray(X), L, mode, param))
+        for i in range(len(X)):
+            single = float(tm.synthetic_lambda(jnp.asarray(X[i]), L, mode, param))
+            assert single == pytest.approx(batch[i], rel=1e-5, abs=1e-7)
+
+
+def test_lambda_in_unit_interval_components():
+    """S = τ·E/(E+τ) + (1−τ)·G with τ,G ∈ [0,1] ⇒ S ∈ [0, E/(E+τ)+1) and
+    both components are individually bounded (taumode.rs:306-318)."""
+    L = _graph()
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(64, L.shape[0])).astype(np.float32)
+    lam = np.asarray(tm.taumode_lambdas(jnp.asarray(X), L, tm.TAU_MEDIAN))
+    assert (lam >= 0).all()
+    assert (lam <= 2.0).all()        # E/(E+τ) < 1, G ≤ 1
+
+
+def test_chunked_equals_unchunked():
+    """The fixed-shape CHUNK_N chunking must not change λ (one compiled
+    program serves every N)."""
+    L = _graph()
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(257, L.shape[0])).astype(np.float32)
+    whole = np.asarray(tm.taumode_lambdas(jnp.asarray(X), L, tm.TAU_MEDIAN))
+    parts = np.concatenate([
+        np.asarray(tm.taumode_lambdas(jnp.asarray(X[s:s + 100]), L, tm.TAU_MEDIAN))
+        for s in range(0, 257, 100)
+    ])
+    np.testing.assert_allclose(whole, parts, rtol=1e-6, atol=1e-7)
+
+
+def test_percentile_mode_bounds():
+    """τ from percentile p ∈ {0, 1} equals min/max of the positive |values|
+    distribution (floor-clamped)."""
+    v = jnp.asarray(np.array([0.5, -2.0, 1.0, 3.0], np.float32))
+    t_lo = float(tm.select_tau(v, tm.TAU_PERCENTILE, 0.0))
+    t_hi = float(tm.select_tau(v, tm.TAU_PERCENTILE, 1.0))
+    assert t_lo <= t_hi
+    assert t_hi == pytest.approx(3.0, rel=1e-6)
+
+
+def test_lambda_monotone_in_graph_scale():
+    """Scaling L by c > 1 scales Rayleigh by c: λ must not decrease for
+    fixed τ (S is monotone in E)."""
+    L = _graph()
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=L.shape[0]).astype(np.float32)
+    s1 = float(tm.synthetic_lambda(jnp.asarray(x), L, tm.TAU_FIXED, 0.5))
+    s2 = float(tm.synthetic_lambda(jnp.asarray(x), 3.0 * L, tm.TAU_FIXED, 0.5))
+    assert s2 >= s1 - 1e-7
+
+
+def test_signals_routing_prefers_spectral():
+    """When aspace.signals is present, compute_taumode scores against it
+    instead of gl.matrix (taumode.rs:137-146)."""
+    from matternet_rs_tpu.core import ArrowSpace
+    from matternet_rs_tpu.graph import GraphFactory
+    from matternet_rs_tpu.ops import laplacian as lap_ops
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(80, 0.5).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    gl = lap_ops.build_laplacian_from_k_cluster(
+        jnp.asarray(data[:10]), params, n_items=len(data)
+    )
+    a1 = ArrowSpace.from_items(data)
+    a1.compute_taumode(gl)
+    a2 = ArrowSpace.from_items(data)
+    GraphFactory.build_spectral_laplacian(a2, gl)
+    a2.compute_taumode(gl)
+    assert not np.allclose(np.asarray(a1.lambdas), np.asarray(a2.lambdas))
+    raw_direct = np.asarray(
+        tm.taumode_lambdas_auto(a2.data, a2.signals, a2.taumode.mode,
+                                a2.taumode.param)
+    )
+    expect = np.clip(
+        (raw_direct - a2.min_lambdas) / a2.range_lambdas, 0.0, 1.0
+    )
+    np.testing.assert_allclose(np.asarray(a2.lambdas), expect, atol=1e-6)
+
+
+def test_ell_path_matches_dense_formula():
+    """taumode_lambdas_ell == dense taumode_lambdas on the same graph."""
+    from matternet_rs_tpu.ops.csr import ell_from_dense_laplacian
+
+    L = _graph(f=24)
+    ell = ell_from_dense_laplacian(L)
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.normal(size=(40, 24)).astype(np.float32))
+    dense = np.asarray(tm.taumode_lambdas(X, L, tm.TAU_MEDIAN))
+    sparse = np.asarray(tm.taumode_lambdas_ell(X, ell, tm.TAU_MEDIAN))
+    np.testing.assert_allclose(sparse, dense, rtol=2e-4, atol=1e-5)
+
+
+def test_dispersion_zero_on_disconnected_node_vector():
+    """A vector supported only on an isolated node has zero edge energy →
+    G = 0 and Rayleigh = 0 → λ = 0."""
+    L_np = np.zeros((6, 6), np.float32)
+    # nodes 0-4 form a path; node 5 isolated
+    for i in range(4):
+        L_np[i, i + 1] = L_np[i + 1, i] = -1.0
+    np.fill_diagonal(L_np, -L_np.sum(1) + np.diag(L_np))
+    x = np.zeros(6, np.float32)
+    x[5] = 2.0
+    lam = float(tm.synthetic_lambda(jnp.asarray(x), jnp.asarray(L_np),
+                                    tm.TAU_MEDIAN))
+    assert lam == pytest.approx(0.0, abs=1e-7)
