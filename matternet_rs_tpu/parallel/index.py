@@ -270,6 +270,56 @@ class ShardedArrowSpace:
             if np.isfinite(s)
         ]
 
+    def search_batch(self, queries, k: int, alpha: float = 0.7):
+        """Batched distributed search: fused query-λ preparation (one
+        taumode dispatch against the replicated graph) + per-shard batch
+        scoring + all-gather merge. Returns ``(indices [B, k],
+        scores [B, k])`` with global ids; exact vs serial :meth:`search`.
+        """
+        from matternet_rs_tpu.parallel.search import make_sharded_search_batch
+
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if (
+            self.projection is not None
+            and Q.shape[-1] == self.projection.original_dim
+        ):
+            Q = self.projection.project(Q)
+        raw = tm.taumode_lambdas(
+            Q, self.gl.matrix, self.taumode.mode, self.taumode.param
+        )
+        q_lams = jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+        key = ("batch", k)
+        if key not in self._search_cache:
+            self._search_cache[key] = make_sharded_search_batch(self.mesh, k)
+        idx, sc = self._search_cache[key](
+            self.X, self.norms, self.lambdas, Q, q_lams, jnp.float32(alpha)
+        )
+        return np.asarray(idx), np.asarray(sc)
+
+    def spectral_embedding(
+        self, k_eig: int, params=None, iters: int = 100, reverse_k=None,
+        seed: int = 0,
+    ):
+        """Distributed spectral embedding of the sharded items: ring-kNN
+        item graph (``parallel/knn_graph``) + distributed LOBPCG. Returns
+        ``(eigenvalues [k_eig], vectors [n_items, k_eig])`` — the
+        mesh-scale version of the eigenmaps embedding the BASELINE SIFT1M
+        row measures."""
+        from matternet_rs_tpu.parallel.knn_graph import (
+            distributed_knn_ell_laplacian,
+            distributed_lobpcg,
+        )
+
+        params = params or self.gl.graph_params
+        ell = distributed_knn_ell_laplacian(
+            self.mesh, self.X, self.n_items, params, reverse_k=reverse_k
+        )
+        return distributed_lobpcg(self.mesh, ell, k_eig, iters=iters, seed=seed)
+
     def search_energy(
         self, query, k: int, query_lambda: float | None = None
     ) -> list[tuple[int, float]]:

@@ -213,3 +213,64 @@ def sharded_search_lambda_aware(
         jnp.asarray(query, jnp.float32), jnp.float32(q_lambda),
         jnp.float32(alpha),
     )
+
+
+def make_sharded_search_batch(mesh, k: int):
+    """Batched distributed λ-aware top-k: one ``[B, F] × [F, n_local]``
+    matmul per shard amortizes the shard read across the whole query batch
+    (the serving path on a mesh), then an all-gather of ``B·k`` candidates
+    per device and a per-row deterministic re-rank. Works on 1-D and 2-D
+    ``("slice", "data")`` meshes (joint single-stage merge — the gathered
+    candidate set is B·k·D values, tiny next to the scan)."""
+    axes = tuple(mesh.axis_names)
+    joint = axes if len(axes) > 1 else axes[0]
+
+    def flat_index():
+        if isinstance(joint, str):
+            return jax.lax.axis_index(joint)
+        idx = jax.lax.axis_index(joint[0])
+        for a in joint[1:]:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
+
+    def local_fn(Xl, nl, ll, Q, QL, alpha):
+        qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                 # [B]
+        dots = jnp.dot(
+            Q, Xl.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                       # [B, n_local]
+        denom = nl[None, :] * qn[:, None]
+        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll[None, :] - QL[:, None]), 1.0)
+        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        scores = jnp.where(nl[None, :] > 1e-12, scores, -jnp.inf)
+
+        kk = min(k, Xl.shape[0])
+        top, idx = jax.lax.top_k(scores, kk)                   # [B, kk]
+        gidx = idx + flat_index() * Xl.shape[0]
+
+        all_s = jax.lax.all_gather(top, joint)                 # [D, B, kk]
+        all_i = jax.lax.all_gather(gidx, joint)
+        d = all_s.shape[0]
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(-1, d * kk)  # [B, D·kk]
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(-1, d * kk)
+        # Deterministic (score desc, id asc) per-row re-rank: id-sort first,
+        # then stable argsort by -score.
+        id_order = jnp.argsort(all_i, axis=1)
+        all_s = jnp.take_along_axis(all_s, id_order, axis=1)
+        all_i = jnp.take_along_axis(all_i, id_order, axis=1)
+        sel = jnp.argsort(-all_s, axis=1)[:, :kk]
+        return (
+            jnp.take_along_axis(all_i, sel, axis=1),
+            jnp.take_along_axis(all_s, sel, axis=1),
+        )
+
+    item_spec = P(joint)
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(joint, None), item_spec, item_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

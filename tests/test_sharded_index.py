@@ -93,3 +93,66 @@ def test_from_shards_multislice_mesh(built):
     single = aspace.search_lambda_aware(q, q_lam, 6)
     dist = sharded.search(q, 6, query_lambda=q_lam)
     assert [i for i, _ in single] == [i for i, _ in dist]
+
+
+def test_batched_distributed_matches_serial():
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(600, 16, seed=8).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    mesh = make_mesh(8)
+    sa = ShardedArrowSpace.distributed_build(
+        [data[:250], data[250:]], params, k_clusters=10, mesh=mesh
+    )
+    rng = np.random.default_rng(4)
+    qidx = rng.integers(0, 600, 6)
+    idx, sc = sa.search_batch(data[qidx], k=5)
+    assert idx.shape == (6, 5)
+    for r, i in enumerate(qidx):
+        serial = sa.search(data[i], k=5)
+        assert idx[r].tolist() == [j for j, _ in serial]
+        np.testing.assert_allclose(
+            sc[r], [s for _, s in serial], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_batched_distributed_2d_mesh():
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh_2d
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(400, 16, seed=9).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    sa = ShardedArrowSpace.distributed_build(
+        [data], params, k_clusters=8, mesh=make_mesh_2d(2, 4)
+    )
+    idx, _ = sa.search_batch(data[[3, 7]], k=5)
+    assert idx[0][0] == 3 and idx[1][0] == 7
+
+
+def test_distributed_spectral_embedding():
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(3, 12)) * 6.0
+    labels = rng.integers(0, 3, 240)
+    data = (centers[labels] + 0.3 * rng.normal(size=(240, 12))).astype(np.float32)
+    params = GraphParams(eps=0.8, k=6, topk=6, sparsity_check=False)
+    sa = ShardedArrowSpace.distributed_build(
+        [data], params, k_clusters=6, mesh=make_mesh(8)
+    )
+    vals, vecs = sa.spectral_embedding(4, iters=120, reverse_k=240)
+    assert vecs.shape == (240, 4)
+    emb = vecs[:, 1:]
+    d = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    agree = (labels[d.argmin(1)] == labels).mean()
+    assert agree > 0.85, f"embedding 1-NN agreement {agree}"
