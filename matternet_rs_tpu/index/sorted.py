@@ -67,6 +67,15 @@ class SortedLambdas:
             for l, i in zip(self.sorted_lambdas, self.sorted_indices)
         ]
 
+    def zadd(self, item_index: int, lam: float) -> None:
+        """Single sorted insert (reference ``SortedLambdas::zadd``,
+        sorted_index.rs:22-29). Equal-λ ties append after existing entries,
+        matching the BTreeMap bucket-push order. std_dev is NOT updated
+        (same contract as the reference — it is fixed at build time)."""
+        pos = int(np.searchsorted(self.sorted_lambdas, lam, side="right"))
+        self.sorted_lambdas = np.insert(self.sorted_lambdas, pos, lam)
+        self.sorted_indices = np.insert(self.sorted_indices, pos, item_index)
+
     def range_bylambda(self, lambda_q: float, k: int, p: float) -> list[tuple[int, float]]:
         """Band query: all items with λ ∈ [λq - band, λq + band], band =
         std/2^p, truncated to the first k in ascending-λ order

@@ -366,3 +366,17 @@ def test_quantized_cache_invalidated_on_add(built):
     res = aspace.search_lambda_aware(data[5], ql, 5, quantized=True)
     assert aspace._data_bf16.shape[0] == n0 + 2
     assert res[0][0] == 5
+
+
+def test_sorted_lambdas_zadd_insert():
+    """Single sorted insert keeps order and tie semantics
+    (sorted_index.rs:22-29)."""
+    sl = SortedLambdas.build_from(np.array([0.1, 0.5, 0.9]))
+    sl.zadd(7, 0.5)      # tie: appends after the existing 0.5
+    sl.zadd(8, 0.0)      # new minimum
+    sl.zadd(9, 1.0)      # new maximum
+    assert sl.sorted_lambdas.tolist() == [0.0, 0.1, 0.5, 0.5, 0.9, 1.0]
+    assert sl.sorted_indices.tolist() == [8, 0, 1, 7, 2, 9]
+    # Band query still works over the mutated index.
+    res = sl.range_bylambda(0.5, 10, 2.0)
+    assert {i for i, _ in res} >= {1, 7}
