@@ -108,36 +108,81 @@ class StreamingIndex:
         block_rows: int = DEFAULT_BLOCK_ROWS,
         sample_rows: int = 200_000,
         seed: int = 0,
+        resume: bool = False,
     ) -> "StreamingIndex":
         """Two streamed passes over the store: (1) strided row sample →
         incremental clustering → F×F graph; (2) raw λ for every row,
-        written to ``lambdas.bin`` with global stats in ``index.json``."""
+        written to ``lambdas.bin`` with global stats in ``index.json``.
+
+        The λ pass is **crash-resumable**: the graph is persisted before it
+        starts, every λ block is appended as it completes, and
+        ``resume=True`` picks up from the last whole block (a partial tail
+        write is truncated) — at Deep1B scale the λ pass is hours of IO,
+        and the reference has no resumable build at all.
+        """
         from matternet_rs_tpu.clustering import incremental_clustering
         from matternet_rs_tpu.ops import laplacian as lap_ops
 
         directory = Path(directory)
         m = shard_store.read_manifest(directory)
         n, f = m["n_rows"], m["n_features"]
+        lam_path = directory / LAMBDA_FILE
+        meta_path = directory / INDEX_FILE
 
-        # Pass 1: strided sample (deterministic, covers the whole store).
-        stride = max(1, n // max(sample_rows, 1))
-        sample: list[np.ndarray] = []
-        offset = 0
-        for block in shard_store.stream_blocks(directory, block_rows):
-            first = (-offset) % stride
-            sample.append(block[first::stride])
-            offset += len(block)
-        Xs = np.concatenate(sample)[:sample_rows]
-        out = incremental_clustering(Xs, max_clusters, radius)
-        gl = lap_ops.build_laplacian_from_k_cluster(
-            jnp.asarray(out.centroids), graph_params, n_items=n
-        )
+        idx = None
+        if resume and meta_path.exists():
+            idx = cls.load(directory)
+            if (
+                idx.n_items != n
+                or idx.n_features != f
+                or idx.block_rows != block_rows
+            ):
+                idx = None    # store changed under us — rebuild fresh
 
-        # Pass 2: streamed λ (raw), fixed-shape device chunks.
-        graph = gl.ell() if f > taumode_ops.SPARSE_F_THRESHOLD else gl.matrix
-        mn, mx = np.inf, -np.inf
-        with open(directory / LAMBDA_FILE, "wb") as fh:
+        if idx is None:
+            # Pass 1: strided sample (deterministic, covers the whole store).
+            stride = max(1, n // max(sample_rows, 1))
+            sample: list[np.ndarray] = []
+            offset = 0
             for block in shard_store.stream_blocks(directory, block_rows):
+                first = (-offset) % stride
+                sample.append(block[first::stride])
+                offset += len(block)
+            Xs = np.concatenate(sample)[:sample_rows]
+            out = incremental_clustering(Xs, max_clusters, radius)
+            gl = lap_ops.build_laplacian_from_k_cluster(
+                jnp.asarray(out.centroids), graph_params, n_items=n
+            )
+            idx = cls(
+                directory=directory, gl=gl, taumode=taumode,
+                min_lambdas=float("nan"), range_lambdas=float("nan"),
+                n_items=n, n_features=f, block_rows=block_rows,
+            )
+            idx._save_meta()              # checkpoint the graph pre-λ
+            lam_path.unlink(missing_ok=True)
+
+        # Resume point: whole λ blocks already on disk.
+        done_rows = 0
+        mn, mx = np.inf, -np.inf
+        if resume and lam_path.exists():
+            have = lam_path.stat().st_size // 4
+            done_rows = min((have // block_rows) * block_rows, n)
+            if have * 4 != done_rows * 4:     # truncate a partial tail block
+                with open(lam_path, "r+b") as fh:
+                    fh.truncate(done_rows * 4)
+            if done_rows:
+                prev = np.memmap(lam_path, np.float32, "r", shape=(done_rows,))
+                mn, mx = float(prev.min()), float(prev.max())
+
+        # Pass 2: streamed λ (raw), fixed-shape device chunks, appended.
+        gl = idx.gl
+        graph = gl.ell() if f > taumode_ops.SPARSE_F_THRESHOLD else gl.matrix
+        offset = 0
+        with open(lam_path, "ab") as fh:
+            for block in shard_store.stream_blocks(directory, block_rows):
+                if offset + len(block) <= done_rows:
+                    offset += len(block)
+                    continue                   # already computed pre-crash
                 raw = np.asarray(
                     taumode_ops.taumode_lambdas_auto(
                         jnp.asarray(block), graph, taumode.mode, taumode.param
@@ -147,13 +192,10 @@ class StreamingIndex:
                 mn = min(mn, float(raw.min()))
                 mx = max(mx, float(raw.max()))
                 fh.write(raw.tobytes())
-        rng = (mx - mn) if mx > mn else 1.0
-
-        idx = cls(
-            directory=directory, gl=gl, taumode=taumode,
-            min_lambdas=mn, range_lambdas=rng, n_items=n, n_features=f,
-            block_rows=block_rows,
-        )
+                fh.flush()
+                offset += len(block)
+        idx.min_lambdas = mn
+        idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()
         return idx
 

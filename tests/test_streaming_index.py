@@ -154,3 +154,56 @@ def test_quantized_streaming_batch(store, index):
     _, data = store
     idx, _ = index.search_batch(data[[4, 8]], 5, quantized=True)
     assert idx[0][0] == 4 and idx[1][0] == 8
+
+
+def test_build_resume_after_crash(tmp_path):
+    """Kill the λ pass mid-way; resume completes to a bit-identical index."""
+    data = make_energy_test_dataset(2000, 16, seed=31).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+
+    d_full = tmp_path / "full"
+    shard_store.write_shards(data, d_full, rows_per_shard=600)
+    full = StreamingIndex.build_from_store(
+        d_full, params, max_clusters=15, radius=20.0, block_rows=256,
+        sample_rows=2000,
+    )
+    lam_full = np.fromfile(d_full / "lambdas.bin", np.float32)
+
+    d_crash = tmp_path / "crash"
+    shard_store.write_shards(data, d_crash, rows_per_shard=600)
+    StreamingIndex.build_from_store(
+        d_crash, params, max_clusters=15, radius=20.0, block_rows=256,
+        sample_rows=2000,
+    )
+    # Simulate a crash mid-λ-pass: keep the graph checkpoint, truncate the
+    # λ file to 1.5 blocks (the partial tail must be discarded on resume).
+    with open(d_crash / "lambdas.bin", "r+b") as fh:
+        fh.truncate(int(1.5 * 256) * 4)
+    resumed = StreamingIndex.build_from_store(
+        d_crash, params, max_clusters=15, radius=20.0, block_rows=256,
+        sample_rows=2000, resume=True,
+    )
+    lam_res = np.fromfile(d_crash / "lambdas.bin", np.float32)
+    np.testing.assert_array_equal(lam_res, lam_full)
+    assert resumed.min_lambdas == pytest.approx(full.min_lambdas)
+    assert resumed.range_lambdas == pytest.approx(full.range_lambdas)
+    q = data[33]
+    assert resumed.search(q, 5) == full.search(q, 5)
+
+
+def test_build_resume_noop_when_complete(tmp_path):
+    """Resume over a finished build recomputes nothing (λ file untouched)."""
+    data = make_energy_test_dataset(1000, 16, seed=32).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    d = tmp_path / "done"
+    shard_store.write_shards(data, d, rows_per_shard=400)
+    StreamingIndex.build_from_store(
+        d, params, max_clusters=10, radius=20.0, block_rows=250,
+        sample_rows=1000,
+    )
+    before = (d / "lambdas.bin").read_bytes()
+    StreamingIndex.build_from_store(
+        d, params, max_clusters=10, radius=20.0, block_rows=250,
+        sample_rows=1000, resume=True,
+    )
+    assert (d / "lambdas.bin").read_bytes() == before
