@@ -34,10 +34,12 @@ import numpy as np
 from matternet_rs_tpu.core import TAUDEFAULT, TauMode
 from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
 from matternet_rs_tpu.ops import taumode as taumode_ops
+from matternet_rs_tpu.ops._mm import mm
 from matternet_rs_tpu.storage import shards as shard_store
 
 INDEX_FILE = "index.json"
 LAMBDA_FILE = "lambdas.bin"
+GRAPH_FILE = "graph.bin"
 DEFAULT_BLOCK_ROWS = 131_072
 
 
@@ -50,32 +52,21 @@ def _host_bf16(block: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _score_block(X, lams, query, qn, q_lam, alpha, mn, rng, valid, k):
-    """Blended top-k over one corpus block (λ arrives raw, normalized
-    in-dispatch; invalid tail rows masked to -inf). A bf16 block keeps
-    f32 accumulation (norms upcast in-reduction; dot via
-    preferred_element_type)."""
-    Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
-    norms = jnp.sqrt(jnp.sum(Xf * Xf, axis=-1))
-    q_cast = query.astype(X.dtype)
-    dots = jnp.dot(X, q_cast, preferred_element_type=jnp.float32)
-    denom = norms * qn
-    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-    lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_n - q_lam), 1.0)
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
-    scores = jnp.where(jnp.arange(X.shape[0]) < valid, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
 def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
-    Xf = X.astype(jnp.float32) if X.dtype == jnp.bfloat16 else X
-    norms = jnp.sqrt(jnp.sum(Xf * Xf, axis=-1))
+    """Blended top-k over one corpus block (λ arrives raw, normalized
+    in-dispatch; invalid tail rows masked to -inf). f32 blocks use the
+    parity-grade HIGHEST-precision matmul (ops/_mm.py — the streamed path
+    must rank exactly like the in-memory exact scan); bf16 blocks do one
+    MXU pass with f32 accumulation (the documented quantized tradeoff)."""
+    if X.dtype == jnp.bfloat16:
+        norms = jnp.sqrt(jnp.sum(X.astype(jnp.float32) ** 2, axis=-1))
+        dots = jnp.dot(
+            Q.astype(jnp.bfloat16), X.T, preferred_element_type=jnp.float32
+        )                                                       # [B, n]
+    else:
+        norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
+        dots = mm(Q, X.T)
     qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                     # [B]
-    dots = jnp.dot(
-        Q.astype(X.dtype), X.T, preferred_element_type=jnp.float32
-    )                                                           # [B, n]
     denom = norms[None, :] * qn[:, None]
     cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
     lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
@@ -138,6 +129,11 @@ class StreamingIndex:
                 or idx.block_rows != block_rows
             ):
                 idx = None    # store changed under us — rebuild fresh
+            else:
+                # The checkpointed τ policy wins: mixing the caller's
+                # (possibly different) taumode into the remaining blocks
+                # would silently corrupt the λ file.
+                taumode = idx.taumode
 
         if idx is None:
             # Pass 1: strided sample (deterministic, covers the whole store).
@@ -158,8 +154,11 @@ class StreamingIndex:
                 min_lambdas=float("nan"), range_lambdas=float("nan"),
                 n_items=n, n_features=f, block_rows=block_rows,
             )
-            idx._save_meta()              # checkpoint the graph pre-λ
+            # Order matters for crash-safety: drop the stale λ file BEFORE
+            # the new checkpoint exists — a crash between the two must
+            # never leave a new meta pointing at old λ rows.
             lam_path.unlink(missing_ok=True)
+            idx._save_meta()              # checkpoint the graph pre-λ
 
         # Resume point: whole λ blocks already on disk.
         done_rows = 0
@@ -200,35 +199,63 @@ class StreamingIndex:
         return idx
 
     def _save_meta(self) -> None:
+        """Atomic checkpoint: graph as raw f32 (``graph.bin`` — at F=4096
+        a JSON-encoded matrix would be ~300 MB of text), metadata as
+        strict JSON (no NaN literals: unfinished stats serialize as null),
+        both via write-tmp + rename so a crash never leaves a truncated
+        file for ``load``/resume to choke on."""
+        import os
+
+        G = np.ascontiguousarray(np.asarray(self.gl.matrix, np.float32))
+        g_tmp = self.directory / (GRAPH_FILE + ".tmp")
+        g_tmp.write_bytes(G.tobytes())
+        os.replace(g_tmp, self.directory / GRAPH_FILE)
+
+        def _num(v):
+            return float(v) if np.isfinite(v) else None
+
         meta = {
-            "min_lambdas": self.min_lambdas,
-            "range_lambdas": self.range_lambdas,
+            "min_lambdas": _num(self.min_lambdas),
+            "range_lambdas": _num(self.range_lambdas),
             "n_items": self.n_items,
             "n_features": self.n_features,
             "block_rows": self.block_rows,
             "taumode": {"mode": int(self.taumode.mode),
                         "param": float(self.taumode.param)},
             "graph_params": dataclasses.asdict(self.gl.graph_params),
-            "graph_matrix": np.asarray(self.gl.matrix).tolist(),
             "graph_nnodes": self.gl.nnodes,
+            "graph_shape": list(G.shape),
         }
-        (self.directory / INDEX_FILE).write_text(json.dumps(meta))
+        m_tmp = self.directory / (INDEX_FILE + ".tmp")
+        m_tmp.write_text(json.dumps(meta, allow_nan=False))
+        os.replace(m_tmp, self.directory / INDEX_FILE)
 
     @classmethod
     def load(cls, directory) -> "StreamingIndex":
-        """Resume from ``index.json`` + ``lambdas.bin`` (no recompute)."""
+        """Resume from ``index.json`` + ``graph.bin`` + ``lambdas.bin``
+        (no recompute)."""
         directory = Path(directory)
         meta = json.loads((directory / INDEX_FILE).read_text())
         params = GraphParams(**meta["graph_params"])
-        matrix = jnp.asarray(np.asarray(meta["graph_matrix"], np.float32))
+        shape = tuple(meta["graph_shape"])
+        matrix = jnp.asarray(
+            np.frombuffer(
+                (directory / GRAPH_FILE).read_bytes(), np.float32
+            ).reshape(shape)
+        )
         gl = GraphLaplacian(
             matrix=matrix, init_data=matrix, nnodes=meta["graph_nnodes"],
             graph_params=params,
         )
+
+        def _num(v):
+            return float("nan") if v is None else float(v)
+
         return cls(
             directory=directory, gl=gl,
             taumode=TauMode(meta["taumode"]["mode"], meta["taumode"]["param"]),
-            min_lambdas=meta["min_lambdas"], range_lambdas=meta["range_lambdas"],
+            min_lambdas=_num(meta["min_lambdas"]),
+            range_lambdas=_num(meta["range_lambdas"]),
             n_items=meta["n_items"], n_features=meta["n_features"],
             block_rows=meta["block_rows"],
         )
@@ -265,51 +292,12 @@ class StreamingIndex:
         ``quantized=True`` converts each block to bf16 on the host before
         upload — half the H2D bytes (the out-of-core bottleneck) at the
         usual bf16 ranking fidelity (DESIGN.md)."""
-        q = jnp.asarray(query, jnp.float32)
-        if q.shape[-1] != self.n_features:
-            raise ValueError(
-                f"Query dimension {q.shape[-1]} doesn't match index "
-                f"dimension {self.n_features}"
-            )
-        q_lam = jnp.float32(self.prepare_query_lambda(query))
-        qn = jnp.sqrt(jnp.sum(q * q))
-        kk = min(k, self.n_items)
-
-        best_scores = np.full(kk, -np.inf, np.float32)
-        best_ids = np.full(kk, -1, np.int64)
-        offset = 0
-        reader = shard_store.stream_blocks(self.directory, self.block_rows)
-        for block, lam in zip(reader, self._lambda_blocks()):
-            valid = len(block)
-            if valid < self.block_rows:        # pad tail to the fixed shape
-                block = np.concatenate(
-                    [block,
-                     np.zeros((self.block_rows - valid, self.n_features),
-                              np.float32)]
-                )
-                lam = np.concatenate(
-                    [lam, np.zeros(self.block_rows - valid, np.float32)]
-                )
-            if quantized:
-                block = _host_bf16(block)
-            top, idx = _score_block(
-                jnp.asarray(block), jnp.asarray(lam), q, qn, q_lam,
-                jnp.float32(alpha), jnp.float32(self.min_lambdas),
-                jnp.float32(self.range_lambdas), jnp.int32(valid),
-                min(kk, self.block_rows),
-            )
-            top = np.asarray(top)
-            gids = np.asarray(idx, np.int64) + offset
-            # host merge of the running top-k with this block's top-k
-            cat_s = np.concatenate([best_scores, top])
-            cat_i = np.concatenate([best_ids, gids])
-            sel = np.argsort(-cat_s, kind="stable")[:kk]
-            best_scores, best_ids = cat_s[sel], cat_i[sel]
-            offset += valid
-        reader.close()
+        idx, sc = self.search_batch(
+            np.asarray(query, np.float32)[None, :], k, alpha,
+            quantized=quantized,
+        )
         return [
-            (int(i), float(s))
-            for i, s in zip(best_ids, best_scores) if i >= 0
+            (int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0
         ]
 
     def search_batch(
@@ -342,32 +330,34 @@ class StreamingIndex:
         best_ids = np.full((b, kk), -1, np.int64)
         offset = 0
         reader = shard_store.stream_blocks(self.directory, self.block_rows)
-        for block, lam in zip(reader, self._lambda_blocks()):
-            valid = len(block)
-            if valid < self.block_rows:
-                block = np.concatenate(
-                    [block,
-                     np.zeros((self.block_rows - valid, self.n_features),
-                              np.float32)]
+        try:
+            for block, lam in zip(reader, self._lambda_blocks()):
+                valid = len(block)
+                if valid < self.block_rows:    # pad tail to the fixed shape
+                    block = np.concatenate(
+                        [block,
+                         np.zeros((self.block_rows - valid, self.n_features),
+                                  np.float32)]
+                    )
+                    lam = np.concatenate(
+                        [lam, np.zeros(self.block_rows - valid, np.float32)]
+                    )
+                if quantized:
+                    block = _host_bf16(block)
+                top, idx = _score_block_batch(
+                    jnp.asarray(block), jnp.asarray(lam), Q, q_lams,
+                    jnp.float32(alpha), jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas), jnp.int32(valid),
+                    min(kk, self.block_rows),
                 )
-                lam = np.concatenate(
-                    [lam, np.zeros(self.block_rows - valid, np.float32)]
-                )
-            if quantized:
-                block = _host_bf16(block)
-            top, idx = _score_block_batch(
-                jnp.asarray(block), jnp.asarray(lam), Q, q_lams,
-                jnp.float32(alpha), jnp.float32(self.min_lambdas),
-                jnp.float32(self.range_lambdas), jnp.int32(valid),
-                min(kk, self.block_rows),
-            )
-            top = np.asarray(top)
-            gids = np.asarray(idx, np.int64) + offset
-            cat_s = np.concatenate([best_scores, top], axis=1)
-            cat_i = np.concatenate([best_ids, gids], axis=1)
-            sel = np.argsort(-cat_s, kind="stable", axis=1)[:, :kk]
-            best_scores = np.take_along_axis(cat_s, sel, axis=1)
-            best_ids = np.take_along_axis(cat_i, sel, axis=1)
-            offset += valid
-        reader.close()
+                top = np.asarray(top)
+                gids = np.asarray(idx, np.int64) + offset
+                cat_s = np.concatenate([best_scores, top], axis=1)
+                cat_i = np.concatenate([best_ids, gids], axis=1)
+                sel = np.argsort(-cat_s, kind="stable", axis=1)[:, :kk]
+                best_scores = np.take_along_axis(cat_s, sel, axis=1)
+                best_ids = np.take_along_axis(cat_i, sel, axis=1)
+                offset += valid
+        finally:
+            reader.close()
         return best_ids, best_scores

@@ -281,13 +281,18 @@ class ShardedArrowSpace:
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
+        # Project for the λ computation ONLY — the sharded corpus stays in
+        # the original dimension, so scoring uses the original queries
+        # (same routing as serial search()/prepare_query_lambda).
+        Qlam = Q
         if (
             self.projection is not None
             and Q.shape[-1] == self.projection.original_dim
+            and self.gl.matrix.shape[0] == self.projection.reduced_dim
         ):
-            Q = self.projection.project(Q)
+            Qlam = self.projection.project(Q)
         raw = tm.taumode_lambdas(
-            Q, self.gl.matrix, self.taumode.mode, self.taumode.param
+            Qlam, self.gl.matrix, self.taumode.mode, self.taumode.param
         )
         q_lams = jnp.clip(
             (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0

@@ -51,19 +51,12 @@ PAD_DIAG = 1e6   # isolated padded rows get a huge diagonal so their
                  # nullspace the smallest-eigenpair solvers look at.
 
 
+from matternet_rs_tpu.parallel.mesh import flat_axis_index as _flat_axis_index
+
+
 def _mesh_axes(mesh):
     axes = tuple(mesh.axis_names)
     return axes if len(axes) > 1 else axes[0]
-
-
-def _flat_axis_index(axes):
-    """Linearized device position along (possibly joint) mesh axes."""
-    if isinstance(axes, str):
-        return jax.lax.axis_index(axes)
-    idx = jax.lax.axis_index(axes[0])
-    for a in axes[1:]:
-        idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
-    return idx
 
 
 def _ring_perm(n_dev: int):

@@ -132,3 +132,14 @@ def replicate(mesh: Mesh, x: jax.Array) -> jax.Array:
 def pad_to_mesh(n: int, mesh: Mesh) -> int:
     d = mesh.devices.size
     return n + ((-n) % d)
+
+
+def flat_axis_index(axes):
+    """Linearized device position along (possibly joint) mesh axes — shared
+    by every shard_map body that converts local to global row ids."""
+    if isinstance(axes, str):
+        return jax.lax.axis_index(axes)
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+    return idx

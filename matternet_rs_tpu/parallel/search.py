@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from matternet_rs_tpu.ops import taumode as tm
-from matternet_rs_tpu.parallel.mesh import DATA_AXIS
+from matternet_rs_tpu.parallel.mesh import DATA_AXIS, flat_axis_index
 
 try:  # JAX ≥ 0.8
     from jax import shard_map
@@ -81,8 +81,10 @@ def make_sharded_search(mesh, n_total: int, k: int):
         all_scores = jax.lax.all_gather(top, DATA_AXIS, tiled=True)
         all_idx = jax.lax.all_gather(gidx, DATA_AXIS, tiled=True)
         # Deterministic tie-break: lower global index wins on equal score.
+        # Final width: when k exceeds the per-shard row count the gathered
+        # set still holds D·kk candidates — return min(k, D·kk), not kk.
         order = jnp.lexsort((all_idx, -all_scores))
-        take = order[:kk]
+        take = order[: min(k, all_scores.shape[0])]
         return all_idx[take], all_scores[take]
 
     # check_vma=False: after the all_gather every device holds identical
@@ -127,16 +129,18 @@ def make_multislice_search(mesh, k: int):
         data_id = jax.lax.axis_index(DATA_AXIS)
         gidx = idx + (slice_id * n_data + data_id) * Xl.shape[0]
 
-        # Stage 1: merge across the data axis (ICI).
+        # Stage 1: merge across the data axis (ICI). Keep min(k, gathered)
+        # candidates per slice so k > per-shard rows still fills up.
         s1 = jax.lax.all_gather(top, DATA_AXIS, tiled=True)
         i1 = jax.lax.all_gather(gidx, DATA_AXIS, tiled=True)
-        o1 = jnp.lexsort((i1, -s1))[:kk]
+        k1 = min(k, s1.shape[0])
+        o1 = jnp.lexsort((i1, -s1))[:k1]
         s1, i1 = s1[o1], i1[o1]
 
-        # Stage 2: merge across slices (DCN) — k values per slice only.
+        # Stage 2: merge across slices (DCN) — ≤ k values per slice only.
         s2 = jax.lax.all_gather(s1, "slice", tiled=True)
         i2 = jax.lax.all_gather(i1, "slice", tiled=True)
-        o2 = jnp.lexsort((i2, -s2))[:kk]
+        o2 = jnp.lexsort((i2, -s2))[: min(k, s2.shape[0])]
         return i2[o2], s2[o2]
 
     mapped = shard_map(
@@ -174,20 +178,14 @@ def make_sharded_energy_search(mesh, k: int):
 
         kk = min(k, Xl.shape[0])
         neg_top, idx = jax.lax.top_k(-scores, kk)
-        if len(axes) == 1:
-            shard = jax.lax.axis_index(axes[0])
-        else:
-            shard = (
-                jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
-                + jax.lax.axis_index(axes[1])
-            )
+        shard = flat_axis_index(axes if len(axes) > 1 else axes[0])
         gidx = idx + shard * Xl.shape[0]
         all_scores = neg_top
         all_idx = gidx
         for ax in reversed(axes):
             all_scores = jax.lax.all_gather(all_scores, ax, tiled=True)
             all_idx = jax.lax.all_gather(all_idx, ax, tiled=True)
-        order = jnp.lexsort((all_idx, -all_scores))[:kk]
+        order = jnp.lexsort((all_idx, -all_scores))[: min(k, all_scores.shape[0])]
         return all_idx[order], -all_scores[order]
 
     item_spec = P(axes[0]) if len(axes) == 1 else P(axes)
@@ -225,14 +223,6 @@ def make_sharded_search_batch(mesh, k: int):
     axes = tuple(mesh.axis_names)
     joint = axes if len(axes) > 1 else axes[0]
 
-    def flat_index():
-        if isinstance(joint, str):
-            return jax.lax.axis_index(joint)
-        idx = jax.lax.axis_index(joint[0])
-        for a in joint[1:]:
-            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
-        return idx
-
     def local_fn(Xl, nl, ll, Q, QL, alpha):
         qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                 # [B]
         dots = jnp.dot(
@@ -247,7 +237,7 @@ def make_sharded_search_batch(mesh, k: int):
 
         kk = min(k, Xl.shape[0])
         top, idx = jax.lax.top_k(scores, kk)                   # [B, kk]
-        gidx = idx + flat_index() * Xl.shape[0]
+        gidx = idx + flat_axis_index(joint) * Xl.shape[0]
 
         all_s = jax.lax.all_gather(top, joint)                 # [D, B, kk]
         all_i = jax.lax.all_gather(gidx, joint)
@@ -255,11 +245,12 @@ def make_sharded_search_batch(mesh, k: int):
         all_s = jnp.moveaxis(all_s, 0, 1).reshape(-1, d * kk)  # [B, D·kk]
         all_i = jnp.moveaxis(all_i, 0, 1).reshape(-1, d * kk)
         # Deterministic (score desc, id asc) per-row re-rank: id-sort first,
-        # then stable argsort by -score.
+        # then stable argsort by -score. Final width min(k, D·kk): when k
+        # exceeds the per-shard rows the gathered set still fills it.
         id_order = jnp.argsort(all_i, axis=1)
         all_s = jnp.take_along_axis(all_s, id_order, axis=1)
         all_i = jnp.take_along_axis(all_i, id_order, axis=1)
-        sel = jnp.argsort(-all_s, axis=1)[:, :kk]
+        sel = jnp.argsort(-all_s, axis=1)[:, : min(k, d * kk)]
         return (
             jnp.take_along_axis(all_i, sel, axis=1),
             jnp.take_along_axis(all_s, sel, axis=1),

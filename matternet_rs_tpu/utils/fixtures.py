@@ -164,6 +164,8 @@ def make_cosine_tied_smoothness_dataset(
     Returns ``(X [n_directions·2·per_style, n_groups·group_size] f32,
     direction_labels, style_labels)`` with style 0 = smooth, 1 = rough.
     """
+    if group_size % 2:
+        raise ValueError("group_size must be even (alternating-sign pattern)")
     rng = np.random.default_rng(seed)
     ones = np.ones(group_size)
     alt = np.tile([1.0, -1.0], group_size // 2)

@@ -156,3 +156,57 @@ def test_distributed_spectral_embedding():
     np.fill_diagonal(d, np.inf)
     agree = (labels[d.argmin(1)] == labels).mean()
     assert agree > 0.85, f"embedding 1-NN agreement {agree}"
+
+
+def test_batched_distributed_with_projection():
+    """Regression: with an active JL projection, batched distributed search
+    must project only the λ computation — scoring stays original-dim."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(300, 128, seed=12).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=40, radius=120.0)
+        .with_dims_reduction(True)
+        .with_sampling(None)
+    )
+    aspace, gl = b.build(data)
+    if aspace.projection is None:
+        import pytest
+
+        pytest.skip("projection not triggered for this config")
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    idx, sc = sa.search_batch(data[[5, 9]], k=5)
+    assert idx[0][0] == 5 and idx[1][0] == 9
+    serial = sa.search(data[5], k=5)
+    assert idx[0].tolist() == [j for j, _ in serial]
+
+
+def test_k_exceeds_per_shard_rows():
+    """Regression: k beyond the per-device shard size must still return
+    min(k, gathered) results, exactly matching the single-device scan."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(160, 16, seed=13).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    sa = ShardedArrowSpace.distributed_build(
+        [data], params, k_clusters=6, mesh=make_mesh(8)
+    )
+    # 20 rows per shard; ask for 60.
+    serial = sa.search(data[3], k=60)
+    assert len(serial) == 60
+    idx, sc = sa.search_batch(data[[3]], k=60)
+    assert idx.shape[1] == 60
+    assert idx[0].tolist() == [j for j, _ in serial]
+    eres = sa.search_energy(data[3], k=60)
+    assert len(eres) == 60
