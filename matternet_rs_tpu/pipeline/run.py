@@ -57,8 +57,16 @@ class PipelineResult:
     timings: dict[str, float]
 
 
-def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
-    """Run the full staged pipeline on ``[N, F]`` data."""
+def build(
+    rows, config: Optional[PipelineConfig] = None, mesh=None,
+) -> PipelineResult:
+    """Run the full staged pipeline on ``[N, F]`` data.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — stage D (the only N-scaling
+    stage; everything else is centroid-scale) then shards the item axis
+    across the mesh with the F×F Laplacian replicated. λ scoring is
+    zero-communication DP, so the result is bit-identical to the
+    single-device run (determinism-tested)."""
     cfg = config or PipelineConfig()
     X = np.asarray(rows, np.float32)
     timings: dict[str, float] = {}
@@ -103,10 +111,15 @@ def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
         if a_out.projection is not None
         else X
     )
-    lambdas = timed(
-        "D:spectral", spectral.compute_tau_mode, lap, work,
-        work.shape[0], work.shape[1],
-    )
+    if mesh is not None:
+        lambdas = timed(
+            "D:spectral", _compute_tau_mode_sharded, mesh, lap, work
+        )
+    else:
+        lambdas = timed(
+            "D:spectral", spectral.compute_tau_mode, lap, work,
+            work.shape[0], work.shape[1],
+        )
     tau = compute_tau(lambdas, cfg.taumode)
 
     return PipelineResult(
@@ -119,6 +132,20 @@ def build(rows, config: Optional[PipelineConfig] = None) -> PipelineResult:
         tau=tau,
         timings=timings,
     )
+
+
+def _compute_tau_mode_sharded(mesh, lap, work) -> np.ndarray:
+    """Stage D over a device mesh: rows sharded, F×F Laplacian replicated
+    (GSPMD keeps all seven matmuls shard-local)."""
+    from matternet_rs_tpu.parallel.mesh import replicate, shard_items
+
+    n = work.shape[0]
+    Xs = shard_items(mesh, np.asarray(work, np.float32))
+    Ls = replicate(mesh, lap.matrix)
+    # Padded rows contribute zero edge energy, so the kernel's global
+    # Dirichlet total (an automatic psum under GSPMD) is unchanged.
+    lam = spectral.compute_lambdas(Ls, Xs)
+    return np.asarray(lam)[:n]
 
 
 def save_result(result: PipelineResult, path, name: str = "pipeline") -> None:

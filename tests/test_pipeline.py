@@ -416,3 +416,19 @@ def test_full_pipeline_deterministic():
     assert np.allclose(
         np.asarray(r1.state.means), np.asarray(r2.state.means)
     )
+
+
+def test_pipeline_stage_d_mesh_bit_identical():
+    """build(mesh=...) shards stage D over the mesh; λ must be
+    bit-identical to the single-device run (zero-comm DP + psum'd
+    Dirichlet total)."""
+    from matternet_rs_tpu import pipeline
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(300, 0.5).astype(np.float32)
+    cfg = pipeline.PipelineConfig()
+    single = pipeline.build(data, cfg)
+    meshed = pipeline.build(data, cfg, mesh=make_mesh(8))
+    np.testing.assert_allclose(meshed.lambdas, single.lambdas, atol=1e-6)
+    assert meshed.tau == pytest.approx(single.tau)
