@@ -167,3 +167,89 @@ def test_knn_euclidean_self_nearest():
     assert np.asarray(idx)[:, 0].tolist() == list(range(20))
     # sqrt of the matmul-expansion cancellation error: √(~1e-5·‖x‖²) ≈ 4e-2
     assert np.allclose(np.asarray(d)[:, 0], 0.0, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Deepened property coverage (test_distance.rs:150-437)
+# ---------------------------------------------------------------------------
+
+
+def test_bhattacharyya_triangle_inequality_violated():
+    """Bhattacharyya distance is NOT a metric — the reference asserts a
+    concrete triangle violation exists (test_distance.rs non-metric
+    case). Construct one: variance-mismatched pairs."""
+    m = jnp.asarray(np.array([[0.0], [0.0], [0.0]], np.float32))
+    v = jnp.asarray(np.array([[1e-4], [1.0], [1e4]], np.float32))
+    d01 = float(d.bhattacharyya_diagonal(m[0], v[0], m[1], v[1]))
+    d12 = float(d.bhattacharyya_diagonal(m[1], v[1], m[2], v[2]))
+    d02 = float(d.bhattacharyya_diagonal(m[0], v[0], m[2], v[2]))
+    assert d02 > d01 + d12, (d02, d01, d12)
+
+
+def test_bhattacharyya_pairwise_symmetric_zero_diag():
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0.5, 2.0, (7, 5)).astype(np.float32))
+    D = np.asarray(d.bhattacharyya_pairwise(m, v))
+    assert np.allclose(D, D.T, atol=1e-5)
+    assert np.allclose(np.diag(D), 0.0, atol=1e-5)
+    assert (D >= -1e-6).all()
+
+
+def test_bhattacharyya_coefficient_consistency():
+    """BC = exp(-d): coefficient and distance must roundtrip."""
+    dists = jnp.asarray(np.array([0.0, 0.5, 2.0, 10.0], np.float32))
+    bc = np.asarray(d.bhattacharyya_coefficient(dists))
+    np.testing.assert_allclose(bc, np.exp(-np.asarray(dists)), rtol=1e-5)
+    assert bc[0] == pytest.approx(1.0)
+    assert (bc <= 1.0).all() and (bc >= 0.0).all()
+
+
+def test_pairwise_euclidean_matches_sqeuclidean():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    d2 = np.asarray(d.pairwise_sqeuclidean(a))
+    d1 = np.asarray(d.pairwise_euclidean(a))
+    np.testing.assert_allclose(d1, np.sqrt(np.maximum(d2, 0)), atol=1e-4)
+
+
+def test_pairwise_cosine_scale_invariant():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(5, 8)).astype(np.float32)
+    c1 = np.asarray(d.pairwise_cosine(jnp.asarray(a)))
+    c2 = np.asarray(d.pairwise_cosine(jnp.asarray(7.5 * a)))
+    np.testing.assert_allclose(c1, c2, atol=1e-5)
+
+
+def test_rectified_cosine_saturates_anticorrelated():
+    a = jnp.asarray(np.array([[1.0, 0.0], [-1.0, 0.0]], np.float32))
+    dd = np.asarray(d.rectified_cosine_distance(a))
+    assert dd[0, 1] == pytest.approx(1.0, abs=1e-6)  # anti-correlated → 1
+    assert dd[0, 0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bhattacharyya_mean_term_vs_variance_term():
+    """Equal variances → pure Mahalanobis-like mean term; equal means →
+    pure variance-ratio term (reference decomposes the two,
+    distance.rs:29-63)."""
+    m0 = jnp.asarray(np.zeros(4, np.float32))
+    v1 = jnp.asarray(np.ones(4, np.float32))
+    # mean term only
+    d_mean = float(d.bhattacharyya_diagonal(
+        m0, v1, jnp.asarray(np.full(4, 2.0, np.float32)), v1
+    ))
+    assert d_mean == pytest.approx(0.125 * 4 * 4 / 1.0, rel=1e-4)
+    # variance term only
+    d_var = float(d.bhattacharyya_diagonal(
+        m0, v1, m0, jnp.asarray(np.full(4, 4.0, np.float32))
+    ))
+    expected = 0.5 * 4 * np.log(((1 + 4) / 2) / np.sqrt(4.0))
+    assert d_var == pytest.approx(expected, rel=1e-4)
+
+
+def test_standardize_constant_column_no_nan():
+    x = np.ones((10, 3), np.float32)
+    x[:, 1] = np.arange(10)
+    out = np.asarray(d.standardize_columns(jnp.asarray(x)))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:, 0], 0.0, atol=1e-6)
