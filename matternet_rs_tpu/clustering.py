@@ -327,11 +327,20 @@ def incremental_clustering(
             )
 
     if deterministic or n <= batch_size:
-        return _incremental_sequential(X, max_clusters, radius, sampler)
+        # Hand the already-drawn (and already-counted) keep mask to the
+        # fallback so the kept rows and sampler stats match the native
+        # path exactly — re-sampling here would double-count stats and
+        # advance the RNG a second time.
+        return _incremental_sequential(
+            X, max_clusters, radius,
+            sampler if keep_mask is None else None, keep_mask=keep_mask,
+        )
     return _incremental_batched(X, max_clusters, radius, sampler, batch_size)
 
 
-def _incremental_sequential(X, max_clusters, radius, sampler) -> ClusteredOutput:
+def _incremental_sequential(
+    X, max_clusters, radius, sampler, keep_mask=None
+) -> ClusteredOutput:
     n, f = X.shape
     cents = np.zeros((max_clusters, f), np.float64)
     counts = np.zeros(max_clusters, np.int64)
@@ -339,6 +348,8 @@ def _incremental_sequential(X, max_clusters, radius, sampler) -> ClusteredOutput
     assignments = np.full(n, -1, np.int64)
 
     for i in range(n):
+        if keep_mask is not None and not keep_mask[i]:
+            continue
         row = X[i].astype(np.float64)
         if ncent == 0:
             best_d = np.inf
@@ -431,9 +442,13 @@ def _incremental_batched(X, max_clusters, radius, sampler, batch_size) -> Cluste
             else np.ones(len(Xb), bool)
         )
 
+        # Every kept row with dmin > 0.5·radius routes to the sequential
+        # create loop below (which re-checks against live state and falls
+        # back to assign / soft-outlier there); the remaining kept rows all
+        # have dmin ≤ 0.5·radius ≤ radius, so the vectorized path only ever
+        # sees plain assignments — soft outliers are handled in the loop.
         create_mask = keep & (dmin > radius * CREATE_FACTOR)
         assign_mask = keep & ~create_mask & (dmin <= radius)
-        soft_mask = keep & ~create_mask & ~assign_mask & (dmin <= radius * RELAX_FACTOR)
 
         # Assignments to existing clusters: online mean via grouped sums.
         aidx = didx[assign_mask]
@@ -449,12 +464,6 @@ def _incremental_batched(X, max_clusters, radius, sampler, batch_size) -> Cluste
             ) / new_counts[upd, None]
             counts = new_counts
             assignments[start + np.nonzero(assign_mask)[0]] = aidx
-
-        # Soft outliers count but don't move centroids.
-        sidx = didx[soft_mask]
-        if sidx.size:
-            np.add.at(counts, sidx, 1)
-            assignments[start + np.nonzero(soft_mask)[0]] = sidx
 
         # Creations: sequential within batch (order matters; they're few).
         for off in np.nonzero(create_mask)[0]:

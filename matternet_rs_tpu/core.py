@@ -512,24 +512,53 @@ class ArrowSpace:
                 f"new items have dimension {new_rows.shape[-1]}, index has "
                 f"{self.nfeatures}"
             )
-        graph = self.graph_for_taumode(gl)
-        X = new_rows
-        if (
-            self.projection is not None
-            and X.shape[-1] == self.projection.original_dim
-            and graph.shape[0] == self.projection.reduced_dim
-        ):
-            X = self.projection.project(X)
-        raw = taumode_ops.taumode_lambdas_auto(
-            X, graph, self.taumode.mode, self.taumode.param
-        )
-        lam_new = jnp.clip(
-            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
-        )
+        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            # Energy mode: new items get the nearest sub-centroid's
+            # (already-normalized) λ — the same routing as queries — and
+            # the energy-search caches must grow with the data.
+            Xe = new_rows
+            if (
+                self.projection is not None
+                and Xe.shape[-1] == self.projection.original_dim
+                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
+            ):
+                Xe = self.projection.project(Xe)
+            d = jnp.sum(
+                (Xe[:, None, :] - self.sub_centroids[None, :, :]) ** 2, axis=-1
+            )
+            nearest = np.asarray(jnp.argmin(d, axis=1))
+            lam_new = jnp.asarray(
+                np.asarray(self.subcentroid_lambdas, np.float32)[nearest]
+            )
+            self.centroid_map = np.concatenate([self.centroid_map, nearest])
+            if self.item_norms is not None:
+                self.item_norms = jnp.concatenate([
+                    self.item_norms,
+                    jnp.sqrt(jnp.sum(new_rows * new_rows, axis=-1)),
+                ])
+        else:
+            graph = self.graph_for_taumode(gl)
+            X = new_rows
+            if (
+                self.projection is not None
+                and X.shape[-1] == self.projection.original_dim
+                and graph.shape[0] == self.projection.reduced_dim
+            ):
+                X = self.projection.project(X)
+            raw = taumode_ops.taumode_lambdas_auto(
+                X, graph, self.taumode.mode, self.taumode.param
+            )
+            lam_new = jnp.clip(
+                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+            )
         self.data = jnp.concatenate([self.data, new_rows], axis=0)
         self.lambdas = jnp.concatenate([self.lambdas, lam_new])
         self.nitems = int(self.data.shape[0])
         self._norms = None
+        if self.ivf is not None:
+            # The bucket layout doesn't know the new rows — rebuild it so
+            # pruned search can return them (silently stale otherwise).
+            self.build_ivf_index(bucket_size=self.ivf.bucket_size)
         if self.lambdas_sorted is not None:
             self.build_lambdas_sorted()
 

@@ -149,6 +149,11 @@ def optical_compress_centroids(
     sums = np.zeros((g * g, f), np.float64)
     np.add.at(sums, kept_bins, centroids[kept_rows].astype(np.float64))
     kept_counts = np.bincount(kept_bins, minlength=g * g)
+    # Bin-id-order truncation when the g² grid overshoots the budget is
+    # REFERENCE-FAITHFUL (energymaps.rs:394-401 breaks out of the bin loop
+    # at the budget in the same order): the dropped high-id bins are the
+    # top rows of the projected grid. A count- or norm-ranked selection
+    # would be better-balanced but would diverge from the oracle/parity.
     nonempty = np.nonzero(kept_counts)[0][:token_budget]   # bin-id order
     pooled = sums[nonempty] / kept_counts[nonempty, None]
 
@@ -362,6 +367,12 @@ def build_energy(builder, rows, energy_params: Optional[EnergyParams] = None):
 
     aspace.sub_centroids = sc
     aspace.subcentroid_lambdas = sc_lambdas
+    # Record the normalization stats (were left at the -1 construction
+    # sentinels): adaptive_energy_weights derives w_λ from range_lambdas,
+    # and add_items normalizes inserted rows with these.
+    aspace.min_lambdas = mn
+    aspace.max_lambdas = mx
+    aspace.range_lambdas = rng
 
     # Step 8: item → sub-centroid assignment (nearest by L2 in the working
     # space — the energy-mode prepare_query path — then cosine tie-break among

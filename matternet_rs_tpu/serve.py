@@ -86,7 +86,13 @@ class IndexService:
     def close(self) -> None:
         with self._cv:
             self._closed = True
+            drained, self._queue = self._queue, []
             self._cv.notify_all()
+        # Fail queued waiters instead of leaving them blocked forever.
+        for p in drained:
+            if not p.done.is_set():
+                p.error = RuntimeError("index service is closed")
+                p.done.set()
 
     def info(self) -> dict:
         return {
@@ -104,6 +110,8 @@ class IndexService:
     # ------------------------------------------------------------------
     def _submit(self, pending: _Pending) -> list[dict]:
         with self._cv:
+            if self._closed:
+                raise RuntimeError("index service is closed")
             self._queue.append(pending)
             self._cv.notify()
         pending.done.wait()
@@ -118,9 +126,15 @@ class IndexService:
                     self._cv.wait()
                 if self._closed and not self._queue:
                     return
-            # Collect for one window (more requests may arrive meanwhile).
-            time.sleep(self.batch_window_s)
-            with self._cv:
+                # Collect until the window elapses OR a full batch is ready
+                # (a burst of max_batch requests dispatches immediately —
+                # no fixed latency floor under sustained load).
+                deadline = time.monotonic() + self.batch_window_s
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
                 batch, self._queue = self._queue[: self.max_batch * 4], \
                     self._queue[self.max_batch * 4:]
             groups: dict[tuple, list[_Pending]] = {}
@@ -155,8 +169,13 @@ class IndexService:
                     Q, self.gl, k, alpha, approx=approx, return_raw=True,
                     quantized=quantized,
                 )
+                # The undecidable check applies to EIGEN-mode raw λ only:
+                # in energy mode `raw` is the nearest sub-centroid's
+                # normalized λ, where exactly 0.0 is a legitimate value
+                # (the minimum-λ sub-centroid).
+                energy_index = self.aspace.sub_centroids is not None
                 for p, row_i, row_s, r in zip(members, idx, sc, raw):
-                    if abs(float(r)) <= 1e-12:
+                    if not energy_index and abs(float(r)) <= 1e-12:
                         p.error = UndecidableQueryError(
                             "query raw λ is 0.0 (out of context for the "
                             "dataset — check the builder's eps)"
@@ -183,12 +202,10 @@ class IndexService:
         q = np.asarray(query, np.float32)
         if q.ndim != 1:
             raise ValueError("query must be a flat vector")
-        ok_dims = {self.aspace.nfeatures}
-        if self.aspace.projection is not None:
-            ok_dims.add(self.aspace.projection.reduced_dim)
-        if self.aspace.sub_centroids is not None:
-            ok_dims.add(int(self.aspace.sub_centroids.shape[-1]))
-        if q.shape[0] not in ok_dims:
+        # The batched scorers dot the query against the ORIGINAL-dim corpus,
+        # so only nfeatures-dim queries are servable (reduced-dim inputs
+        # would shape-crash inside the dispatch, not 400 cleanly).
+        if q.shape[0] != self.aspace.nfeatures:
             raise ValueError(
                 f"Query dimension {q.shape[0]} doesn't match index "
                 f"dimension {self.aspace.nfeatures}"
@@ -241,7 +258,10 @@ def make_handler(service: IndexService):
             query = doc.get("query")
             if not isinstance(query, list) or not query:
                 return self._reply(400, {"error": "'query' must be a non-empty list"})
-            k = int(doc.get("k", 10))
+            try:
+                k = int(doc.get("k", 10))
+            except (TypeError, ValueError):
+                return self._reply(400, {"error": "'k' must be an integer"})
 
             try:
                 if self.path == "/search":

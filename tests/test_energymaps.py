@@ -304,3 +304,31 @@ def test_energy_no_graph_rebuild_on_search(built):
     lam0 = np.asarray(aspace.lambdas).copy()
     em.search_energy(aspace, data[5], gl, 5)
     np.testing.assert_array_equal(lam0, np.asarray(aspace.lambdas))
+
+
+def test_energy_build_sets_lambda_stats(built):
+    """Regression: range_lambdas must be real post-build (was left at the
+    -1 sentinel → adaptive weights never adapted, add_items corrupted λ)."""
+    aspace, _, _ = built
+    assert aspace.range_lambdas > 0
+    assert np.isfinite(aspace.min_lambdas)
+    wl, wd = em.adaptive_energy_weights(aspace)
+    assert wl != pytest.approx(0.5) or aspace.range_lambdas < 1e-9
+
+
+def test_energy_add_items_extends_caches(built):
+    """Regression: add_items on an energy index must extend item_norms /
+    centroid_map and keep search working (was a broadcast crash)."""
+    import copy
+
+    aspace, gl, data = built
+    a2 = copy.copy(aspace)
+    n0 = a2.nitems
+    a2.add_items(data[:3] + 0.01, gl)
+    assert a2.nitems == n0 + 3
+    assert a2.item_norms.shape[0] == n0 + 3
+    assert a2.centroid_map.shape[0] == n0 + 3
+    res = em.search_energy(a2, data[1], gl, k=5)
+    assert len(res) == 5
+    lam = np.asarray(a2.lambdas)
+    assert (lam >= 0).all() and (lam <= 1).all()

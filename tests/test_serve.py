@@ -170,3 +170,47 @@ def test_search_quantized_endpoint(server):
     assert doc["results"][0]["score"] == pytest.approx(
         exact["results"][0]["score"], abs=0.01
     )
+
+
+def test_energy_blend_search_no_false_undecidable(tmp_path_factory):
+    """Regression: /search (blend) on an energy index must not 422 for the
+    query nearest the minimum-λ sub-centroid (normalized λ is exactly 0)."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.serve import IndexService
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(150, 24, seed=17).astype(np.float32)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5).with_sparsity_check(False)
+         .with_cluster_params(max_clusters=16, radius=18.0)
+         .with_dims_reduction(True).with_seed(3))
+    aspace, gl = b.build_energy(data)
+    svc = IndexService(aspace, gl)
+    try:
+        # The item whose sub-centroid λ is minimal normalizes to exactly 0.
+        lam = np.asarray(aspace.lambdas)
+        qi = int(np.argmin(lam))
+        res = svc.search(data[qi], k=3)
+        assert res[0]["index"] == qi
+    finally:
+        svc.close()
+
+
+def test_bad_k_returns_400(server):
+    base, data = server
+    code, doc = _post(base + "/search", {"query": data[0].tolist(), "k": "ten"})
+    assert code == 400 and "k" in doc["error"]
+
+
+def test_submit_after_close_raises(server_factory=None):
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.serve import IndexService
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(80, 0.4).astype(np.float32)
+    aspace, gl = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5)
+                  .with_cluster_params(max_clusters=10, radius=5.0)
+                  .with_sparsity_check(False).build(data))
+    svc = IndexService(aspace, gl)
+    svc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.search(data[0], k=3)
