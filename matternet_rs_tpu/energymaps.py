@@ -139,7 +139,8 @@ def optical_compress_centroids(
     cnt_of = np.repeat(counts, counts)
     keep_of = np.where(
         cnt_of > 4,
-        np.maximum(np.ceil(cnt_of * (1.0 - trim_quantile)), 1).astype(int),
+        # .round() half-away-from-zero + clamp(1, len) — energymaps.rs:807-809
+        np.maximum(np.floor(cnt_of * (1.0 - trim_quantile) + 0.5), 1).astype(int),
         cnt_of,
     )
     kept = rank < keep_of
@@ -269,7 +270,8 @@ def diffuse_and_split_subcentroids(
     lam, gini = node_energy_and_dispersion(work, l0, p.neighbor_k)
 
     g_sorted = np.sort(gini)
-    q_idx = int(round((len(g_sorted) - 1) * p.split_quantile))
+    # Rust f64::round is half-away-from-zero (Python round is banker's).
+    q_idx = int(np.floor((len(g_sorted) - 1) * p.split_quantile + 0.5))
     thresh = g_sorted[q_idx]
 
     rows = [work_np]

@@ -43,7 +43,10 @@ class SparseGraph:
         idx = np.zeros((n_nodes, k), np.int32)
         wts = np.zeros((n_nodes, k), np.float32)
         for i, a in enumerate(adj):
-            items = sorted(a.items())[:k]
+            # Capacity overflow keeps the STRONGEST edges (truncating by
+            # neighbor id would drop heavy edges asymmetrically and break
+            # the symmetric operator the eigensolver assumes).
+            items = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             for slot, (j, w) in enumerate(items):
                 idx[i, slot] = j
                 wts[i, slot] = w
@@ -58,7 +61,9 @@ class SparseGraph:
         idx = np.zeros((n, k), np.int32)
         wts = np.zeros((n, k), np.float32)
         for i in range(n):
-            nbrs = np.nonzero(np.abs(W[i]) > 1e-12)[0][:k]
+            nbrs = np.nonzero(np.abs(W[i]) > 1e-12)[0]
+            if len(nbrs) > k:   # keep the strongest, not the lowest ids
+                nbrs = nbrs[np.argsort(-np.abs(W[i, nbrs]), kind="stable")[:k]]
             idx[i, : len(nbrs)] = nbrs
             wts[i, : len(nbrs)] = W[i, nbrs]
         return cls(jnp.asarray(idx), jnp.asarray(wts), n)

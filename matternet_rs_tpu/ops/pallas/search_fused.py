@@ -123,6 +123,11 @@ def search_fused_pallas(
     """
     n, f = Xn.shape
     b = Qn.shape[0]
+    if k > K_PAD:
+        raise ValueError(
+            f"search_fused_pallas keeps a fixed K_PAD={K_PAD}-wide running "
+            f"top-k in VMEM; k={k} exceeds it (use lax.top_k for larger k)"
+        )
     k_keep = min(max(k, 1), K_PAD, n)
 
     n_pad = (-n) % TILE_T

@@ -41,13 +41,22 @@ def _scan_dots(X: jax.Array, query: jax.Array) -> jax.Array:
     return mm(X, query)
 
 
+def _guarded_cosine(dots, denom):
+    """dots/denom with the zero-norm guard — THE cosine used everywhere."""
+    return jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def _blend(cos, lambdas, query_lambda, alpha):
+    """``α·cos + (1-α)·(1-min(|Δλ|,1))`` — THE blended score (broadcasts)."""
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lambdas - query_lambda), 1.0)
+    return alpha * cos + (1.0 - alpha) * lam_sim
+
+
 @jax.jit
 def cosine_scores(X: jax.Array, norms: jax.Array, query: jax.Array) -> jax.Array:
     """Cosine similarity of ``query`` against every row (0 for zero norms)."""
     qn = jnp.sqrt(jnp.sum(query * query))
-    denom = norms * qn
-    dots = _scan_dots(X, query)
-    return jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+    return _guarded_cosine(_scan_dots(X, query), norms * qn)
 
 
 @jax.jit
@@ -59,9 +68,7 @@ def lambda_aware_scores(
     query_lambda: jax.Array,
     alpha: jax.Array,
 ) -> jax.Array:
-    cos = cosine_scores(X, norms, query)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lambdas - query_lambda), 1.0)
-    return alpha * cos + (1.0 - alpha) * lam_sim
+    return _blend(cosine_scores(X, norms, query), lambdas, query_lambda, alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx", "recall_target"))
@@ -114,8 +121,7 @@ def search_lambda_aware_hybrid(
     n = X.shape[0]
     kk = min(k, n)
     cos = cosine_scores(X, norms, query)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lambdas - query_lambda), 1.0)
-    lambda_score = alpha * cos + (1.0 - alpha) * lam_sim
+    lambda_score = _blend(cos, lambdas, query_lambda, alpha)
 
     # λ top-k membership mask.
     _, top_idx = jax.lax.top_k(lambda_score, kk)
@@ -168,12 +174,8 @@ def search_lambda_aware_batched(
         queries, X.T, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )                                                              # [B, N]
-    denom = norms[None, :] * qn[:, None]
-    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-    lam_sim = 1.0 - jnp.minimum(
-        jnp.abs(lambdas[None, :] - query_lambdas[:, None]), 1.0
-    )
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
+    scores = _blend(cos, lambdas[None, :], query_lambdas[:, None], alpha)
 
     t = min(tile, n)
     pad = (-n) % t
@@ -227,9 +229,7 @@ def search_lambda_banded(
         Xc, query, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    cos = jnp.where(nc * qn > 1e-12, dots / jnp.maximum(nc * qn, 1e-12), 0.0)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(cand_lam - query_lambda), 1.0)
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = _blend(_guarded_cosine(dots, nc * qn), cand_lam, query_lambda, alpha)
     top, idx = jax.lax.top_k(scores, min(k, w))
     return cand[idx], top
 

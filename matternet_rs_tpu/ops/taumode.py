@@ -63,7 +63,7 @@ def select_tau(values: jax.Array, mode: int, param: float = 0.0) -> jax.Array:
     if mode == TAU_PERCENTILE:
         f = values.shape[-1]
         pp = min(max(param, 0.0), 1.0)
-        idx = int(round((f - 1) * pp))
+        idx = int(math.floor((f - 1) * pp + 0.5))  # Rust f64::round: half away
         s = jnp.sort(values, axis=-1)
         return jnp.maximum(s[..., idx], TAU_FLOOR)
     raise ValueError(f"unknown tau mode {mode}")

@@ -167,7 +167,7 @@ def select_tau(values: np.ndarray, mode: str, param: float = 0.0) -> float:
     s = np.sort(v, kind="stable")
     if mode == "percentile":
         pp = min(max(param, 0.0), 1.0)
-        idx = int(round((s.size - 1) * pp))
+        idx = int(np.floor((s.size - 1) * pp + 0.5))   # Rust half-away round
         return max(float(s[idx]), TAU_FLOOR)
     if mode == "median":
         mid = (
@@ -245,7 +245,7 @@ def taumode_lambdas_fast(
         tau = np.maximum(np.median(X, axis=1), TAU_FLOOR)
     elif mode == "percentile":
         pp = min(max(param, 0.0), 1.0)
-        idx = int(round((f - 1) * pp))
+        idx = int(np.floor((f - 1) * pp + 0.5))        # Rust half-away round
         tau = np.maximum(np.sort(X, axis=1)[:, idx], TAU_FLOOR)
     else:
         raise ValueError(f"unknown tau mode {mode!r}")
@@ -513,7 +513,7 @@ def optical_compress(
             continue
         if members.size > 4:
             order = members[np.argsort(norms[members], kind="stable")]
-            keep = max(int(np.ceil(len(order) * (1.0 - trim_quantile))), 1)
+            keep = max(int(np.floor(len(order) * (1.0 - trim_quantile) + 0.5)), 1)
             members = order[:keep]
         out_rows.append(centroids[members].mean(axis=0))
         if len(out_rows) >= token_budget:
@@ -568,7 +568,7 @@ def split_subcentroids(
     work = np.asarray(work, np.float64)
     x, f = work.shape
     g_sorted = np.sort(gini)
-    thresh = g_sorted[int(round((len(g_sorted) - 1) * split_quantile))]
+    thresh = g_sorted[int(np.floor((len(g_sorted) - 1) * split_quantile + 0.5))]
     rows = [work]
     to_split = np.nonzero(gini >= thresh)[0]
     if to_split.size and x > 1:

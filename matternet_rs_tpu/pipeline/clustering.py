@@ -65,6 +65,9 @@ class ClusteringOutput:
     original_dim: int
     working_dim: int
     projection: Optional[ImplicitProjection]
+    # The projected [N, working_dim] rows (== input when no projection):
+    # stage D consumes this directly instead of re-projecting all N rows.
+    working: Optional[np.ndarray] = None
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -123,6 +126,7 @@ class ClusteringStage:
             original_dim=f,
             working_dim=working_dim,
             projection=projection,
+            working=working,
         )
 
     # ------------------------------------------------------------------
@@ -162,39 +166,26 @@ class ClusteringStage:
 
         assignments[0] = create(X[0].astype(np.float64))
 
-        bs = cfg.batch_size
-        for start in range(1, n, bs):
-            Xb = X[start : start + bs]
-            dmin, didx = _assign_batch(
-                jnp.asarray(Xb), jnp.asarray(cents[:cap], jnp.float32),
-                jnp.int32(ncent), cap,
-            )
-            dmin = np.asarray(dmin, np.float64)
-            didx = np.asarray(didx)
-
-            near = dmin < cfg.radius_threshold
-            # Near rows: grouped online mean/variance updates in row order.
-            for off in np.nonzero(near)[0]:
-                add_point(int(didx[off]), Xb[off].astype(np.float64))
-                assignments[start + off] = didx[off]
-            # Far rows: sequential create-or-assign against live centroids.
-            for off in np.nonzero(~near)[0]:
-                row = Xb[off].astype(np.float64)
-                if ncent > 0:
-                    d2 = np.sum((cents[:ncent] - row) ** 2, axis=1)
-                    bi = int(np.argmin(d2))
-                    bd = float(d2[bi])
-                else:
-                    bi, bd = 0, np.inf
-                if bd < cfg.radius_threshold:
-                    add_point(bi, row)
-                    assignments[start + off] = bi
-                elif ncent < cap:
-                    assignments[start + off] = create(row)
-                else:
-                    # Budget exhausted: force-assign (clustering.rs:289-293).
-                    add_point(bi, row)
-                    assignments[start + off] = bi
+        # Sequential live-centroid scan — IDENTICAL decisions to the native
+        # C++ path (clustering.cpp mode="stage_a"), so toolchain-free hosts
+        # produce the same clustering (a batch-snapshot fallback here used
+        # to silently diverge from native: snapshot argmin vs live
+        # centroids and near-before-far reordering both change the
+        # order-dependent online means).
+        for i in range(1, n):
+            row = X[i].astype(np.float64)
+            d2 = np.sum((cents[:ncent] - row) ** 2, axis=1)
+            bi = int(np.argmin(d2))
+            bd = float(d2[bi])
+            if bd < cfg.radius_threshold:
+                add_point(bi, row)
+                assignments[i] = bi
+            elif ncent < cap:
+                assignments[i] = create(row)
+            else:
+                # Budget exhausted: force-assign (clustering.rs:289-293).
+                add_point(bi, row)
+                assignments[i] = bi
 
         return (
             cents[:ncent].astype(np.float32),

@@ -48,7 +48,14 @@ class PipelineConfig:
 @dataclasses.dataclass
 class PipelineResult:
     state: CentroidState                 # smoothed centroid state (B2 output)
-    assignments: np.ndarray              # [N] item → centroid (stage A)
+    # [N] item → ORIGINAL stage-A centroid id. NB: `state` rows are in MST
+    # traversal order (row t ↔ centroid kalman.order[t]) — index `state`
+    # with `centroid_positions`, not `assignments`.
+    assignments: np.ndarray
+    # [N] item → row of `state` (assignments mapped through the inverse of
+    # kalman.order), so `state.means[centroid_positions[i]]` IS item i's
+    # smoothed centroid.
+    centroid_positions: np.ndarray
     mst: MSTOutput
     kalman: KalmanOutput
     laplacian: LaplacianOutput
@@ -105,12 +112,10 @@ def build(
     # Stage C: feature-space Laplacian.
     lap = timed("C:laplacian", LaplacianStage(cfg.laplacian).execute, smoothed)
 
-    # Stage D: batched spectral λ for all items (in working dim).
-    work = (
-        np.asarray(a_out.projection.project(X))
-        if a_out.projection is not None
-        else X
-    )
+    # Stage D: batched spectral λ for all items (in working dim). Stage A
+    # already projected the rows — reuse them (re-projecting is an
+    # O(N·F·r) matmul on the only N-scaling stage).
+    work = a_out.working if a_out.working is not None else X
     if mesh is not None:
         lambdas = timed(
             "D:spectral", _compute_tau_mode_sharded, mesh, lap, work
@@ -122,9 +127,15 @@ def build(
         )
     tau = compute_tau(lambdas, cfg.taumode)
 
+    # Map stage-A centroid ids to rows of the (MST-ordered) smoothed state.
+    order = np.asarray(kalman.order, np.int64)
+    pos_of = np.empty_like(order)
+    pos_of[order] = np.arange(len(order))
+
     return PipelineResult(
         state=smoothed,
         assignments=a_out.assignments,
+        centroid_positions=pos_of[np.asarray(a_out.assignments, np.int64)],
         mst=mst,
         kalman=kalman,
         laplacian=lap,

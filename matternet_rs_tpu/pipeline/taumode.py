@@ -54,6 +54,6 @@ def compute_tau(lambdas, mode: TauMode) -> float:
         return max(float(s[len(s) // 2]), TAU_FLOOR)
     if mode.mode == "percentile":
         p = min(max(mode.param, 0.0), 1.0)
-        idx = int(round((len(s) - 1) * p))
+        idx = int(np.floor((len(s) - 1) * p + 0.5))  # Rust half-away round
         return max(float(s[idx]), TAU_FLOOR)
     raise ValueError(f"unknown tau mode {mode.mode!r}")
