@@ -186,7 +186,11 @@ class ArrowSpaceBuilder:
             target = min(jl_dim, n_features // 2)
             if target < n_features and target > centroids.shape[0]:
                 proj = ImplicitProjection(
-                    n_features, target, self.clustering_seed or 42
+                    n_features, target,
+                    # seed 0 is a valid user seed — only None means unset
+                    # (the reference passes clustering_seed verbatim,
+                    # builder.rs:240).
+                    42 if self.clustering_seed is None else self.clustering_seed,
                 )
                 centroids = np.asarray(project_matrix(centroids, proj))
                 aspace.projection = proj

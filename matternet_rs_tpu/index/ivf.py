@@ -67,7 +67,7 @@ class IVFIndex:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _assign_all_jit(X: jax.Array, cents: jax.Array, chunk: int = 65536):
+def _assign_all_jit(X: jax.Array, cents: jax.Array, chunk: int):
     """Nearest centroid for every row (one ``‖x−c‖²`` matmul expansion per
     fixed-size chunk — same kernel shape as the builder's batched assign)."""
     n = X.shape[0]
@@ -108,15 +108,23 @@ def build_ivf(
     X = jnp.asarray(data, jnp.float32)
     n, f = int(X.shape[0]), int(X.shape[1])
 
+    if assignments is not None and len(assignments) > n:
+        raise ValueError(
+            f"assignments length {len(assignments)} exceeds data rows {n}"
+        )
     if assignments is not None:
+        # Assignments may cover a PREFIX of the data (rows appended after
+        # the build, e.g. ArrowSpace.add_items): centroid seeding uses the
+        # covered rows; the device re-assign pass below buckets every row.
         a = np.asarray(assignments)
+        X_pref = np.asarray(X)[: len(a)]
         valid = a >= 0
         if not valid.any():
             raise ValueError("assignments contain no valid cluster ids")
         c = int(a[valid].max()) + 1
         # Segment means over valid rows (host: centroid-scale output).
         sums = np.zeros((c, f), np.float64)
-        np.add.at(sums, a[valid], np.asarray(X)[valid])
+        np.add.at(sums, a[valid], X_pref[valid])
         counts = np.bincount(a[valid], minlength=c).astype(np.float64)
         keep = counts > 0
         cents = (sums[keep] / counts[keep, None]).astype(np.float32)
@@ -129,7 +137,10 @@ def build_ivf(
         cents = np.asarray(cents, np.float32)
 
     cents_d = jnp.asarray(cents)
-    assign = np.asarray(_assign_all_jit(X, cents_d))
+    # Chunk sized to the corpus: a fixed 65536 would pad a 1k-row corpus
+    # 65× on every (re)build.
+    chunk = min(65536, 1 << max(int(n - 1).bit_length(), 8))
+    assign = np.asarray(_assign_all_jit(X, cents_d, chunk))
 
     # Pack cluster member lists into fixed-size buckets (λ-sorted within a
     # cluster so bucket λ intervals are tight).

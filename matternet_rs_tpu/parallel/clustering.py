@@ -91,12 +91,19 @@ def distributed_lloyd(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        counts = jnp.sum(one_hot, axis=0)
+        # Counts accumulate as int32 scatter-adds: an f32 one-hot sum stops
+        # counting exactly past 2^24 members/cluster (Deep1B-scale regime).
+        counts = (
+            jnp.zeros(cents.shape[0], jnp.int32)
+            .at[jnp.where(valid, a, cents.shape[0] - 1)]
+            .add(jnp.where(valid, 1, 0))
+        )
         for ax in axes:
             sums = jax.lax.psum(sums, ax)
             counts = jax.lax.psum(counts, ax)
+        cf = counts.astype(jnp.float32)
         new = jnp.where(
-            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], cents
+            counts[:, None] > 0, sums / jnp.maximum(cf, 1.0)[:, None], cents
         )
         return new, counts, jnp.where(valid, a, -1)
 
@@ -118,7 +125,7 @@ def distributed_lloyd(
 
         init = (
             cents,
-            jnp.zeros(cents.shape[0], Xs.dtype),
+            jnp.zeros(cents.shape[0], jnp.int32),
             jnp.zeros(Xs.shape[0], jnp.int32) - 1,
         )
         (cents, counts, a), _ = jax.lax.scan(body, init, None, length=iters)

@@ -83,6 +83,10 @@ class ShardedArrowSpace:
     min_lambdas: float = 0.0
     range_lambdas: float = 1.0
     projection: object | None = None     # ImplicitProjection for F-dim queries
+    # Energy-mode state (copied from an energy-built ArrowSpace): query λ
+    # routes through the nearest sub-centroid, matching serial semantics.
+    sub_centroids: jax.Array | None = None
+    subcentroid_lambdas: np.ndarray | None = None
     _search_cache: dict = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -112,6 +116,8 @@ class ShardedArrowSpace:
             min_lambdas=aspace.min_lambdas,
             range_lambdas=aspace.range_lambdas,
             projection=aspace.projection,
+            sub_centroids=aspace.sub_centroids,
+            subcentroid_lambdas=aspace.subcentroid_lambdas,
         )
 
     @classmethod
@@ -228,10 +234,22 @@ class ShardedArrowSpace:
 
     # ------------------------------------------------------------------
     def prepare_query_lambda(self, query) -> float:
-        """Query λ against the replicated graph, normalized with the global
-        stats (core.rs:865-935 semantics). Projects original-dim queries
-        when a JL projection is active."""
+        """Query λ: energy mode maps to the nearest sub-centroid's
+        (already-normalized) λ; eigen mode runs synthetic λ against the
+        replicated graph then normalizes (core.rs:865-935 semantics).
+        Projects original-dim queries when a JL projection is active."""
         q = jnp.asarray(query, jnp.float32)
+        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            if (
+                self.projection is not None
+                and q.shape[-1] == self.projection.original_dim
+                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
+            ):
+                q = self.projection.project(q)
+            d = jnp.sum((self.sub_centroids - q[None, :]) ** 2, axis=-1)
+            return float(
+                np.asarray(self.subcentroid_lambdas)[int(jnp.argmin(d))]
+            )
         if (
             self.projection is not None
             and q.shape[-1] == self.projection.original_dim
@@ -253,10 +271,12 @@ class ShardedArrowSpace:
             if "slice" in self.mesh.axis_names:
                 from matternet_rs_tpu.parallel.search import make_multislice_search
 
-                self._search_cache[key] = make_multislice_search(self.mesh, k)
+                self._search_cache[key] = make_multislice_search(
+                    self.mesh, self.n_items, k
+                )
             else:
                 self._search_cache[key] = make_sharded_search(
-                    self.mesh, self.X.shape[0], k
+                    self.mesh, self.n_items, k
                 )
         fn = self._search_cache[key]
         idx, sc = fn(
@@ -285,21 +305,39 @@ class ShardedArrowSpace:
         # the original dimension, so scoring uses the original queries
         # (same routing as serial search()/prepare_query_lambda).
         Qlam = Q
-        if (
-            self.projection is not None
-            and Q.shape[-1] == self.projection.original_dim
-            and self.gl.matrix.shape[0] == self.projection.reduced_dim
-        ):
-            Qlam = self.projection.project(Q)
-        raw = tm.taumode_lambdas(
-            Qlam, self.gl.matrix, self.taumode.mode, self.taumode.param
-        )
-        q_lams = jnp.clip(
-            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
-        )
+        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            # Energy mode: nearest sub-centroid λ per query (normalized).
+            if (
+                self.projection is not None
+                and Q.shape[-1] == self.projection.original_dim
+                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
+            ):
+                Qlam = self.projection.project(Q)
+            d = jnp.sum(
+                (Qlam[:, None, :] - self.sub_centroids[None, :, :]) ** 2, axis=-1
+            )
+            sc = jnp.asarray(
+                np.asarray(self.subcentroid_lambdas, np.float32)
+            )
+            q_lams = sc[jnp.argmin(d, axis=1)]
+        else:
+            if (
+                self.projection is not None
+                and Q.shape[-1] == self.projection.original_dim
+                and self.gl.matrix.shape[0] == self.projection.reduced_dim
+            ):
+                Qlam = self.projection.project(Q)
+            raw = tm.taumode_lambdas(
+                Qlam, self.gl.matrix, self.taumode.mode, self.taumode.param
+            )
+            q_lams = jnp.clip(
+                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+            )
         key = ("batch", k)
         if key not in self._search_cache:
-            self._search_cache[key] = make_sharded_search_batch(self.mesh, k)
+            self._search_cache[key] = make_sharded_search_batch(
+                self.mesh, self.n_items, k
+            )
         idx, sc = self._search_cache[key](
             self.X, self.norms, self.lambdas, Q, q_lams, jnp.float32(alpha)
         )
@@ -336,7 +374,9 @@ class ShardedArrowSpace:
             query_lambda = self.prepare_query_lambda(query)
         key = ("energy", k)
         if key not in self._search_cache:
-            self._search_cache[key] = make_sharded_energy_search(self.mesh, k)
+            self._search_cache[key] = make_sharded_energy_search(
+                self.mesh, self.n_items, k
+            )
         fn = self._search_cache[key]
         idx, sc = fn(
             self.X, self.norms, self.lambdas,

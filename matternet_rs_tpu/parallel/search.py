@@ -50,7 +50,7 @@ def sharded_taumode_lambdas(mesh, X_sharded: jax.Array, L: jax.Array, tau_mode: 
     return run(X_sharded, L, tau_mode, tau_param)
 
 
-def make_sharded_search(mesh, n_total: int, k: int):
+def make_sharded_search(mesh, n_items: int, k: int):
     """Compile a distributed λ-aware search closure.
 
     Returns ``search(X_sharded, norms_sharded, lambdas_sharded, query,
@@ -68,13 +68,15 @@ def make_sharded_search(mesh, n_total: int, k: int):
         cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
         lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
         scores = alpha * cos + (1.0 - alpha) * lam_sim
-        # Padded rows (zero norm) must never win.
-        scores = jnp.where(nl > 1e-12, scores, -jnp.inf)
+        # Mask PADDED rows by global id — a real all-zero row is a valid
+        # item the serial scan ranks by λ-sim, so a norm mask would drop it.
+        shard = jax.lax.axis_index(DATA_AXIS)
+        my_gids = shard * Xl.shape[0] + jnp.arange(Xl.shape[0])
+        scores = jnp.where(my_gids < n_items, scores, -jnp.inf)
 
         kk = min(k, Xl.shape[0])
         top, idx = jax.lax.top_k(scores, kk)
         # Local → global indices.
-        shard = jax.lax.axis_index(DATA_AXIS)
         gidx = idx + shard * Xl.shape[0]
 
         # all-gather the candidate sets (k·D values over ICI), re-rank.
@@ -100,7 +102,7 @@ def make_sharded_search(mesh, n_total: int, k: int):
     return jax.jit(mapped)
 
 
-def make_multislice_search(mesh, k: int):
+def make_multislice_search(mesh, n_items: int, k: int):
     """Hierarchical distributed top-k over a 2-D ``("slice", "data")`` mesh.
 
     Merge order follows the interconnect hierarchy: shard-local top-k →
@@ -121,13 +123,19 @@ def make_multislice_search(mesh, k: int):
         cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
         lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
         scores = alpha * cos + (1.0 - alpha) * lam_sim
-        scores = jnp.where(nl > 1e-12, scores, -jnp.inf)
+
+        slice_id = jax.lax.axis_index("slice")
+        data_id = jax.lax.axis_index(DATA_AXIS)
+        row0 = (slice_id * n_data + data_id) * Xl.shape[0]
+        # Padded rows masked by global id (norm-masking would drop real
+        # zero-vector items the serial scan ranks by λ-sim).
+        scores = jnp.where(
+            row0 + jnp.arange(Xl.shape[0]) < n_items, scores, -jnp.inf
+        )
 
         kk = min(k, Xl.shape[0])
         top, idx = jax.lax.top_k(scores, kk)
-        slice_id = jax.lax.axis_index("slice")
-        data_id = jax.lax.axis_index(DATA_AXIS)
-        gidx = idx + (slice_id * n_data + data_id) * Xl.shape[0]
+        gidx = idx + row0
 
         # Stage 1: merge across the data axis (ICI). Keep min(k, gathered)
         # candidates per slice so k > per-shard rows still fills up.
@@ -156,7 +164,7 @@ def make_multislice_search(mesh, k: int):
     return jax.jit(mapped)
 
 
-def make_sharded_energy_search(mesh, k: int):
+def make_sharded_energy_search(mesh, n_items: int, k: int):
     """Distributed pure-λ-distance search (the energy query path,
     energymaps.rs:628-674): ascending ``|Δλ|`` with a cosine tie-break at
     |Δλ| < 1e-9, shard-local top-k + all-gather merge. Works on 1-D and
@@ -174,12 +182,16 @@ def make_sharded_energy_search(mesh, k: int):
         cos = dots / (qn * nl + 1e-9)
         tie = jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
         scores = lam_dist + tie
-        scores = jnp.where(nl > 1e-12, scores, jnp.inf)  # padded rows lose
+        shard = flat_axis_index(axes if len(axes) > 1 else axes[0])
+        row0 = shard * Xl.shape[0]
+        # Padded rows lose (global-id mask; real zero rows stay rankable).
+        scores = jnp.where(
+            row0 + jnp.arange(Xl.shape[0]) < n_items, scores, jnp.inf
+        )
 
         kk = min(k, Xl.shape[0])
         neg_top, idx = jax.lax.top_k(-scores, kk)
-        shard = flat_axis_index(axes if len(axes) > 1 else axes[0])
-        gidx = idx + shard * Xl.shape[0]
+        gidx = idx + row0
         all_scores = neg_top
         all_idx = gidx
         for ax in reversed(axes):
@@ -202,10 +214,16 @@ def make_sharded_energy_search(mesh, k: int):
 
 def sharded_search_lambda_aware(
     mesh, X_sharded, norms_sharded, lambdas_sharded, query, q_lambda, k: int,
-    alpha: float = 0.7,
+    alpha: float = 0.7, n_items: int | None = None,
 ):
-    """One-shot distributed search (compiles per (mesh, shapes, k))."""
-    search = make_sharded_search(mesh, X_sharded.shape[0], k)
+    """One-shot distributed search (compiles per (mesh, shapes, k)).
+
+    ``n_items``: real row count (defaults to the padded length — pass it
+    when the sharded arrays carry zero-padding so pad rows are masked).
+    """
+    search = make_sharded_search(
+        mesh, X_sharded.shape[0] if n_items is None else n_items, k
+    )
     return search(
         X_sharded, norms_sharded, lambdas_sharded,
         jnp.asarray(query, jnp.float32), jnp.float32(q_lambda),
@@ -213,7 +231,7 @@ def sharded_search_lambda_aware(
     )
 
 
-def make_sharded_search_batch(mesh, k: int):
+def make_sharded_search_batch(mesh, n_items: int, k: int):
     """Batched distributed λ-aware top-k: one ``[B, F] × [F, n_local]``
     matmul per shard amortizes the shard read across the whole query batch
     (the serving path on a mesh), then an all-gather of ``B·k`` candidates
@@ -233,11 +251,16 @@ def make_sharded_search_batch(mesh, k: int):
         cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
         lam_sim = 1.0 - jnp.minimum(jnp.abs(ll[None, :] - QL[:, None]), 1.0)
         scores = alpha * cos + (1.0 - alpha) * lam_sim
-        scores = jnp.where(nl[None, :] > 1e-12, scores, -jnp.inf)
+        row0 = flat_axis_index(joint) * Xl.shape[0]
+        # Padded rows masked by global id (real zero rows stay rankable).
+        scores = jnp.where(
+            (row0 + jnp.arange(Xl.shape[0]))[None, :] < n_items,
+            scores, -jnp.inf,
+        )
 
         kk = min(k, Xl.shape[0])
         top, idx = jax.lax.top_k(scores, kk)                   # [B, kk]
-        gidx = idx + flat_axis_index(joint) * Xl.shape[0]
+        gidx = idx + row0
 
         all_s = jax.lax.all_gather(top, joint)                 # [D, B, kk]
         all_i = jax.lax.all_gather(gidx, joint)

@@ -127,7 +127,7 @@ def test_multislice_search_matches_single_device(setup):
 
     q = data[21]
     q_lambda = aspace.prepare_query_item(q, gl)
-    search = make_multislice_search(mesh, 9)
+    search = make_multislice_search(mesh, len(data), 9)
     idx_d, sc_d = search(
         Xs, norms, lams, jnp.asarray(q), jnp.float32(q_lambda), jnp.float32(0.7)
     )
