@@ -103,6 +103,10 @@ class ArrowSpaceBuilder:
             self.cluster_max_clusters = max_clusters
         if radius is not None:
             self.cluster_radius = radius
+            # Remember the radius was user-set: the heuristic-k path must
+            # not overwrite it (a radius without max_clusters used to be
+            # silently ignored).
+            self._radius_user_set = True
         return self
 
     def with_seed(self, seed: int) -> "ArrowSpaceBuilder":
@@ -164,6 +168,8 @@ class ArrowSpaceBuilder:
             if self.clustering_seed is None:
                 raise ValueError("clustering_seed must be set for full heuristics")
             k_opt, radius, _ = clus.compute_optimal_k(rows, self.clustering_seed)
+            if getattr(self, "_radius_user_set", False):
+                radius = self.cluster_radius      # user radius + heuristic k
             self.cluster_max_clusters, self.cluster_radius = k_opt, radius
 
         out = clus.incremental_clustering(

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from matternet_rs_tpu.ops._mm import mm
+from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
 
 DEFAULT_BUCKET_SIZE = 1024
 
@@ -203,9 +204,7 @@ def _pruned_scores(
 ):
     """Candidate ids + blended scores for one query (trace-time body)."""
     qn = jnp.sqrt(jnp.sum(query * query))
-    cdots = mm(ivf_centroids, query)
-    cdenom = ivf_centroid_norms * qn
-    cscore = jnp.where(cdenom > 1e-12, cdots / jnp.maximum(cdenom, 1e-12), 0.0)
+    cscore = _guarded_cosine(mm(ivf_centroids, query), ivf_centroid_norms * qn)
 
     # Probe score = α·centroid-cos + (1−α)·best-achievable λ-sim in the
     # bucket's λ interval (distance from query λ to [lo, hi], 0 inside).
@@ -225,11 +224,9 @@ def _pruned_scores(
     Xc = X[safe]                                           # [nb·B, F]
     nc = norms[safe]
     lc = lambdas[safe]
-    dots = mm(Xc, query)
-    denom = nc * qn
-    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lc - query_lambda), 1.0)
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = _blend(
+        _guarded_cosine(mm(Xc, query), nc * qn), lc, query_lambda, alpha
+    )
     return cand, jnp.where(mask, scores, -jnp.inf)
 
 

@@ -35,6 +35,7 @@ from matternet_rs_tpu.core import TAUDEFAULT, TauMode
 from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
 from matternet_rs_tpu.ops import taumode as taumode_ops
 from matternet_rs_tpu.ops._mm import mm
+from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
 from matternet_rs_tpu.storage import shards as shard_store
 
 INDEX_FILE = "index.json"
@@ -67,11 +68,9 @@ def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
         norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
         dots = mm(Q, X.T)
     qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                     # [B]
-    denom = norms[None, :] * qn[:, None]
-    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+    cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
     lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_n[None, :] - q_lams[:, None]), 1.0)
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = _blend(cos, lam_n[None, :], q_lams[:, None], alpha)
     scores = jnp.where(jnp.arange(X.shape[0])[None, :] < valid, scores, -jnp.inf)
     return jax.lax.top_k(scores, k)
 

@@ -63,7 +63,7 @@ class EigenIndex(_FittedMixin):
         )
         if self.seed is not None:
             b.with_seed(self.seed)
-        if self.max_clusters is not None:
+        if self.max_clusters is not None or self.radius is not None:
             b.with_cluster_params(self.max_clusters, self.radius)
         self.builder = b
         self.aspace, self.gl = b.build(np.asarray(X, np.float32))
@@ -104,7 +104,7 @@ class EnergyIndex(_FittedMixin):
         )
         if self.seed is not None:
             b.with_seed(self.seed)
-        if self.max_clusters is not None:
+        if self.max_clusters is not None or self.radius is not None:
             b.with_cluster_params(self.max_clusters, self.radius)
         self.builder = b
         self.aspace, self.gl = b.build_energy(

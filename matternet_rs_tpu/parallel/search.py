@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
 from matternet_rs_tpu.parallel.mesh import DATA_AXIS, flat_axis_index
 
 try:  # JAX ≥ 0.8
@@ -60,14 +61,11 @@ def make_sharded_search(mesh, n_items: int, k: int):
     def local_fn(Xl, nl, ll, q, ql, alpha):
         # Shard-local blended scores.
         qn = jnp.sqrt(jnp.sum(q * q))
-        denom = nl * qn
         dots = jnp.dot(
             Xl, q, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
-        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        scores = _blend(_guarded_cosine(dots, nl * qn), ll, ql, alpha)
         # Mask PADDED rows by global id — a real all-zero row is a valid
         # item the serial scan ranks by λ-sim, so a norm mask would drop it.
         shard = jax.lax.axis_index(DATA_AXIS)
@@ -115,14 +113,11 @@ def make_multislice_search(mesh, n_items: int, k: int):
 
     def local_fn(Xl, nl, ll, q, ql, alpha):
         qn = jnp.sqrt(jnp.sum(q * q))
-        denom = nl * qn
         dots = jnp.dot(
             Xl, q, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll - ql), 1.0)
-        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        scores = _blend(_guarded_cosine(dots, nl * qn), ll, ql, alpha)
 
         slice_id = jax.lax.axis_index("slice")
         data_id = jax.lax.axis_index(DATA_AXIS)
@@ -247,10 +242,8 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
             Q, Xl.T, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )                                                       # [B, n_local]
-        denom = nl[None, :] * qn[:, None]
-        cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-        lam_sim = 1.0 - jnp.minimum(jnp.abs(ll[None, :] - QL[:, None]), 1.0)
-        scores = alpha * cos + (1.0 - alpha) * lam_sim
+        cos = _guarded_cosine(dots, nl[None, :] * qn[:, None])
+        scores = _blend(cos, ll[None, :], QL[:, None], alpha)
         row0 = flat_axis_index(joint) * Xl.shape[0]
         # Padded rows masked by global id (real zero rows stay rankable).
         scores = jnp.where(
