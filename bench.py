@@ -522,7 +522,10 @@ def main():
         pass
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
+    # Budget covers everything after the headline section; sized so one
+    # congested-tunnel cold compile (~10 min worst measured) cannot starve
+    # the oracle/1M/energy sections the VERDICT requires.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
     N = int(os.environ.get("BENCH_N", 10_000))
     F = int(os.environ.get("BENCH_F", 128))
 
