@@ -387,3 +387,112 @@ class ShardedArrowSpace:
             for i, s in zip(np.asarray(idx), np.asarray(sc))
             if np.isfinite(s)
         ]
+
+
+def _device_blocks(arr, n_items: int):
+    """Yield a sharded array's rows in global order, host-resident one
+    device block at a time, trimmed to ``n_items`` (single-host meshes:
+    every shard is addressable)."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    emitted = 0
+    for s in shards:
+        block = np.asarray(s.data)
+        take = min(len(block), n_items - emitted)
+        if take <= 0:
+            break
+        yield block[:take]
+        emitted += take
+
+
+class _ShardedStoreMixin:
+    """Persistence through the streaming-index on-disk format
+    (``index/streaming.py``: shards + lambdas.bin + graph.bin +
+    index.json). ONE format then serves three consumers: distributed
+    resume (``load_from_store``), single-chip out-of-core search
+    (``StreamingIndex.load`` on the same directory), and the CLI."""
+
+    def to_store(self, directory) -> None:
+        """Write this index to a shard store. Streams one device block at
+        a time — nothing N-sized materializes on the host."""
+        from pathlib import Path
+
+        from matternet_rs_tpu.index.streaming import (
+            LAMBDA_FILE,
+            StreamingIndex,
+        )
+        from matternet_rs_tpu.storage import shards as shard_store
+
+        directory = Path(directory)
+        shard_store.write_shards(
+            _device_blocks(self.X, self.n_items), directory
+        )
+        # Streaming stores RAW λ + stats; reconstruct raw from the
+        # normalized values (exact except values clipped at the bounds,
+        # which land back on the bounds).
+        with open(directory / LAMBDA_FILE, "wb") as fh:
+            for lam in _device_blocks(self.lambdas, self.n_items):
+                raw = self.min_lambdas + lam.astype(np.float64) * self.range_lambdas
+                fh.write(raw.astype(np.float32).tobytes())
+        si = StreamingIndex(
+            directory=directory,
+            gl=GraphLaplacian(
+                matrix=jnp.asarray(np.asarray(self.gl.matrix)),
+                init_data=self.gl.init_data,
+                nnodes=self.gl.nnodes,
+                graph_params=self.gl.graph_params,
+            ),
+            taumode=self.taumode,
+            min_lambdas=self.min_lambdas,
+            range_lambdas=self.range_lambdas,
+            n_items=self.n_items,
+            n_features=int(self.X.shape[1]),
+        )
+        si._save_meta()
+
+    @classmethod
+    def load_from_store(
+        cls, directory, n_devices: int | None = None, mesh=None,
+    ) -> "ShardedArrowSpace":
+        """Resume a persisted index mesh-sharded — no recompute. The same
+        directory also serves ``StreamingIndex.load`` for single-chip
+        out-of-core search."""
+        from matternet_rs_tpu.index.streaming import LAMBDA_FILE, StreamingIndex
+        from matternet_rs_tpu.storage import shards as shard_store
+        from pathlib import Path
+
+        if mesh is None:
+            mesh = make_mesh(n_devices)
+        si = StreamingIndex.load(directory)
+        Xs, n = shard_store.shard_items_from_store(mesh, directory)
+        raw = np.fromfile(Path(directory) / LAMBDA_FILE, np.float32)
+        lam = np.clip(
+            (raw.astype(np.float64) - si.min_lambdas) / si.range_lambdas,
+            0.0, 1.0,
+        ).astype(np.float32)
+        norms = jnp.sqrt(jnp.sum(Xs * Xs, axis=-1))
+        return cls(
+            mesh=mesh,
+            X=Xs,
+            norms=norms,
+            lambdas=shard_items(mesh, jnp.asarray(lam)),
+            gl=GraphLaplacian(
+                matrix=replicate(mesh, si.gl.matrix),
+                init_data=replicate(mesh, si.gl.init_data),
+                nnodes=si.gl.nnodes,
+                graph_params=si.gl.graph_params,
+            ),
+            n_items=n,
+            taumode=si.taumode,
+            min_lambdas=si.min_lambdas,
+            range_lambdas=si.range_lambdas,
+        )
+
+
+# Attach the persistence mixin (kept separate for readability; the
+# dataclass above stays the single source of fields).
+ShardedArrowSpace.to_store = _ShardedStoreMixin.to_store
+ShardedArrowSpace.load_from_store = classmethod(
+    _ShardedStoreMixin.load_from_store.__func__
+)

@@ -210,3 +210,38 @@ def test_k_exceeds_per_shard_rows():
     assert idx[0].tolist() == [j for j, _ in serial]
     eres = sa.search_energy(data[3], k=60)
     assert len(eres) == 60
+
+
+def test_store_roundtrip_distributed_and_streaming(tmp_path):
+    """One on-disk format, three consumers: distributed save → distributed
+    resume (identical results) AND single-chip StreamingIndex over the
+    same directory (identical ranking)."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(500, 16, seed=15).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    mesh = make_mesh(8)
+    sa = ShardedArrowSpace.distributed_build(
+        [data[:200], data[200:]], params, k_clusters=8, mesh=mesh
+    )
+    d = tmp_path / "store"
+    sa.to_store(d)
+
+    # Distributed resume: same results, no recompute.
+    sa2 = ShardedArrowSpace.load_from_store(d, mesh=mesh)
+    assert sa2.n_items == 500
+    for i in (3, 123, 499):
+        assert sa.search(data[i], k=5) == sa2.search(data[i], k=5)
+    np.testing.assert_allclose(
+        np.asarray(sa.lambdas)[:500], np.asarray(sa2.lambdas)[:500], atol=1e-6
+    )
+
+    # Single-chip out-of-core consumer on the same directory.
+    si = StreamingIndex.load(d)
+    res_stream = si.search(data[7], k=5)
+    res_dist = sa.search(data[7], k=5)
+    assert [i for i, _ in res_stream] == [i for i, _ in res_dist]
