@@ -1,0 +1,125 @@
+"""Seeded config-space fuzzing: random (dataset, builder-config) pairs must
+uphold the framework's invariants end-to-end.
+
+Beyond the reference's test strategy (SURVEY §4: "no fuzzing") — the
+reference tests fixed configs; this sweeps the config space with
+deterministic seeds so failures reproduce exactly.
+"""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.core import TauMode
+
+
+def _random_config(rng):
+    n = int(rng.integers(60, 400))
+    f = int(rng.integers(8, 96))
+    n_centers = int(rng.integers(2, 8))
+    centers = rng.normal(size=(n_centers, f)) * rng.uniform(2.0, 10.0)
+    data = (
+        centers[rng.integers(0, n_centers, n)] + rng.normal(size=(n, f))
+    ).astype(np.float32)
+
+    tau = rng.choice(["median", "mean", "fixed", "percentile"])
+    taumode = {
+        "median": TauMode.median(),
+        "mean": TauMode.mean(),
+        "fixed": TauMode.fixed(float(rng.uniform(0.05, 0.95))),
+        "percentile": TauMode.percentile(float(rng.uniform(0.1, 0.9))),
+    }[tau]
+
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(
+            eps=float(rng.uniform(0.5, 1.0)),
+            k=int(rng.integers(3, 9)),
+        )
+        .with_synthesis(taumode)
+        .with_sparsity_check(False)
+        .with_normalisation(bool(rng.integers(0, 2)))
+        .with_cluster_params(
+            max_clusters=int(rng.integers(4, max(5, n // 8))),
+            radius=float(rng.uniform(5.0, 60.0)),
+        )
+        .with_sampling(None)
+        .with_seed(int(rng.integers(0, 1000)))
+    )
+    if rng.random() < 0.3:
+        b.with_spectral(True)
+    return data, b
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_config_invariants(seed):
+    rng = np.random.default_rng(1000 + seed)
+    data, b = _random_config(rng)
+    aspace, gl = b.build(data)
+
+    # λ invariants.
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape == (len(data),)
+    assert np.isfinite(lam).all()
+    assert (lam >= 0).all() and (lam <= 1).all()
+    assert aspace.range_lambdas > 0
+
+    # Graph invariants.
+    v = gl.verify_properties()
+    assert v["symmetric"] and v["row_sums_zero"] and v["diag_nonneg"]
+
+    # Self-retrieval: an exact duplicate query must rank itself first.
+    from matternet_rs_tpu.core import UndecidableQueryError
+    from matternet_rs_tpu.ops import taumode as tm_ops
+
+    qi = int(rng.integers(0, len(data)))
+    try:
+        ql = aspace.prepare_query_item(data[qi], gl)
+    except UndecidableQueryError:
+        # Reference-faithful panic (core.rs:920-934) for raw λ ≈ 0 — only
+        # acceptable when the item's raw λ really is ~0 (isolated in the
+        # graph under this config), not a spurious rejection.
+        import jax.numpy as jnp
+
+        raw = float(
+            tm_ops.synthetic_lambda(
+                jnp.asarray(data[qi]), aspace.graph_for_taumode(gl),
+                aspace.taumode.mode, aspace.taumode.param,
+            )
+        )
+        assert abs(raw) <= 1e-12, f"spurious undecidable: raw λ = {raw}"
+        return
+    res = aspace.search_lambda_aware(data[qi], ql, 5)
+    assert res[0][0] == qi, f"seed {seed}: self-query lost, got {res[:3]}"
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+
+    # Batched path agrees with serial on the same query.
+    idx, _ = aspace.search_batch(data[qi][None, :], gl, 5)
+    assert idx[0].tolist() == [i for i, _ in res]
+
+    # Sorted index consistent with λ.
+    aspace.build_lambdas_sorted()
+    sl = aspace.lambdas_sorted
+    import numpy as _np
+
+    s_lam = _np.asarray(sl.sorted_lambdas)
+    assert (_np.diff(s_lam) >= -1e-7).all()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_config_checkpoint_roundtrip(seed, tmp_path):
+    from matternet_rs_tpu.storage import parquet as pq
+
+    rng = np.random.default_rng(2000 + seed)
+    data, b = _random_config(rng)
+    aspace, gl = b.build(data)
+    pq.save_checkpoint(aspace, gl, b, tmp_path, f"fuzz{seed}")
+    a2, g2 = pq.load_arrowspace(tmp_path, f"fuzz{seed}")
+    qi = int(rng.integers(0, len(data)))
+    ql1 = aspace.prepare_query_item(data[qi], gl)
+    ql2 = a2.prepare_query_item(data[qi], g2)
+    assert ql1 == pytest.approx(ql2, abs=1e-6)
+    assert aspace.search_lambda_aware(data[qi], ql1, 5) == a2.search_lambda_aware(
+        data[qi], ql2, 5
+    )
