@@ -123,3 +123,90 @@ def test_random_config_checkpoint_roundtrip(seed, tmp_path):
     assert aspace.search_lambda_aware(data[qi], ql1, 5) == a2.search_lambda_aware(
         data[qi], ql2, 5
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_energy_config_invariants(seed):
+    from matternet_rs_tpu import energymaps as em
+
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(100, 300))
+    f = int(rng.integers(16, 64))
+    n_centers = int(rng.integers(2, 6))
+    centers = rng.normal(size=(n_centers, f)) * rng.uniform(3.0, 8.0)
+    data = (
+        centers[rng.integers(0, n_centers, n)] + rng.normal(size=(n, f))
+    ).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(float(rng.uniform(0.6, 1.0)), int(rng.integers(3, 7)))
+        .with_sparsity_check(False)
+        .with_cluster_params(
+            max_clusters=int(rng.integers(6, 24)),
+            radius=float(rng.uniform(8.0, 40.0)),
+        )
+        .with_dims_reduction(True)
+        .with_sampling(None)
+        .with_seed(int(rng.integers(0, 1000)))
+    )
+    p = em.EnergyParams(
+        optical_tokens=int(rng.integers(8, 30)),
+        steps=int(rng.integers(1, 6)),
+        neighbor_k=int(rng.integers(3, 10)),
+        split_quantile=float(rng.uniform(0.7, 0.95)),
+        candidate_m=int(rng.integers(6, 20)),
+    )
+    aspace, gl = b.build_energy(data, p)
+
+    lam = np.asarray(aspace.lambdas)
+    assert (lam >= 0).all() and (lam <= 1).all() and np.isfinite(lam).all()
+    cm = np.asarray(aspace.centroid_map)
+    S = aspace.sub_centroids.shape[0]
+    assert cm.min() >= 0 and cm.max() < S
+    assert aspace.range_lambdas > 0
+
+    qi = int(rng.integers(0, n))
+    res = em.search_energy(aspace, data[qi], gl, k=5)
+    dists = [d for _, d in res]
+    assert dists == sorted(dists)
+    assert all(d >= -1e-9 for d in dists)
+    idx, _ = em.search_energy_batch(aspace, data[qi][None, :], gl, 5)
+    assert idx[0].tolist() == [i for i, _ in res]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_distributed_matches_serial(seed):
+    """Random configs: distributed build + search == the serial scan on the
+    concatenated data (the exactness contract, fuzzed)."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.ops import search as search_ops
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(120, 500))
+    f = int(rng.integers(8, 48))
+    data = rng.normal(size=(n, f)).astype(np.float32) * rng.uniform(0.5, 4.0)
+    params = GraphParams(
+        eps=float(rng.uniform(0.6, 1.0)), k=int(rng.integers(3, 8)),
+        topk=int(rng.integers(3, 8)), sparsity_check=False,
+    )
+    cut = int(rng.integers(1, n - 1))
+    sa = ShardedArrowSpace.distributed_build(
+        [data[:cut], data[cut:]], params,
+        k_clusters=int(rng.integers(4, 16)), mesh=make_mesh(8),
+    )
+    k = int(rng.integers(3, 12))
+    qi = int(rng.integers(0, n))
+    ql = sa.prepare_query_lambda(data[qi])
+    dist_res = sa.search(data[qi], k=k)
+    ser_idx, ser_sc = search_ops.search_lambda_aware(
+        jnp.asarray(data),
+        jnp.sqrt(jnp.sum(jnp.asarray(data) ** 2, axis=-1)),
+        sa.lambdas[:n], jnp.asarray(data[qi]), jnp.float32(ql), k,
+    )
+    assert [i for i, _ in dist_res] == list(np.asarray(ser_idx)), (
+        f"seed {seed}: distributed != serial"
+    )
