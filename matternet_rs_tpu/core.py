@@ -235,6 +235,62 @@ class ArrowSpace:
         lam = float(self.lambdas[i]) if self.lambdas is not None else 0.0
         return np.asarray(self.data[i]), lam
 
+    def cluster_of(self, i: int) -> Optional[int]:
+        """Stage-1 cluster id of item ``i``, None for dropped outliers or
+        when no clustering ran (core.rs:950-952)."""
+        if self.cluster_assignments is None or i >= len(self.cluster_assignments):
+            return None
+        c = int(self.cluster_assignments[i])
+        return None if c < 0 else c
+
+    def drop_data(self) -> None:
+        """Free the raw item matrix after persistence (core.rs:672-675) —
+        λ, the sorted index, and metadata survive; feature-space searches
+        require a reload."""
+        log.info("Freeing raw input memory, should have been persisted to file")
+        self.data = jnp.zeros((0, self.nfeatures), jnp.float32)
+        self._norms = None
+        self._data_bf16 = None
+        self.ivf = None
+
+    def recompute_lambdas(self, gl: GraphLaplacian) -> None:
+        """Recompute λ for all items against ``gl`` and refresh the sorted
+        index if one was built (core.rs:1107-1130)."""
+        self.compute_taumode(gl)
+        if self.lambdas_sorted is not None:
+            self.build_lambdas_sorted()
+
+    def set_item(self, i: int, values) -> None:
+        """Replace item ``i``'s vector (core.rs:993). λ is NOT recomputed —
+        callers follow with :meth:`recompute_lambdas` (the mutation APIs
+        below do)."""
+        v = jnp.asarray(values, jnp.float32)
+        if v.shape != (self.nfeatures,):
+            raise ValueError(
+                f"item values must be shape ({self.nfeatures},), got {v.shape}"
+            )
+        self.data = self.data.at[i].set(v)
+        self._norms = None
+        self._data_bf16 = None
+
+    def mul_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
+        """Elementwise ``item[a] *= item[b]`` + λ recompute (core.rs:1045)."""
+        if not (0 <= a < self.nitems and 0 <= b < self.nitems):
+            raise ValueError(f"item indices out of bounds: a={a}, b={b}")
+        self.data = self.data.at[a].set(self.data[a] * self.data[b])
+        self._norms = None
+        self._data_bf16 = None
+        self.recompute_lambdas(gl)
+
+    def scale_item(self, a: int, scalar: float, gl: GraphLaplacian) -> None:
+        """``item[a] *= scalar`` + λ recompute (core.rs:1074-1104)."""
+        if not 0 <= a < self.nitems:
+            raise ValueError(f"item index out of bounds: a={a}")
+        self.data = self.data.at[a].multiply(jnp.float32(scalar))
+        self._norms = None
+        self._data_bf16 = None
+        self.recompute_lambdas(gl)
+
     # ------------------------------------------------------------------
     # λ computation / normalization
     # ------------------------------------------------------------------

@@ -70,6 +70,10 @@ class MSTOutput:
     total_weight: float
     nodes_in_mst: int
 
+    def is_connected(self) -> bool:
+        """All centroids reached by the tree (mst.rs:182-184)."""
+        return self.nodes_in_mst == len(self.centroid_order)
+
 
 class MSTStage:
     def __init__(self, config: MSTConfig | None = None):

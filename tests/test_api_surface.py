@@ -149,3 +149,62 @@ def test_lambda_aware_scores_range():
     )
     assert s.shape == (30,)
     assert (s <= 1.0 + 1e-6).all() and (s >= -1.0 - 1e-6).all()
+
+
+def test_item_mutation_family():
+    """cluster_of / set_item / scale_item / mul_items / recompute_lambdas /
+    drop_data (core.rs:672-1130 parity)."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(100, 0.4).astype(np.float32)
+    aspace, gl = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_cluster_params(max_clusters=8, radius=5.0)
+        .with_sparsity_check(False)
+        .build(data)
+    )
+    # cluster_of: valid id or None, consistent with the assignments array.
+    c = aspace.cluster_of(3)
+    assert c is None or 0 <= c < aspace.n_clusters
+    assert aspace.cluster_of(10**6) is None
+
+    lam_before = np.asarray(aspace.lambdas).copy()
+
+    # Scaling an item is λ-invariant (Rayleigh/G scale-free) but must go
+    # through the recompute path without error.
+    aspace.scale_item(5, 2.0, gl)
+    np.testing.assert_allclose(np.asarray(aspace.data[5]), 2.0 * data[5], rtol=1e-6)
+
+    # mul_items: item 7 becomes the elementwise product with item 8.
+    aspace.mul_items(7, 8, gl)
+    np.testing.assert_allclose(
+        np.asarray(aspace.data[7]), data[7] * data[8], rtol=1e-5
+    )
+    lam_after = np.asarray(aspace.lambdas)
+    assert lam_after.shape == lam_before.shape
+    assert np.isfinite(lam_after).all()
+
+    # set_item validates shape.
+    with pytest.raises(ValueError, match="shape"):
+        aspace.set_item(0, np.ones(3, np.float32))
+
+    # drop_data frees the matrix but keeps λ + metadata.
+    aspace.drop_data()
+    assert aspace.data.shape == (0, aspace.nfeatures)
+    assert np.asarray(aspace.lambdas).shape == (100,)
+
+
+def test_mst_is_connected():
+    from matternet_rs_tpu.pipeline.centroid import CentroidState
+    from matternet_rs_tpu.pipeline.mst import MSTConfig, MSTStage
+
+    rng = np.random.default_rng(3)
+    st = CentroidState(
+        means=jnp.asarray(rng.normal(size=(12, 6)).astype(np.float32)),
+        variances=jnp.ones((12, 6)) * 0.5,
+        counts=jnp.ones(12, jnp.int32),
+    )
+    out = MSTStage(MSTConfig()).execute(st)
+    assert out.is_connected()
