@@ -143,3 +143,12 @@ def bhattacharyya_pairwise(
 def bhattacharyya_coefficient(distance: jax.Array) -> jax.Array:
     """Affinity in (0, 1]: ``BC = exp(-DB)`` (surfface-core/src/distance.rs:260-290)."""
     return jnp.exp(-distance)
+
+
+def bhattacharyya_affinity(
+    mu1: jax.Array, var1: jax.Array, mu2: jax.Array, var2: jax.Array,
+    var_floor: float = VAR_FLOOR,
+) -> jax.Array:
+    """``exp(-DB)`` affinity in (0, 1] straight from the Gaussian params
+    (surfface-core/src/distance.rs:115-123)."""
+    return jnp.exp(-bhattacharyya_diagonal(mu1, var1, mu2, var2, var_floor))

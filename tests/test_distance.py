@@ -253,3 +253,15 @@ def test_standardize_constant_column_no_nan():
     out = np.asarray(d.standardize_columns(jnp.asarray(x)))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out[:, 0], 0.0, atol=1e-6)
+
+
+def test_bhattacharyya_affinity_alias():
+    """affinity(params) == coefficient(distance(params)) — distance.rs:115."""
+    rng = np.random.default_rng(9)
+    m1 = jnp.asarray(rng.normal(size=5).astype(np.float32))
+    m2 = jnp.asarray(rng.normal(size=5).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0.5, 2.0, 5).astype(np.float32))
+    aff = float(d.bhattacharyya_affinity(m1, v, m2, v))
+    dist = float(d.bhattacharyya_diagonal(m1, v, m2, v))
+    assert aff == pytest.approx(np.exp(-dist), rel=1e-5)
+    assert 0.0 < aff <= 1.0
