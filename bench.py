@@ -99,13 +99,23 @@ def _qps_protocol(
         rep_batches.append(
             (jnp.asarray(data[ridx]), jnp.asarray(lam_np[ridx]))
         )
-    t0 = time.perf_counter()
-    for qb, qlb in rep_batches:
-        out = batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
-    # Scalar download = the only reliable execution barrier on the remote
-    # transport.
-    float(jnp.sum(out[1]))
-    qps = n_queries * reps / (time.perf_counter() - t0)
+    # Median of pipelined GROUPS: dispatches within a group overlap (the
+    # realistic serving pattern — a per-batch barrier would add one ~40 ms
+    # tunnel round-trip each), while the median across groups keeps one
+    # congested-tunnel window from dominating the figure (measured >2×
+    # spread between runs). The trailing scalar download is the only
+    # reliable execution barrier on this transport.
+    n_groups = 3
+    per_group = max(1, len(rep_batches) // n_groups)
+    times = []
+    for g in range(0, len(rep_batches), per_group):
+        group = rep_batches[g : g + per_group]
+        t0 = time.perf_counter()
+        for qb, qlb in group:
+            out = batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
+        float(jnp.sum(out[1]))
+        times.append((time.perf_counter() - t0) / len(group))
+    qps = n_queries / float(np.median(times))
     return qps, (q_idx, np.asarray(warm[0])[:, 0])
 
 
