@@ -235,6 +235,36 @@ class ArrowSpace:
         lam = float(self.lambdas[i]) if self.lambdas is not None else 0.0
         return np.asarray(self.data[i]), lam
 
+    @classmethod
+    def empty_with_projection(
+        cls, proj_data: dict, nrows: int, ncols: int,
+        taumode: TauMode = None,
+    ) -> "ArrowSpace":
+        """Empty shell carrying projection metadata from a typed config map
+        (``storage.parquet.arrowspace_config_typed`` format) — the storage
+        loaders' reconstruction seam (core.rs:485-560). Raises on
+        ``extra_reduced_dim`` like the reference (:497-500)."""
+        if proj_data.get("extra_reduced_dim"):
+            raise ValueError(
+                "Reconstructing with extra dim reduction is not implemented"
+            )
+        sp = cls(
+            data=jnp.zeros((0, ncols), jnp.float32),
+            nfeatures=int(ncols),
+            nitems=int(nrows),
+            taumode=taumode or TAUDEFAULT,
+        )
+        if proj_data.get("projection_original_dim") is not None:
+            from matternet_rs_tpu.reduction import ImplicitProjection
+
+            sp.projection = ImplicitProjection(
+                int(proj_data["projection_original_dim"]),
+                int(proj_data["reduced_dim"]),
+                int(proj_data.get("projection_seed") or 0),
+            )
+            sp.reduced_dim = int(proj_data["reduced_dim"])
+        return sp
+
     def cluster_of(self, i: int) -> Optional[int]:
         """Stage-1 cluster id of item ``i``, None for dropped outliers or
         when no clustering ran (core.rs:950-952)."""

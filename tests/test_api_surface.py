@@ -208,3 +208,40 @@ def test_mst_is_connected():
     )
     out = MSTStage(MSTConfig()).execute(st)
     assert out.is_connected()
+
+
+def test_empty_with_projection_paths():
+    """Reconstruction seam (core.rs:485-560): projection restored from the
+    typed config map; extra_reduced_dim rejected; None path works."""
+    from matternet_rs_tpu.core import ArrowSpace
+
+    proj = {
+        "projection_original_dim": 64,
+        "reduced_dim": 16,
+        "projection_seed": 7,
+        "extra_reduced_dim": False,
+    }
+    sp = ArrowSpace.empty_with_projection(proj, nrows=100, ncols=64)
+    assert sp.nitems == 100 and sp.nfeatures == 64
+    assert sp.projection is not None
+    assert sp.projection.original_dim == 64
+    assert sp.projection.reduced_dim == 16
+    # Same seed → same projected output as a fresh ImplicitProjection.
+    from matternet_rs_tpu.reduction import ImplicitProjection
+
+    q = np.ones(64, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sp.projection.project(q)),
+        np.asarray(ImplicitProjection(64, 16, 7).project(q)),
+        atol=1e-6,
+    )
+
+    with pytest.raises(ValueError, match="extra dim"):
+        ArrowSpace.empty_with_projection(
+            {**proj, "extra_reduced_dim": True}, 10, 64
+        )
+
+    none_sp = ArrowSpace.empty_with_projection(
+        {"projection_original_dim": None, "extra_reduced_dim": False}, 5, 8
+    )
+    assert none_sp.projection is None
