@@ -41,6 +41,7 @@ from matternet_rs_tpu.storage import shards as shard_store
 INDEX_FILE = "index.json"
 LAMBDA_FILE = "lambdas.bin"
 GRAPH_FILE = "graph.bin"
+ENERGY_FILE = "energy.npz"
 DEFAULT_BLOCK_ROWS = 131_072
 
 
@@ -85,6 +86,11 @@ class StreamingIndex:
     n_items: int
     n_features: int
     block_rows: int = DEFAULT_BLOCK_ROWS
+    # Energy-mode state (present when persisted from an energy-built
+    # index): queries route through the nearest sub-centroid's λ and
+    # search_energy streams a pure λ-distance scan.
+    sub_centroids: Optional[np.ndarray] = None
+    subcentroid_lambdas: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -213,6 +219,17 @@ class StreamingIndex:
         def _num(v):
             return float(v) if np.isfinite(v) else None
 
+        if self.sub_centroids is not None:
+            e_tmp = self.directory / (ENERGY_FILE + ".tmp")
+            np.savez(
+                e_tmp.open("wb"),
+                sub_centroids=np.asarray(self.sub_centroids, np.float32),
+                subcentroid_lambdas=np.asarray(
+                    self.subcentroid_lambdas, np.float32
+                ),
+            )
+            os.replace(e_tmp, self.directory / ENERGY_FILE)
+
         meta = {
             "min_lambdas": _num(self.min_lambdas),
             "range_lambdas": _num(self.range_lambdas),
@@ -224,6 +241,7 @@ class StreamingIndex:
             "graph_params": dataclasses.asdict(self.gl.graph_params),
             "graph_nnodes": self.gl.nnodes,
             "graph_shape": list(G.shape),
+            "energy_mode": self.sub_centroids is not None,
         }
         m_tmp = self.directory / (INDEX_FILE + ".tmp")
         m_tmp.write_text(json.dumps(meta, allow_nan=False))
@@ -250,6 +268,11 @@ class StreamingIndex:
         def _num(v):
             return float("nan") if v is None else float(v)
 
+        sub_c = sc_lam = None
+        if meta.get("energy_mode"):
+            with np.load(directory / ENERGY_FILE) as ez:
+                sub_c = ez["sub_centroids"]
+                sc_lam = ez["subcentroid_lambdas"]
         return cls(
             directory=directory, gl=gl,
             taumode=TauMode(meta["taumode"]["mode"], meta["taumode"]["param"]),
@@ -257,11 +280,17 @@ class StreamingIndex:
             range_lambdas=_num(meta["range_lambdas"]),
             n_items=meta["n_items"], n_features=meta["n_features"],
             block_rows=meta["block_rows"],
+            sub_centroids=sub_c, subcentroid_lambdas=sc_lam,
         )
 
     # ------------------------------------------------------------------
     def prepare_query_lambda(self, query) -> float:
         q = jnp.asarray(query, jnp.float32)
+        if self.sub_centroids is not None:
+            d = np.sum(
+                (self.sub_centroids - np.asarray(q)[None, :]) ** 2, axis=-1
+            )
+            return float(np.asarray(self.subcentroid_lambdas)[int(d.argmin())])
         graph = (
             self.gl.ell()
             if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
@@ -360,3 +389,86 @@ class StreamingIndex:
         finally:
             reader.close()
         return best_ids, best_scores
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _energy_block_batch(X, lams, Q, q_lams, mn, rng, valid, k):
+    """Energy-mode block scores: ascending |Δλ| with the cosine tie-break
+    at |Δλ| < 1e-9 (energymaps.rs:628-674 semantics, streamed)."""
+    norms = jnp.sqrt(jnp.sum(X * X, axis=-1))
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))
+    dots = mm(Q, X.T)
+    cos = dots / (qn[:, None] * norms[None, :] + 1e-9)
+    lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
+    lam_dist = jnp.abs(lam_n[None, :] - q_lams[:, None])
+    scores = lam_dist + jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+    scores = jnp.where(
+        jnp.arange(X.shape[0])[None, :] < valid, scores, jnp.inf
+    )
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
+def _streaming_energy_search_batch(self, queries, k: int):
+    """Streamed energy search over the disk-resident corpus: λ-distance
+    ascending with cosine tie-break; HBM holds one block. Requires an
+    energy-mode store (``sub_centroids`` present)."""
+    if self.sub_centroids is None:
+        raise ValueError("not an energy-mode index (no sub-centroid state)")
+    Q = np.asarray(queries, np.float32)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    if Q.shape[-1] != self.n_features:
+        raise ValueError(
+            f"Query dimension {Q.shape[-1]} doesn't match index "
+            f"dimension {self.n_features}"
+        )
+    d = ((Q[:, None, :] - self.sub_centroids[None, :, :]) ** 2).sum(-1)
+    q_lams = jnp.asarray(
+        np.asarray(self.subcentroid_lambdas, np.float32)[d.argmin(1)]
+    )
+    Qd = jnp.asarray(Q)
+    b = Q.shape[0]
+    kk = min(k, self.n_items)
+
+    best_scores = np.full((b, kk), np.inf, np.float32)
+    best_ids = np.full((b, kk), -1, np.int64)
+    offset = 0
+    reader = shard_store.stream_blocks(self.directory, self.block_rows)
+    try:
+        for block, lam in zip(reader, self._lambda_blocks()):
+            valid = len(block)
+            if valid < self.block_rows:
+                block = np.concatenate(
+                    [block,
+                     np.zeros((self.block_rows - valid, self.n_features),
+                              np.float32)]
+                )
+                lam = np.concatenate(
+                    [lam, np.zeros(self.block_rows - valid, np.float32)]
+                )
+            sc, idx = _energy_block_batch(
+                jnp.asarray(block), jnp.asarray(lam), Qd, q_lams,
+                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
+                jnp.int32(valid), min(kk, self.block_rows),
+            )
+            sc = np.asarray(sc)
+            gids = np.asarray(idx, np.int64) + offset
+            cat_s = np.concatenate([best_scores, sc], axis=1)
+            cat_i = np.concatenate([best_ids, gids], axis=1)
+            sel = np.argsort(cat_s, kind="stable", axis=1)[:, :kk]
+            best_scores = np.take_along_axis(cat_s, sel, axis=1)
+            best_ids = np.take_along_axis(cat_i, sel, axis=1)
+            offset += valid
+    finally:
+        reader.close()
+    return best_ids, best_scores
+
+
+def _streaming_search_energy(self, query, k: int):
+    idx, sc = self.search_energy_batch(np.asarray(query, np.float32)[None, :], k)
+    return [(int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0]
+
+
+StreamingIndex.search_energy_batch = _streaming_energy_search_batch
+StreamingIndex.search_energy = _streaming_search_energy

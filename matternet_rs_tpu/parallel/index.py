@@ -448,6 +448,11 @@ class _ShardedStoreMixin:
             range_lambdas=self.range_lambdas,
             n_items=self.n_items,
             n_features=int(self.X.shape[1]),
+            sub_centroids=(
+                None if self.sub_centroids is None
+                else np.asarray(self.sub_centroids)
+            ),
+            subcentroid_lambdas=self.subcentroid_lambdas,
         )
         si._save_meta()
 
@@ -487,6 +492,11 @@ class _ShardedStoreMixin:
             taumode=si.taumode,
             min_lambdas=si.min_lambdas,
             range_lambdas=si.range_lambdas,
+            sub_centroids=(
+                None if si.sub_centroids is None
+                else jnp.asarray(si.sub_centroids)
+            ),
+            subcentroid_lambdas=si.subcentroid_lambdas,
         )
 
 

@@ -207,3 +207,41 @@ def test_build_resume_noop_when_complete(tmp_path):
         sample_rows=1000, resume=True,
     )
     assert (d / "lambdas.bin").read_bytes() == before
+
+
+def test_energy_store_roundtrip(tmp_path):
+    """Energy-built index → shared store → streamed energy search matches
+    the in-memory energy search (one format, energy mode included)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    data = make_energy_test_dataset(400, 24, seed=41).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=16, radius=18.0)
+        .with_dims_reduction(True)
+        .with_seed(6)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=12, neighbor_k=4, candidate_m=8)
+    )
+    if aspace.projection is not None:
+        pytest.skip("projection-active energy store not covered here")
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path / "estore"
+    sa.to_store(d)
+
+    si = StreamingIndex.load(d)
+    assert si.sub_centroids is not None
+    res_stream = si.search_energy(data[9], k=8)
+    res_mem = em.search_energy(aspace, data[9], gl, k=8)
+    assert [i for i, _ in res_stream] == [i for i, _ in res_mem]
+    # Distributed resume keeps energy mode too.
+    sa2 = ShardedArrowSpace.load_from_store(d, mesh=make_mesh(8))
+    assert sa2.sub_centroids is not None
+    res_dist = sa2.search_energy(data[9], k=8)
+    assert [i for i, _ in res_dist] == [i for i, _ in res_mem]
