@@ -166,10 +166,15 @@ def cmd_search_streaming(args) -> None:
     si = StreamingIndex.load(args.store_dir)
     q = _load_matrix(args.query).astype(np.float32)
     queries = q[None, :] if q.ndim == 1 else q
-    idx, sc = si.search_batch(queries, args.k, args.alpha)
+    if si.sub_centroids is not None:      # energy-mode store
+        idx, sc = si.search_energy_batch(queries, args.k)
+        key = "distance"
+    else:
+        idx, sc = si.search_batch(queries, args.k, args.alpha)
+        key = "score"
     print(json.dumps({
         "results": [
-            [{"index": int(i), "score": round(float(s), 6)}
+            [{"index": int(i), key: round(float(s), 6)}
              for i, s in zip(ri, rs)]
             for ri, rs in zip(idx, sc)
         ]

@@ -340,16 +340,31 @@ class StreamingIndex:
                 f"Query dimension {Q.shape[-1]} doesn't match index "
                 f"dimension {self.n_features}"
             )
-        graph = (
-            self.gl.ell()
-            if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
-            else self.gl.matrix
-        )
-        raw = taumode_ops.taumode_lambdas_auto(
-            Q, graph, self.taumode.mode, self.taumode.param
-        )
-        q_lams = jnp.clip(
-            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        if self.sub_centroids is not None:
+            # Energy-mode store: query λ is the nearest sub-centroid's
+            # already-NORMALIZED λ (the block kernel compares in the
+            # normalized domain) — the taumode graph here is the energy
+            # graph, whose node dim need not equal n_features.
+            dd = (
+                (np.asarray(Q)[:, None, :] - self.sub_centroids[None, :, :]) ** 2
+            ).sum(-1)
+            q_lams = jnp.asarray(
+                np.asarray(self.subcentroid_lambdas, np.float32)[dd.argmin(1)]
+            )
+        else:
+            graph = (
+                self.gl.ell()
+                if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
+                else self.gl.matrix
+            )
+            raw = taumode_ops.taumode_lambdas_auto(
+                Q, graph, self.taumode.mode, self.taumode.param
+            )
+        q_lams = (
+            q_lams if self.sub_centroids is not None
+            else jnp.clip(
+                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+            )
         )
         b = Q.shape[0]
         kk = min(k, self.n_items)

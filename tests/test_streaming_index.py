@@ -245,3 +245,34 @@ def test_energy_store_roundtrip(tmp_path):
     assert sa2.sub_centroids is not None
     res_dist = sa2.search_energy(data[9], k=8)
     assert [i for i, _ in res_dist] == [i for i, _ in res_mem]
+
+
+def test_energy_store_blend_search_also_works(tmp_path):
+    """On an energy-mode store, blended search_batch routes query λ
+    through the sub-centroids (the energy graph's node dim need not
+    match n_features)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    data = make_energy_test_dataset(300, 20, seed=42).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=12, radius=16.0)
+        .with_dims_reduction(True)
+        .with_seed(6)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=10, neighbor_k=4, candidate_m=8)
+    )
+    if aspace.projection is not None:
+        pytest.skip("projection-active store not covered")
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path / "estore2"
+    sa.to_store(d)
+    si = StreamingIndex.load(d)
+    res = si.search(data[11], k=5)          # blended path on energy store
+    assert res[0][0] == 11
