@@ -141,3 +141,63 @@ def test_on_device_context():
     with backend.on_device("cpu"):
         x = jnp.ones(4) + 1
     assert float(x.sum()) == 8.0
+
+
+def test_stage_a_fallback_bit_identical_to_native(monkeypatch):
+    """The Python stage-A fallback must produce the SAME clustering as the
+    native scan (it used to batch-snapshot assign and silently diverge on
+    toolchain-free hosts)."""
+    from matternet_rs_tpu import native as native_mod
+    from matternet_rs_tpu.pipeline.clustering import (
+        ClusteringConfig,
+        ClusteringStage,
+    )
+
+    data = make_gaussian_blob(400, 0.5).astype(np.float32)
+    cfg = ClusteringConfig(max_clusters=12, radius_threshold=10.0)
+    with_native = ClusteringStage(cfg).execute(data)
+    assert native_mod.get_lib() is not None, "native lib expected in CI"
+
+    monkeypatch.setattr(native_mod, "incremental_cluster", lambda *a, **k: None)
+    fallback = ClusteringStage(cfg).execute(data)
+
+    np.testing.assert_array_equal(
+        with_native.assignments, fallback.assignments
+    )
+    np.testing.assert_allclose(
+        np.asarray(with_native.state.means),
+        np.asarray(fallback.state.means), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(with_native.state.variances),
+        np.asarray(fallback.state.variances), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_legacy_fallback_matches_native_with_sampler(monkeypatch):
+    """Legacy-mode fallback with a SimpleRandomSampler keeps the SAME rows
+    as the native path (one shared keep mask, counted once)."""
+    from matternet_rs_tpu import clustering as clus2
+    from matternet_rs_tpu import native as native_mod
+    from matternet_rs_tpu.sampling import make_sampler
+
+    data = make_gaussian_blob(500, 0.4).astype(np.float32)
+
+    s1 = make_sampler("simple", 0.6, seed=9)
+    native_out = clus2.incremental_clustering(
+        data, 10, 5.0, sampler=s1, deterministic=True
+    )
+    n_decided_native = s1.stats.sampled + s1.stats.discarded
+
+    monkeypatch.setattr(native_mod, "incremental_cluster", lambda *a, **k: None)
+    s2 = make_sampler("simple", 0.6, seed=9)
+    fb_out = clus2.incremental_clustering(
+        data, 10, 5.0, sampler=s2, deterministic=True
+    )
+    # Same RNG consumption → same kept rows → identical clustering; stats
+    # counted exactly once per row on both paths.
+    assert s2.stats.sampled + s2.stats.discarded == n_decided_native == 500
+    np.testing.assert_array_equal(native_out.assignments, fb_out.assignments)
+    np.testing.assert_allclose(
+        native_out.centroids, fb_out.centroids, rtol=1e-5, atol=1e-6
+    )
