@@ -130,6 +130,9 @@ def cmd_build_distributed(args) -> None:
         "n_devices": int(sa.mesh.devices.size),
         "lambda_range": sa.range_lambdas,
     }
+    if args.save_store:
+        sa.to_store(args.save_store)
+        info["saved_store"] = str(args.save_store)
     if args.query is not None:
         q = _load_matrix(args.query).astype(np.float32)
         q = q if q.ndim == 1 else q[0]
@@ -239,6 +242,12 @@ def main(argv=None) -> None:
     pd.add_argument("--lloyd-iters", type=int, default=10)
     pd.add_argument("--query", default=None, help=".npy query to run after build")
     pd.add_argument("--topk", type=int, default=10)
+    pd.add_argument(
+        "--save-store", default=None,
+        help="persist the built index to this directory (unified store: "
+             "resumable via load_from_store / StreamingIndex / "
+             "search-streaming)",
+    )
     pd.set_defaults(fn=cmd_build_distributed)
 
     pbs = sub.add_parser(

@@ -90,3 +90,26 @@ def test_cli_streaming_build_and_search(data_file, tmp_path, capsys):
     main(["search-streaming", str(store), "--query", str(q_path), "--k", "5"])
     res = json.loads(capsys.readouterr().out)
     assert res["results"][0][0]["index"] == 7
+
+
+def test_cli_distributed_save_then_stream_search(data_file, tmp_path, capsys):
+    """Full CLI loop: shard-write → build-distributed --save-store →
+    search-streaming on the saved index."""
+    data_path, q_path, data = data_file
+    store_in = tmp_path / "in"
+    store_out = tmp_path / "out"
+
+    main(["shard-write", str(data_path), "--out", str(store_in),
+          "--rows-per-shard", "40"])
+    capsys.readouterr()
+
+    main(["build-distributed", str(store_in), "--k-clusters", "8",
+          "--save-store", str(store_out)])
+    built = json.loads(capsys.readouterr().out)
+    assert built["status"] == "built"
+    assert built["saved_store"] == str(store_out)
+
+    main(["search-streaming", str(store_out), "--query", str(q_path),
+          "--k", "5"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["results"][0][0]["index"] == 7
