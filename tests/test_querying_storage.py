@@ -292,3 +292,31 @@ def test_energy_checkpoint_resume(tmp_path):
     r1 = emod.search_energy(aspace, data[40], gl, 5)
     r2 = emod.search_energy(a2, data[40], gl2, 5)
     assert [i for i, _ in r1] == [i for i, _ in r2]
+
+
+def test_checkpoint_artifact_manifest(tmp_path):
+    """Checkpoint completeness: every artifact the reference's combined
+    writer emits (parquet.rs:592-683) exists on disk under its name."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.storage import parquet as pq
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(120, 0.4).astype(np.float32)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5)
+         .with_cluster_params(max_clusters=10, radius=5.0)
+         .with_spectral(True).with_sparsity_check(False))
+    aspace, gl = b.build(data)
+    pq.save_checkpoint(aspace, gl, b, tmp_path, "m")
+
+    expected = [
+        "m-raw_input.parquet",
+        "m-clustered-dm.parquet",
+        "m-gl-matrix.parquet",
+        "m-aspace-signals.parquet",     # spectral enabled
+        "m-lambdas.parquet",
+        "m-arrowspace_metadata.json",
+    ]
+    for fname in expected:
+        assert (tmp_path / fname).exists(), f"missing artifact {fname}"
+    # Energy-mode artifacts absent for an eigen build.
+    assert not (tmp_path / "m-sub-centroids.parquet").exists()
