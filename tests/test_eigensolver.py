@@ -97,3 +97,58 @@ def test_lobpcg_clustered_spectrum_with_nullspace():
     # The nullspace really is 8-dimensional and found as ~0.
     assert np.all(np.abs(vals_l[:8]) < 1e-4)
     assert np.all(vals_l[8:] > 0.1)
+
+
+def test_lobpcg_sparse_operator_matches_dense_path():
+    """The ELL sparse-operator route returns the same eigenpairs as the
+    dense route on the same Laplacian (F ≳ 4k regime contract)."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.ops import laplacian as lap_ops
+    from matternet_rs_tpu.ops.csr import ell_from_dense_laplacian
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(160, 12)).astype(np.float32)
+    params = GraphParams(eps=1.0, k=8, topk=8, sparsity_check=False)
+    gl = lap.build_laplacian_matrix(np.asarray(X), params)
+    v_dense, _ = es.lobpcg_smallest(gl.matrix, 5, iters=120, seed=0)
+    v_sparse, vec_sparse = es.lobpcg_smallest(gl.ell(), 5, iters=120, seed=0)
+    np.testing.assert_allclose(v_sparse, v_dense, atol=5e-3)
+    assert vec_sparse.shape == (160, 5)
+
+
+def test_lobpcg_k_clamped_to_n():
+    L = np.diag([0.0, 1.0, 2.0]).astype(np.float32)
+    vals, vecs = es.lobpcg_smallest(L, 10, iters=50)
+    assert len(vals) == 3 and vecs.shape == (3, 3)
+    np.testing.assert_allclose(np.sort(vals), [0.0, 1.0, 2.0], atol=1e-4)
+
+
+def test_lobpcg_nullspace_multiplicity_disconnected():
+    """c disconnected components → c (near-)zero eigenvalues."""
+    import scipy.linalg  # noqa: F401  (guard: not available → skip)
+    blocks = []
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        W = np.abs(rng.normal(size=(8, 8))).astype(np.float32)
+        W = (W + W.T) / 2
+        np.fill_diagonal(W, 0)
+        blocks.append(np.diag(W.sum(1)) - W)
+    L = np.zeros((24, 24), np.float32)
+    for i, b in enumerate(blocks):
+        L[i * 8 : (i + 1) * 8, i * 8 : (i + 1) * 8] = b
+    vals, _ = es.lobpcg_smallest(L, 5, iters=200, seed=0)
+    assert (np.abs(vals[:3]) < 1e-3).all(), vals
+    assert vals[3] > 1e-2
+
+
+def test_eigsh_dense_agrees_with_numpy():
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(20, 20))
+    A = ((A + A.T) / 2).astype(np.float32)
+    vals, vecs = es.eigsh_dense(A, 6)
+    ref = np.sort(np.linalg.eigvalsh(A.astype(np.float64)))[:6]
+    np.testing.assert_allclose(vals, ref, atol=1e-4)
+    # Residual check: ‖Av - λv‖ small.
+    for j in range(6):
+        r = A @ vecs[:, j] - vals[j] * vecs[:, j]
+        assert np.linalg.norm(r) < 1e-2
