@@ -214,3 +214,42 @@ def test_submit_after_close_raises(server_factory=None):
     svc.close()
     with pytest.raises(RuntimeError, match="closed"):
         svc.search(data[0], k=3)
+
+
+def test_full_batch_dispatches_before_window():
+    """A full micro-batch must dispatch immediately — not wait out the
+    collection window (regression for the always-sleep collector)."""
+    import threading
+    import time as _t
+
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.serve import IndexService
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(100, 0.4).astype(np.float32)
+    aspace, gl = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5)
+                  .with_cluster_params(max_clusters=10, radius=5.0)
+                  .with_sparsity_check(False).build(data))
+    # Huge window: only the full-batch trigger can finish this fast.
+    svc = IndexService(aspace, gl, batch_window_ms=5000.0, max_batch=4)
+    try:
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = svc.search(data[i], k=3)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        t0 = _t.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        elapsed = _t.perf_counter() - t0
+        assert all(r is not None for r in results)
+        for i, r in enumerate(results):
+            assert r[0]["index"] == i
+        assert elapsed < 4.0, (
+            f"batch of max_batch waited the window: {elapsed:.1f}s"
+        )
+    finally:
+        svc.close()
