@@ -432,3 +432,62 @@ def test_pipeline_stage_d_mesh_bit_identical():
     meshed = pipeline.build(data, cfg, mesh=make_mesh(8))
     np.testing.assert_allclose(meshed.lambdas, single.lambdas, atol=1e-6)
     assert meshed.tau == pytest.approx(single.tau)
+
+
+def test_preflight_presets_and_magnitude_stats():
+    """conservative()/strict() presets (preflight.rs:49-73) and the
+    MagnitudeStats fields the reference reports (preflight.rs:77-97)."""
+    from matternet_rs_tpu.pipeline.preflight import (
+        MagnitudeStats,
+        PreflightConfig,
+        PreflightStage,
+    )
+
+    cons = PreflightConfig.conservative()
+    assert cons.magnitude_threshold == pytest.approx(5.0)
+    assert cons.variance_max == pytest.approx(50.0)
+    strict = PreflightConfig.strict()
+    assert strict.remove_zero_variance is True
+
+    ms = MagnitudeStats(min_norm=1.0, max_norm=20.0, mean_norm=5.0,
+                        variance_ratio=20.0)
+    assert ms.needs_normalization(10.0)
+    assert not ms.needs_normalization(25.0)
+
+    # Conservative preset normalizes at a ratio the default would pass.
+    rng = np.random.default_rng(4)
+    means = rng.normal(size=(10, 6)).astype(np.float32)
+    means[0] *= 8.0                       # ratio ~8: between 5 and 10
+    st = CentroidState(
+        means=jnp.asarray(means),
+        variances=jnp.ones((10, 6), jnp.float32),
+        counts=jnp.ones(10, jnp.int32),
+    )
+    out_default = PreflightStage(PreflightConfig()).execute(st)
+    out_cons = PreflightStage(cons).execute(st)
+    assert out_cons.was_normalized or not out_default.was_normalized
+    s = out_cons.magnitude_stats
+    assert s.max_norm >= s.mean_norm >= s.min_norm > 0
+    if out_cons.was_normalized:
+        norms = np.linalg.norm(np.asarray(out_cons.normalized_centroids), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_preflight_strict_removes_zero_variance_features():
+    from matternet_rs_tpu.pipeline.preflight import (
+        PreflightConfig,
+        PreflightStage,
+    )
+
+    rng = np.random.default_rng(5)
+    means = rng.normal(size=(8, 5)).astype(np.float32)
+    var = rng.uniform(0.5, 1.0, (8, 5)).astype(np.float32)
+    var[:, 2] = 0.0                       # dead feature
+    st = CentroidState(
+        means=jnp.asarray(means), variances=jnp.asarray(var),
+        counts=jnp.ones(8, jnp.int32),
+    )
+    out = PreflightStage(PreflightConfig.strict()).execute(st)
+    assert 2 in out.zero_variance_features.tolist()
+    # Clamp floor applied everywhere.
+    assert float(np.asarray(out.variances).min()) >= 1e-4 - 1e-9
