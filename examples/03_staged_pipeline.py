@@ -21,4 +21,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     main()
