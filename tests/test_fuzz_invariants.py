@@ -210,3 +210,36 @@ def test_random_distributed_matches_serial(seed):
     assert [i for i, _ in dist_res] == list(np.asarray(ser_idx)), (
         f"seed {seed}: distributed != serial"
     )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_distributed_energy_matches_serial(seed):
+    """Random configs: distributed energy search (λ-distance ascending +
+    cosine tie-break) == a serial scan with the same score."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    rng = np.random.default_rng(5000 + seed)
+    n = int(rng.integers(100, 400))
+    f = int(rng.integers(8, 32))
+    data = rng.normal(size=(n, f)).astype(np.float32)
+    params = GraphParams(
+        eps=float(rng.uniform(0.7, 1.0)), k=int(rng.integers(3, 7)),
+        topk=int(rng.integers(3, 7)), sparsity_check=False,
+    )
+    sa = ShardedArrowSpace.distributed_build(
+        [data], params, k_clusters=int(rng.integers(4, 12)), mesh=make_mesh(8)
+    )
+    k = int(rng.integers(3, 10))
+    qi = int(rng.integers(0, n))
+    ql = sa.prepare_query_lambda(data[qi])
+    dist_res = sa.search_energy(data[qi], k=k)
+
+    lam = np.asarray(sa.lambdas)[:n].astype(np.float64)
+    lam_dist = np.abs(ql - lam)
+    norms = np.linalg.norm(data, axis=1)
+    cos = (data @ data[qi]) / (np.linalg.norm(data[qi]) * norms + 1e-9)
+    scores = lam_dist + np.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+    order = np.lexsort((np.arange(n), scores.astype(np.float32)))[:k]
+    assert [i for i, _ in dist_res] == order.tolist(), f"seed {seed}"
