@@ -17,7 +17,6 @@ for bit-faithful legacy semantics.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
