@@ -108,14 +108,9 @@ def distributed_lloyd(
 
     def shard_fn(Xs, cents):
         # Global row offset of this device's block.
-        if len(axes) == 1:
-            shard = jax.lax.axis_index(axes[0])
-        else:
-            shard = (
-                jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
-                + jax.lax.axis_index(axes[1])
-            )
-        row0 = shard * Xs.shape[0]
+        from matternet_rs_tpu.parallel.mesh import flat_axis_index
+
+        row0 = flat_axis_index(axes if len(axes) > 1 else axes[0]) * Xs.shape[0]
 
         def body(carry, _):
             cents, _, _ = carry
