@@ -363,6 +363,45 @@ class ShardedArrowSpace:
         )
         return distributed_lobpcg(self.mesh, ell, k_eig, iters=iters, seed=seed)
 
+    def search_hybrid(
+        self, query, k: int, alpha: float = 0.7,
+        query_lambda: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed hybrid search (λ-top-k ∪ high-cosine ∪ global
+        semantic top, core.rs:1197-1323) — exact vs the serial hybrid."""
+        from matternet_rs_tpu.parallel.search import make_sharded_hybrid_search
+
+        if query_lambda is None:
+            query_lambda = self.prepare_query_lambda(query)
+        key = ("hybrid", k)
+        if key not in self._search_cache:
+            self._search_cache[key] = make_sharded_hybrid_search(
+                self.mesh, self.n_items, k
+            )
+        idx, sc = self._search_cache[key](
+            self.X, self.norms, self.lambdas,
+            jnp.asarray(query, jnp.float32), jnp.float32(query_lambda),
+            jnp.float32(alpha),
+        )
+        return [
+            (int(i), float(s))
+            for i, s in zip(np.asarray(idx), np.asarray(sc))
+            if np.isfinite(s)
+        ]
+
+    def range_search(self, query, eps: float, query_lambda: float | None = None):
+        """Distributed λ-range search (``λq - λi ≤ eps``, signed —
+        core.rs:1389-1424). The signed distances compute sharded under
+        GSPMD; only the matching indices come to the host."""
+        if query_lambda is None:
+            query_lambda = self.prepare_query_lambda(query)
+        dist = jnp.float32(query_lambda) - self.lambdas
+        gids = jnp.arange(self.X.shape[0])
+        mask = (dist <= eps) & (gids < self.n_items)
+        mask_np = np.asarray(mask)
+        dist_np = np.asarray(dist)
+        return [(int(i), float(dist_np[i])) for i in np.nonzero(mask_np)[0]]
+
     def search_energy(
         self, query, k: int, query_lambda: float | None = None
     ) -> list[tuple[int, float]]:

@@ -281,3 +281,75 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_sharded_hybrid_search(mesh, n_items: int, k: int):
+    """Distributed hybrid search (core.rs:1197-1323 semantics, exact):
+    candidate set = λ-score top-k ∪ {cos > 0.9999} ∪ {GLOBAL argmax cos};
+    high-semantic members score their cosine, the rest the blended score.
+
+    Two collective stages: (1) all-gather each shard's (max-cos, gid) to
+    crown the single global semantic top (deterministic id tie-break —
+    only the true global argmax may enter through that door, exactly like
+    the serial scan); (2) all-gather the per-shard top-k over eligible
+    rows and re-rank. Exact: final scores are row-local, so the global
+    top-k is contained in the union of shard-local top-ks."""
+    from matternet_rs_tpu.ops.search import (
+        SEMANTIC_THRESHOLD,
+        _blend,
+        _guarded_cosine,
+    )
+
+    axes = tuple(mesh.axis_names)
+    joint = axes if len(axes) > 1 else axes[0]
+
+    def local_fn(Xl, nl, ll, q, ql, alpha):
+        qn = jnp.sqrt(jnp.sum(q * q))
+        dots = jnp.dot(
+            Xl, q, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = _guarded_cosine(dots, nl * qn)
+        lambda_score = _blend(cos, ll, ql, alpha)
+
+        row0 = flat_axis_index(joint) * Xl.shape[0]
+        gids = row0 + jnp.arange(Xl.shape[0])
+        real = gids < n_items
+        cos_m = jnp.where(real, cos, -jnp.inf)
+
+        # Stage 1: crown the global semantic top (cos desc, id asc ties).
+        loc_top = jnp.argmax(cos_m)
+        my_best = cos_m[loc_top]
+        my_best_id = gids[loc_top]
+        all_best = jax.lax.all_gather(my_best, joint)          # [D]
+        all_best_id = jax.lax.all_gather(my_best_id, joint)
+        w = jnp.lexsort((all_best_id, -all_best))[0]
+        sem_top_gid = all_best_id[w]
+
+        # Stage 2: shard-local top-k over the eligible set.
+        kk = min(k, Xl.shape[0])
+        _, top_idx = jax.lax.top_k(jnp.where(real, lambda_score, -jnp.inf), kk)
+        in_topk = jnp.zeros(Xl.shape[0], bool).at[top_idx].set(True)
+        high_sem = (cos > SEMANTIC_THRESHOLD) & real
+        is_sem_top = gids == sem_top_gid
+        eligible = (in_topk | high_sem | is_sem_top) & real
+        final = jnp.where(high_sem, cos, lambda_score)
+        final = jnp.where(is_sem_top & ~high_sem & ~in_topk, cos, final)
+        final = jnp.where(eligible, final, -jnp.inf)
+
+        top, idx = jax.lax.top_k(final, kk)
+        gidx = gids[idx]
+        all_s = jax.lax.all_gather(top, joint, tiled=True)
+        all_i = jax.lax.all_gather(gidx, joint, tiled=True)
+        order = jnp.lexsort((all_i, -all_s))[: min(k, all_s.shape[0])]
+        return all_i[order], all_s[order]
+
+    item_spec = P(joint)
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(joint, None), item_spec, item_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

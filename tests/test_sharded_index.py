@@ -245,3 +245,60 @@ def test_store_roundtrip_distributed_and_streaming(tmp_path):
     res_stream = si.search(data[7], k=5)
     res_dist = sa.search(data[7], k=5)
     assert [i for i, _ in res_stream] == [i for i, _ in res_dist]
+
+
+def test_distributed_hybrid_matches_serial():
+    """Distributed hybrid == serial hybrid (incl. the global-semantic-top
+    precedence), fuzzed over random configs and near-duplicate rows."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.ops import search as search_ops
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(6000 + seed)
+        n = int(rng.integers(150, 400))
+        data = make_energy_test_dataset(n, 16, seed=seed).astype(np.float32)
+        # Plant an exact duplicate so the high-cosine (>0.9999) branch fires.
+        data[7] = data[3]
+        params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+        sa = ShardedArrowSpace.distributed_build(
+            [data], params, k_clusters=8, mesh=make_mesh(8)
+        )
+        qi = int(rng.integers(0, n))
+        ql = sa.prepare_query_lambda(data[qi])
+        k = int(rng.integers(4, 10))
+        dist = sa.search_hybrid(data[qi], k=k, query_lambda=ql)
+        s_idx, s_sc = search_ops.search_lambda_aware_hybrid(
+            jnp.asarray(data),
+            jnp.sqrt(jnp.sum(jnp.asarray(data) ** 2, axis=-1)),
+            sa.lambdas[:n], jnp.asarray(data[qi]), jnp.float32(ql), k,
+        )
+        s_idx = [int(i) for i, s in zip(np.asarray(s_idx), np.asarray(s_sc))
+                 if np.isfinite(s)]
+        assert [i for i, _ in dist] == s_idx, f"seed {seed}"
+
+
+def test_distributed_range_search_matches_serial():
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(300, 16, seed=3).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    sa = ShardedArrowSpace.distributed_build(
+        [data], params, k_clusters=8, mesh=make_mesh(8)
+    )
+    ql = sa.prepare_query_lambda(data[5])
+    got = dict(sa.range_search(data[5], eps=0.05, query_lambda=ql))
+    lam = np.asarray(sa.lambdas)[:300]
+    expect = {
+        i: ql - lam[i] for i in range(300) if (ql - lam[i]) <= 0.05
+    }
+    assert set(got) == set(expect)
+    for i in got:
+        assert got[i] == pytest.approx(expect[i], abs=1e-6)
