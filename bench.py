@@ -108,8 +108,15 @@ def _qps_protocol(
     n_groups = 3
     per_group = max(1, len(rep_batches) // n_groups)
     times = []
-    for g in range(0, len(rep_batches), per_group):
-        group = rep_batches[g : g + per_group]
+    # Exactly n_groups chunks (remainder folds into the last one): a
+    # leftover singleton group would have zero dispatch overlap and skew
+    # the median low.
+    starts = [g * per_group for g in range(n_groups)]
+    for gi, g in enumerate(starts):
+        end = len(rep_batches) if gi == n_groups - 1 else g + per_group
+        group = rep_batches[g:end]
+        if not group:
+            continue
         t0 = time.perf_counter()
         for qb, qlb in group:
             out = batched(X_d, norms_d, lams_d, qb, qlb, K, approx)

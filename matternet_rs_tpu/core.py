@@ -294,6 +294,9 @@ class ArrowSpace:
         """Replace item ``i``'s vector (core.rs:993). λ is NOT recomputed —
         callers follow with :meth:`recompute_lambdas` (the mutation APIs
         below do)."""
+        if not 0 <= i < self.nitems:
+            # JAX drops out-of-bounds scatters silently — raise instead.
+            raise ValueError(f"item index out of bounds: i={i}")
         v = jnp.asarray(values, jnp.float32)
         if v.shape != (self.nfeatures,):
             raise ValueError(

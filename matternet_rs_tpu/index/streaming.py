@@ -91,6 +91,10 @@ class StreamingIndex:
     # search_energy streams a pure λ-distance scan.
     sub_centroids: Optional[np.ndarray] = None
     subcentroid_lambdas: Optional[np.ndarray] = None
+    # JL projection metadata (seed-only, reduction.py): λ preparation and
+    # sub-centroid routing happen in the reduced space; corpus scoring
+    # stays original-dim.
+    projection: Optional[object] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -221,13 +225,18 @@ class StreamingIndex:
 
         if self.sub_centroids is not None:
             e_tmp = self.directory / (ENERGY_FILE + ".tmp")
-            np.savez(
-                e_tmp.open("wb"),
-                sub_centroids=np.asarray(self.sub_centroids, np.float32),
-                subcentroid_lambdas=np.asarray(
-                    self.subcentroid_lambdas, np.float32
-                ),
-            )
+            # Close BEFORE the rename: zipfile never closes a passed
+            # handle, and renaming an unflushed file would publish a
+            # truncated energy.npz — the exact corruption tmp+rename is
+            # here to prevent.
+            with e_tmp.open("wb") as fh:
+                np.savez(
+                    fh,
+                    sub_centroids=np.asarray(self.sub_centroids, np.float32),
+                    subcentroid_lambdas=np.asarray(
+                        self.subcentroid_lambdas, np.float32
+                    ),
+                )
             os.replace(e_tmp, self.directory / ENERGY_FILE)
 
         meta = {
@@ -242,6 +251,13 @@ class StreamingIndex:
             "graph_nnodes": self.gl.nnodes,
             "graph_shape": list(G.shape),
             "energy_mode": self.sub_centroids is not None,
+            "projection": (
+                None if self.projection is None else {
+                    "seed": int(self.projection.seed),
+                    "original_dim": int(self.projection.original_dim),
+                    "reduced_dim": int(self.projection.reduced_dim),
+                }
+            ),
         }
         m_tmp = self.directory / (INDEX_FILE + ".tmp")
         m_tmp.write_text(json.dumps(meta, allow_nan=False))
@@ -273,6 +289,14 @@ class StreamingIndex:
             with np.load(directory / ENERGY_FILE) as ez:
                 sub_c = ez["sub_centroids"]
                 sc_lam = ez["subcentroid_lambdas"]
+        proj = None
+        if meta.get("projection"):
+            from matternet_rs_tpu.reduction import ImplicitProjection
+
+            pj = meta["projection"]
+            proj = ImplicitProjection(
+                pj["original_dim"], pj["reduced_dim"], pj["seed"]
+            )
         return cls(
             directory=directory, gl=gl,
             taumode=TauMode(meta["taumode"]["mode"], meta["taumode"]["param"]),
@@ -281,24 +305,35 @@ class StreamingIndex:
             n_items=meta["n_items"], n_features=meta["n_features"],
             block_rows=meta["block_rows"],
             sub_centroids=sub_c, subcentroid_lambdas=sc_lam,
+            projection=proj,
         )
 
     # ------------------------------------------------------------------
+    def _reduced_query(self, q):
+        """Project to the λ-preparation space when a JL projection is
+        active (corpus scoring stays original-dim)."""
+        if (
+            self.projection is not None
+            and q.shape[-1] == self.projection.original_dim
+        ):
+            return jnp.asarray(self.projection.project(jnp.asarray(q)))
+        return jnp.asarray(q)
+
     def prepare_query_lambda(self, query) -> float:
         q = jnp.asarray(query, jnp.float32)
         if self.sub_centroids is not None:
-            d = np.sum(
-                (self.sub_centroids - np.asarray(q)[None, :]) ** 2, axis=-1
-            )
+            qr = np.asarray(self._reduced_query(q))
+            d = np.sum((self.sub_centroids - qr[None, :]) ** 2, axis=-1)
             return float(np.asarray(self.subcentroid_lambdas)[int(d.argmin())])
+        qr = self._reduced_query(q)
         graph = (
             self.gl.ell()
-            if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
+            if self.gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
             else self.gl.matrix
         )
         raw = float(
             taumode_ops.synthetic_lambda(
-                q, graph, self.taumode.mode, self.taumode.param
+                qr, graph, self.taumode.mode, self.taumode.param
             )
         )
         return float(
@@ -311,6 +346,72 @@ class StreamingIndex:
         )
         for start in range(0, self.n_items, self.block_rows):
             yield lam[start : start + self.block_rows]
+
+    def _query_lambdas(self, Q: jax.Array) -> jax.Array:
+        """Normalized query λ per row — energy mode routes through the
+        nearest sub-centroid, eigen mode through the taumode graph."""
+        if self.sub_centroids is not None:
+            Qr = np.asarray(self._reduced_query(Q))
+            dd = (
+                (Qr[:, None, :] - self.sub_centroids[None, :, :]) ** 2
+            ).sum(-1)
+            return jnp.asarray(
+                np.asarray(self.subcentroid_lambdas, np.float32)[dd.argmin(1)]
+            )
+        Qr = self._reduced_query(Q)
+        graph = (
+            self.gl.ell()
+            if self.gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
+            else self.gl.matrix
+        )
+        raw = taumode_ops.taumode_lambdas_auto(
+            Qr, graph, self.taumode.mode, self.taumode.param
+        )
+        return jnp.clip(
+            (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
+        )
+
+    def _stream_topk(self, kernel, b: int, k: int, ascending: bool,
+                     quantized: bool = False):
+        """THE streamed top-k core: fixed-shape blocks through the device,
+        per-block top-k via ``kernel(block, lam_slice, valid)``, stable
+        host merge. Shared by the blended and energy paths so padding /
+        reader-cleanup / merge fixes land once."""
+        kk = min(k, self.n_items)
+        fill = np.inf if ascending else -np.inf
+        best_scores = np.full((b, kk), fill, np.float32)
+        best_ids = np.full((b, kk), -1, np.int64)
+        offset = 0
+        reader = shard_store.stream_blocks(self.directory, self.block_rows)
+        try:
+            for block, lam in zip(reader, self._lambda_blocks()):
+                valid = len(block)
+                if valid < self.block_rows:   # pad tail to the fixed shape
+                    block = np.concatenate(
+                        [block,
+                         np.zeros((self.block_rows - valid, self.n_features),
+                                  np.float32)]
+                    )
+                    lam = np.concatenate(
+                        [lam, np.zeros(self.block_rows - valid, np.float32)]
+                    )
+                if quantized:
+                    block = _host_bf16(block)
+                sc, idx = kernel(
+                    jnp.asarray(block), jnp.asarray(lam), jnp.int32(valid)
+                )
+                sc = np.asarray(sc)
+                gids = np.asarray(idx, np.int64) + offset
+                cat_s = np.concatenate([best_scores, sc], axis=1)
+                cat_i = np.concatenate([best_ids, gids], axis=1)
+                key = cat_s if ascending else -cat_s
+                sel = np.argsort(key, kind="stable", axis=1)[:, :kk]
+                best_scores = np.take_along_axis(cat_s, sel, axis=1)
+                best_ids = np.take_along_axis(cat_i, sel, axis=1)
+                offset += valid
+        finally:
+            reader.close()
+        return best_ids, best_scores
 
     def search(
         self, query, k: int, alpha: float = 0.7, quantized: bool = False,
@@ -340,70 +441,49 @@ class StreamingIndex:
                 f"Query dimension {Q.shape[-1]} doesn't match index "
                 f"dimension {self.n_features}"
             )
-        if self.sub_centroids is not None:
-            # Energy-mode store: query λ is the nearest sub-centroid's
-            # already-NORMALIZED λ (the block kernel compares in the
-            # normalized domain) — the taumode graph here is the energy
-            # graph, whose node dim need not equal n_features.
-            dd = (
-                (np.asarray(Q)[:, None, :] - self.sub_centroids[None, :, :]) ** 2
-            ).sum(-1)
-            q_lams = jnp.asarray(
-                np.asarray(self.subcentroid_lambdas, np.float32)[dd.argmin(1)]
-            )
-        else:
-            graph = (
-                self.gl.ell()
-                if self.n_features > taumode_ops.SPARSE_F_THRESHOLD
-                else self.gl.matrix
-            )
-            raw = taumode_ops.taumode_lambdas_auto(
-                Q, graph, self.taumode.mode, self.taumode.param
-            )
-        q_lams = (
-            q_lams if self.sub_centroids is not None
-            else jnp.clip(
-                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
-            )
-        )
-        b = Q.shape[0]
-        kk = min(k, self.n_items)
+        q_lams = self._query_lambdas(Q)
 
-        best_scores = np.full((b, kk), -np.inf, np.float32)
-        best_ids = np.full((b, kk), -1, np.int64)
-        offset = 0
-        reader = shard_store.stream_blocks(self.directory, self.block_rows)
-        try:
-            for block, lam in zip(reader, self._lambda_blocks()):
-                valid = len(block)
-                if valid < self.block_rows:    # pad tail to the fixed shape
-                    block = np.concatenate(
-                        [block,
-                         np.zeros((self.block_rows - valid, self.n_features),
-                                  np.float32)]
-                    )
-                    lam = np.concatenate(
-                        [lam, np.zeros(self.block_rows - valid, np.float32)]
-                    )
-                if quantized:
-                    block = _host_bf16(block)
-                top, idx = _score_block_batch(
-                    jnp.asarray(block), jnp.asarray(lam), Q, q_lams,
-                    jnp.float32(alpha), jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas), jnp.int32(valid),
-                    min(kk, self.block_rows),
-                )
-                top = np.asarray(top)
-                gids = np.asarray(idx, np.int64) + offset
-                cat_s = np.concatenate([best_scores, top], axis=1)
-                cat_i = np.concatenate([best_ids, gids], axis=1)
-                sel = np.argsort(-cat_s, kind="stable", axis=1)[:, :kk]
-                best_scores = np.take_along_axis(cat_s, sel, axis=1)
-                best_ids = np.take_along_axis(cat_i, sel, axis=1)
-                offset += valid
-        finally:
-            reader.close()
-        return best_ids, best_scores
+        def kernel(Xb, lamb, valid):
+            return _score_block_batch(
+                Xb, lamb, Q, q_lams, jnp.float32(alpha),
+                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
+                valid, min(min(k, self.n_items), self.block_rows),
+            )
+
+        return self._stream_topk(
+            kernel, Q.shape[0], k, ascending=False, quantized=quantized
+        )
+
+    def search_energy_batch(self, queries, k: int):
+        """Streamed energy search: λ-distance ascending with the cosine
+        tie-break (energymaps.rs:628-674); HBM holds one block. Requires
+        an energy-mode store."""
+        if self.sub_centroids is None:
+            raise ValueError("not an energy-mode index (no sub-centroid state)")
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if Q.shape[-1] != self.n_features:
+            raise ValueError(
+                f"Query dimension {Q.shape[-1]} doesn't match index "
+                f"dimension {self.n_features}"
+            )
+        q_lams = self._query_lambdas(Q)
+
+        def kernel(Xb, lamb, valid):
+            return _energy_block_batch(
+                Xb, lamb, Q, q_lams,
+                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
+                valid, min(min(k, self.n_items), self.block_rows),
+            )
+
+        return self._stream_topk(kernel, Q.shape[0], k, ascending=True)
+
+    def search_energy(self, query, k: int):
+        idx, sc = self.search_energy_batch(
+            np.asarray(query, np.float32)[None, :], k
+        )
+        return [(int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -422,68 +502,3 @@ def _energy_block_batch(X, lams, Q, q_lams, mn, rng, valid, k):
     )
     neg, idx = jax.lax.top_k(-scores, k)
     return -neg, idx
-
-
-def _streaming_energy_search_batch(self, queries, k: int):
-    """Streamed energy search over the disk-resident corpus: λ-distance
-    ascending with cosine tie-break; HBM holds one block. Requires an
-    energy-mode store (``sub_centroids`` present)."""
-    if self.sub_centroids is None:
-        raise ValueError("not an energy-mode index (no sub-centroid state)")
-    Q = np.asarray(queries, np.float32)
-    if Q.ndim == 1:
-        Q = Q[None, :]
-    if Q.shape[-1] != self.n_features:
-        raise ValueError(
-            f"Query dimension {Q.shape[-1]} doesn't match index "
-            f"dimension {self.n_features}"
-        )
-    d = ((Q[:, None, :] - self.sub_centroids[None, :, :]) ** 2).sum(-1)
-    q_lams = jnp.asarray(
-        np.asarray(self.subcentroid_lambdas, np.float32)[d.argmin(1)]
-    )
-    Qd = jnp.asarray(Q)
-    b = Q.shape[0]
-    kk = min(k, self.n_items)
-
-    best_scores = np.full((b, kk), np.inf, np.float32)
-    best_ids = np.full((b, kk), -1, np.int64)
-    offset = 0
-    reader = shard_store.stream_blocks(self.directory, self.block_rows)
-    try:
-        for block, lam in zip(reader, self._lambda_blocks()):
-            valid = len(block)
-            if valid < self.block_rows:
-                block = np.concatenate(
-                    [block,
-                     np.zeros((self.block_rows - valid, self.n_features),
-                              np.float32)]
-                )
-                lam = np.concatenate(
-                    [lam, np.zeros(self.block_rows - valid, np.float32)]
-                )
-            sc, idx = _energy_block_batch(
-                jnp.asarray(block), jnp.asarray(lam), Qd, q_lams,
-                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
-                jnp.int32(valid), min(kk, self.block_rows),
-            )
-            sc = np.asarray(sc)
-            gids = np.asarray(idx, np.int64) + offset
-            cat_s = np.concatenate([best_scores, sc], axis=1)
-            cat_i = np.concatenate([best_ids, gids], axis=1)
-            sel = np.argsort(cat_s, kind="stable", axis=1)[:, :kk]
-            best_scores = np.take_along_axis(cat_s, sel, axis=1)
-            best_ids = np.take_along_axis(cat_i, sel, axis=1)
-            offset += valid
-    finally:
-        reader.close()
-    return best_ids, best_scores
-
-
-def _streaming_search_energy(self, query, k: int):
-    idx, sc = self.search_energy_batch(np.asarray(query, np.float32)[None, :], k)
-    return [(int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0]
-
-
-StreamingIndex.search_energy_batch = _streaming_energy_search_batch
-StreamingIndex.search_energy = _streaming_search_energy

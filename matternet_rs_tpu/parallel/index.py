@@ -391,16 +391,25 @@ class ShardedArrowSpace:
 
     def range_search(self, query, eps: float, query_lambda: float | None = None):
         """Distributed λ-range search (``λq - λi ≤ eps``, signed —
-        core.rs:1389-1424). The signed distances compute sharded under
-        GSPMD; only the matching indices come to the host."""
+        core.rs:1389-1424). The signed distances and the match compaction
+        compute sharded under GSPMD; only one scalar (the match count) and
+        the ``[count]`` matches come to the host — never an N-sized array.
+        """
         if query_lambda is None:
             query_lambda = self.prepare_query_lambda(query)
-        dist = jnp.float32(query_lambda) - self.lambdas
-        gids = jnp.arange(self.X.shape[0])
-        mask = (dist <= eps) & (gids < self.n_items)
-        mask_np = np.asarray(mask)
-        dist_np = np.asarray(dist)
-        return [(int(i), float(dist_np[i])) for i in np.nonzero(mask_np)[0]]
+        from matternet_rs_tpu.ops.search import range_search_mask
+
+        dist, mask = range_search_mask(
+            self.lambdas, jnp.float32(query_lambda), jnp.float32(eps)
+        )
+        mask = mask & (jnp.arange(self.X.shape[0]) < self.n_items)
+        count = int(jnp.sum(mask))
+        if count == 0:
+            return []
+        (idx,) = jnp.nonzero(mask, size=count)
+        ids = np.asarray(idx)
+        dists = np.asarray(dist[idx])
+        return [(int(i), float(d)) for i, d in zip(ids, dists)]
 
     def search_energy(
         self, query, k: int, query_lambda: float | None = None
@@ -427,31 +436,12 @@ class ShardedArrowSpace:
             if np.isfinite(s)
         ]
 
-
-def _device_blocks(arr, n_items: int):
-    """Yield a sharded array's rows in global order, host-resident one
-    device block at a time, trimmed to ``n_items`` (single-host meshes:
-    every shard is addressable)."""
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    emitted = 0
-    for s in shards:
-        block = np.asarray(s.data)
-        take = min(len(block), n_items - emitted)
-        if take <= 0:
-            break
-        yield block[:take]
-        emitted += take
-
-
-class _ShardedStoreMixin:
-    """Persistence through the streaming-index on-disk format
-    (``index/streaming.py``: shards + lambdas.bin + graph.bin +
-    index.json). ONE format then serves three consumers: distributed
-    resume (``load_from_store``), single-chip out-of-core search
-    (``StreamingIndex.load`` on the same directory), and the CLI."""
-
+    # ------------------------------------------------------------------
+    # Persistence through the streaming-index on-disk format
+    # (index/streaming.py): ONE directory serves distributed resume
+    # (load_from_store), single-chip out-of-core search
+    # (StreamingIndex.load), and the CLI.
+    # ------------------------------------------------------------------
     def to_store(self, directory) -> None:
         """Write this index to a shard store. Streams one device block at
         a time — nothing N-sized materializes on the host."""
@@ -492,6 +482,7 @@ class _ShardedStoreMixin:
                 else np.asarray(self.sub_centroids)
             ),
             subcentroid_lambdas=self.subcentroid_lambdas,
+            projection=self.projection,
         )
         si._save_meta()
 
@@ -502,9 +493,10 @@ class _ShardedStoreMixin:
         """Resume a persisted index mesh-sharded — no recompute. The same
         directory also serves ``StreamingIndex.load`` for single-chip
         out-of-core search."""
+        from pathlib import Path
+
         from matternet_rs_tpu.index.streaming import LAMBDA_FILE, StreamingIndex
         from matternet_rs_tpu.storage import shards as shard_store
-        from pathlib import Path
 
         if mesh is None:
             mesh = make_mesh(n_devices)
@@ -536,12 +528,22 @@ class _ShardedStoreMixin:
                 else jnp.asarray(si.sub_centroids)
             ),
             subcentroid_lambdas=si.subcentroid_lambdas,
+            projection=si.projection,
         )
 
 
-# Attach the persistence mixin (kept separate for readability; the
-# dataclass above stays the single source of fields).
-ShardedArrowSpace.to_store = _ShardedStoreMixin.to_store
-ShardedArrowSpace.load_from_store = classmethod(
-    _ShardedStoreMixin.load_from_store.__func__
-)
+def _device_blocks(arr, n_items: int):
+    """Yield a sharded array's rows in global order, host-resident one
+    device block at a time, trimmed to ``n_items`` (single-host meshes:
+    every shard is addressable)."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    emitted = 0
+    for s in shards:
+        block = np.asarray(s.data)
+        take = min(len(block), n_items - emitted)
+        if take <= 0:
+            break
+        yield block[:take]
+        emitted += take

@@ -326,10 +326,18 @@ def make_sharded_hybrid_search(mesh, n_items: int, k: int):
         w = jnp.lexsort((all_best_id, -all_best))[0]
         sem_top_gid = all_best_id[w]
 
-        # Stage 2: shard-local top-k over the eligible set.
+        # Stage 2: the GLOBAL λ-top-k membership set (serial semantics —
+        # a shard-local top-k would admit rows the serial hybrid excludes).
         kk = min(k, Xl.shape[0])
-        _, top_idx = jax.lax.top_k(jnp.where(real, lambda_score, -jnp.inf), kk)
-        in_topk = jnp.zeros(Xl.shape[0], bool).at[top_idx].set(True)
+        l_top, l_idx = jax.lax.top_k(
+            jnp.where(real, lambda_score, -jnp.inf), kk
+        )
+        g_s = jax.lax.all_gather(l_top, joint, tiled=True)      # [D·kk]
+        g_i = jax.lax.all_gather(gids[l_idx], joint, tiled=True)
+        g_order = jnp.lexsort((g_i, -g_s))[: min(k, g_s.shape[0])]
+        gtop_ids = g_i[g_order]
+        in_topk = jnp.any(gids[:, None] == gtop_ids[None, :], axis=1)
+
         high_sem = (cos > SEMANTIC_THRESHOLD) & real
         is_sem_top = gids == sem_top_gid
         eligible = (in_topk | high_sem | is_sem_top) & real

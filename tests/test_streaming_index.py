@@ -276,3 +276,44 @@ def test_energy_store_blend_search_also_works(tmp_path):
     si = StreamingIndex.load(d)
     res = si.search(data[11], k=5)          # blended path on energy store
     assert res[0][0] == 11
+
+
+def test_store_roundtrip_with_projection(tmp_path):
+    """A JL-projected index persists its projection through the store:
+    original-dim queries keep working on all three consumers (was
+    silently dropped → shape crash)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    rng = np.random.default_rng(7)
+    data = make_energy_test_dataset(300, 128, seed=7).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=40, radius=120.0)
+        .with_dims_reduction(True)
+        .with_seed(9)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=16, neighbor_k=5, candidate_m=8)
+    )
+    if aspace.projection is None:
+        pytest.skip("projection not triggered for this config")
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path / "pstore"
+    sa.to_store(d)
+
+    si = StreamingIndex.load(d)
+    assert si.projection is not None
+    assert si.projection.original_dim == 128
+    res = si.search_energy(data[10], k=5)          # original-dim query
+    mem = em.search_energy(aspace, data[10], gl, k=5)
+    assert [i for i, _ in res] == [i for i, _ in mem]
+
+    sa2 = ShardedArrowSpace.load_from_store(d, mesh=make_mesh(8))
+    assert sa2.projection is not None
+    res2 = sa2.search_energy(data[10], k=5)
+    assert [i for i, _ in res2] == [i for i, _ in mem]
