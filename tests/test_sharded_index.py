@@ -302,3 +302,53 @@ def test_distributed_range_search_matches_serial():
     assert set(got) == set(expect)
     for i in got:
         assert got[i] == pytest.approx(expect[i], abs=1e-6)
+
+
+def test_distributed_hybrid_global_topk_eligibility():
+    """Pinned adversarial case (review repro): a row that is its shard's
+    LOCAL λ-top-1 but not in the GLOBAL λ-top-k must not become eligible —
+    serial hybrid excludes it. λ is hand-set for full control."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.core import ArrowSpace
+    from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
+    from matternet_rs_tpu.ops import search as search_ops
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    F = 8
+    n = 16                                 # 2 rows per device on 8 devices
+    q = np.zeros(F, np.float32)
+    q[0] = 1.0
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 0.3, (n, F)).astype(np.float32)
+    data[:, 0] += 2.0                      # moderate cos to q for all
+    # Row 0 (shard 0): exact duplicate → cos 1 > SEMANTIC_THRESHOLD.
+    data[0] = q
+    # Row 2 (shard 1): very high cos but below the 0.9999 threshold.
+    data[2] = q + np.array([0.0, 0.012] + [0.0] * (F - 2), np.float32)
+
+    aspace = ArrowSpace.from_items(data)
+    lam = np.full(n, 0.2, np.float32)
+    lam[0] = 0.5                           # query λ matches row 2, not row 0
+    lam[2] = 0.5
+    aspace.lambdas = jnp.asarray(lam)
+    aspace.min_lambdas, aspace.max_lambdas, aspace.range_lambdas = 0.0, 1.0, 1.0
+    params = GraphParams(eps=1.0, k=3, topk=3, sparsity_check=False)
+    L = jnp.eye(F)
+    gl = GraphLaplacian(matrix=L, init_data=L, nnodes=n, graph_params=params)
+
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    for k in (1, 2, 4):
+        dist = sa.search_hybrid(q, k=k, query_lambda=0.5)
+        s_idx, s_sc = search_ops.search_lambda_aware_hybrid(
+            jnp.asarray(data), aspace.norms, aspace.lambdas,
+            jnp.asarray(q), jnp.float32(0.5), k,
+        )
+        serial = [int(i) for i, s in zip(np.asarray(s_idx), np.asarray(s_sc))
+                  if np.isfinite(s)]
+        assert [i for i, _ in dist] == serial, f"k={k}"
+        np.testing.assert_allclose(
+            [s for _, s in dist],
+            [float(s) for s in np.asarray(s_sc)[: len(serial)]], atol=1e-6,
+        )
