@@ -317,3 +317,48 @@ def test_store_roundtrip_with_projection(tmp_path):
     assert sa2.projection is not None
     res2 = sa2.search_energy(data[10], k=5)
     assert [i for i, _ in res2] == [i for i, _ in mem]
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_streaming_matches_inmemory_builder_end_to_end(seed, tmp_path):
+    """Full-sample streaming build == the in-memory builder build (same
+    clustering inputs → same centroids → same graph → same λ → identical
+    blended ranking), fuzzed over random shard/block geometry."""
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(400, 900))
+    f = int(rng.integers(8, 40))
+    data = make_energy_test_dataset(n, f, seed=seed).astype(np.float32)
+    eps, k_g = float(rng.uniform(0.7, 1.0)), int(rng.integers(4, 7))
+    mc, rad = int(rng.integers(8, 20)), float(rng.uniform(10.0, 30.0))
+    # The builder applies the reference topk heuristic (builder.rs:785-793);
+    # use the same value so the graphs are identical.
+    topk = 3 if k_g <= 5 else 4
+
+    d = tmp_path / "s"
+    shard_store.write_shards(
+        data, d, rows_per_shard=int(rng.integers(60, 300))
+    )
+    params = GraphParams(eps=eps, k=k_g, topk=topk, sparsity_check=False)
+    si = StreamingIndex.build_from_store(
+        d, params, max_clusters=mc, radius=rad,
+        block_rows=int(rng.integers(50, 400)), sample_rows=n,
+    )
+
+    b = (ArrowSpaceBuilder()
+         .with_lambda_graph(eps, k_g)
+         .with_sparsity_check(False)
+         .with_cluster_params(max_clusters=mc, radius=rad)
+         .with_sampling(None))
+    aspace, gl = b.build(data)
+
+    for qi in rng.integers(0, n, 5):
+        q = data[qi] + rng.normal(0, 0.05, f).astype(np.float32)
+        stream = si.search(q, k=10)
+        ql = aspace.prepare_query_item(q, gl)
+        mem = aspace.search_lambda_aware(q, ql, 10)
+        assert [i for i, _ in stream] == [i for i, _ in mem], f"seed {seed}"
+        np.testing.assert_allclose(
+            [s for _, s in stream], [s for _, s in mem], rtol=1e-4, atol=1e-5
+        )
