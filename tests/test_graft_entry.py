@@ -13,7 +13,7 @@ def test_entry_compiles_and_self_query_wins():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    idx, scores = fn(*args)
+    scores, idx = fn(*args)                # lax.top_k → (values, indices)
     assert idx.shape == (10,) and scores.shape == (10,)
     # args[4] is X[7]; the exact duplicate must rank first.
     assert int(np.asarray(idx)[0]) == 7
