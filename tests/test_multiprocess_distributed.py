@@ -1,0 +1,105 @@
+"""REAL multi-process distributed execution: two OS processes form one
+JAX cluster (Gloo collectives over localhost), build a ShardedArrowSpace
+over the global 2×4-device mesh, and search — results must agree across
+processes AND with the single-process build.
+
+This is the multi-controller regime an actual TPU pod runs in
+(jax.distributed), not the single-process virtual-device emulation the
+rest of the suite uses.
+"""
+
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent("""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.parallel import make_mesh
+from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+# Every process passes the SAME global blocks; shard placement only
+# touches each process's addressable devices.
+data = make_energy_test_dataset(800, 16, seed=77).astype(np.float32)
+params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+mesh = make_mesh(8)              # global mesh across both processes
+sa = ShardedArrowSpace.distributed_build(
+    [data[:300], data[300:]], params, k_clusters=10, mesh=mesh
+)
+res = sa.search(data[17], k=5)
+print("RESULT", pid, [i for i, _ in res],
+      [round(s, 6) for _, s in res], flush=True)
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    import pathlib
+
+    worker_file = tmp_path / "worker.py"
+    # __file__-relative repo root resolution inside the worker needs a
+    # real file under tests/-like depth; write it beside this test's repo.
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker_file.write_text(
+        WORKER.replace(
+            "os.path.dirname(os.path.dirname(os.path.abspath(__file__)))",
+            repr(str(repo)),
+        )
+    )
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_file), str(i), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out)
+        if p.returncode != 0:
+            pytest.skip(f"multi-process cluster unavailable here: {out[-400:]}")
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                parts = line.split(" ", 2)
+                results[int(parts[1])] = parts[2]
+    assert set(results) == {0, 1}, f"missing worker results: {outs}"
+    # Both controllers computed the identical replicated answer.
+    assert results[0] == results[1]
+
+    # And it matches the single-process build on the same inputs.
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(800, 16, seed=77).astype(np.float32)
+    params = GraphParams(eps=1.0, k=5, topk=5, sparsity_check=False)
+    sa = ShardedArrowSpace.distributed_build(
+        [data[:300], data[300:]], params, k_clusters=10, mesh=make_mesh(8)
+    )
+    res = sa.search(data[17], k=5)
+    expect = f"{[i for i, _ in res]} {[round(s, 6) for _, s in res]}"
+    assert results[0] == expect, (results[0], expect)
