@@ -42,6 +42,17 @@ sa = ShardedArrowSpace.distributed_build(
 res = sa.search(data[17], k=5)
 print("RESULT", pid, [i for i, _ in res],
       [round(s, 6) for _, s in res], flush=True)
+
+# 2-D (slice, data) mesh: the slice axis crosses the PROCESS boundary —
+# exactly the ICI-within-slice / DCN-across-slices topology of a real
+# multi-slice pod. The hierarchical merge must agree across controllers.
+from matternet_rs_tpu.parallel import make_mesh_2d
+sa2 = ShardedArrowSpace.distributed_build(
+    [data[:300], data[300:]], params, k_clusters=10, mesh=make_mesh_2d(2, 4)
+)
+res2 = sa2.search(data[17], k=5)
+print("RESULT2D", pid, [i for i, _ in res2],
+      [round(s, 6) for _, s in res2], flush=True)
 """)
 
 
@@ -79,15 +90,22 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         if p.returncode != 0:
             pytest.skip(f"multi-process cluster unavailable here: {out[-400:]}")
 
-    results = {}
+    results, results2d = {}, {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("RESULT"):
+            if line.startswith("RESULT2D"):
+                parts = line.split(" ", 2)
+                results2d[int(parts[1])] = parts[2]
+            elif line.startswith("RESULT"):
                 parts = line.split(" ", 2)
                 results[int(parts[1])] = parts[2]
     assert set(results) == {0, 1}, f"missing worker results: {outs}"
-    # Both controllers computed the identical replicated answer.
+    assert set(results2d) == {0, 1}, f"missing 2-D results: {outs}"
+    # Both controllers computed the identical replicated answers, on the
+    # 1-D mesh and on the 2-D mesh whose slice axis crosses the process
+    # boundary (the DCN analogue).
     assert results[0] == results[1]
+    assert results2d[0] == results2d[1]
 
     # And it matches the single-process build on the same inputs.
     from matternet_rs_tpu.graph import GraphParams
