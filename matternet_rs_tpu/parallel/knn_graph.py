@@ -369,17 +369,28 @@ def distributed_lobpcg(
     X0 = jnp.asarray(rng.normal(size=(n_pad, k)), jnp.float32)
     X0 = jax.device_put(X0, NamedSharding(mesh, P()))
 
-    def matvec(V):
-        gathered = V[jnp.maximum(ell.indices, 0)]          # [N_pad, ek, k]
-        wx = jnp.sum(
-            jnp.where(
-                (ell.indices >= 0)[..., None], ell.weights[..., None], 0.0
-            ) * gathered,
-            axis=1,
-        )
-        return ell.diag[:, None] * V - wx
+    # The ELL operands are jit ARGUMENTS, not closure constants: in the
+    # multi-controller regime (jax.distributed) closing over arrays that
+    # span non-addressable devices is rejected outright.
+    # out_shardings replicated: the eigenpairs are the host-facing result;
+    # a row-sharded output could not even be fetched in multi-controller
+    # mode (values spanning non-addressable devices).
+    @functools.partial(
+        jax.jit, static_argnames=("kk", "it"),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    def run(indices, weights, diag, X, kk, it):
+        def matvec(V):
+            gathered = V[jnp.maximum(indices, 0)]          # [N_pad, ek, k]
+            wx = jnp.sum(
+                jnp.where(
+                    (indices >= 0)[..., None], weights[..., None], 0.0
+                ) * gathered,
+                axis=1,
+            )
+            return diag[:, None] * V - wx
 
-    vals, vecs = jax.jit(
-        functools.partial(_lobpcg_core, matvec, k=k, iters=iters)
-    )(X0)
+        return _lobpcg_core(matvec, X, kk, it)
+
+    vals, vecs = run(ell.indices, ell.weights, ell.diag, X0, kk=k, it=iters)
     return np.asarray(vals), np.asarray(vecs)[: ell.n_items]

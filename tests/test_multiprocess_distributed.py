@@ -53,6 +53,11 @@ sa2 = ShardedArrowSpace.distributed_build(
 res2 = sa2.search(data[17], k=5)
 print("RESULT2D", pid, [i for i, _ in res2],
       [round(s, 6) for _, s in res2], flush=True)
+
+# Ring-ppermute kNN graph + distributed LOBPCG with tiles crossing the
+# process boundary (the heaviest collective pattern in the framework).
+vals, vecs = sa.spectral_embedding(4, iters=60, reverse_k=40)
+print("RESULTEIG", pid, [round(float(v), 5) for v in vals], flush=True)
 """)
 
 
@@ -90,12 +95,15 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         if p.returncode != 0:
             pytest.skip(f"multi-process cluster unavailable here: {out[-400:]}")
 
-    results, results2d = {}, {}
+    results, results2d, resultseig = {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT2D"):
                 parts = line.split(" ", 2)
                 results2d[int(parts[1])] = parts[2]
+            elif line.startswith("RESULTEIG"):
+                parts = line.split(" ", 2)
+                resultseig[int(parts[1])] = parts[2]
             elif line.startswith("RESULT"):
                 parts = line.split(" ", 2)
                 results[int(parts[1])] = parts[2]
@@ -106,6 +114,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # boundary (the DCN analogue).
     assert results[0] == results[1]
     assert results2d[0] == results2d[1]
+    # Ring kNN graph + LOBPCG eigenvalues agree across controllers.
+    assert set(resultseig) == {0, 1}
+    assert resultseig[0] == resultseig[1]
 
     # And it matches the single-process build on the same inputs.
     from matternet_rs_tpu.graph import GraphParams
