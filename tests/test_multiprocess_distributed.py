@@ -58,6 +58,22 @@ print("RESULT2D", pid, [i for i, _ in res2],
 # process boundary (the heaviest collective pattern in the framework).
 vals, vecs = sa.spectral_embedding(4, iters=60, reverse_k=40)
 print("RESULTEIG", pid, [round(float(v), 5) for v in vals], flush=True)
+
+# Remaining distributed search APIs, multi-controller.
+bidx, _ = sa.search_batch(data[[4, 9]], k=3)
+hres = sa.search_hybrid(data[17], k=3)
+eres = sa.search_energy(data[17], k=3)
+print("RESULTAPIS", pid, bidx.tolist(),
+      [i for i, _ in hres], [i for i, _ in eres], flush=True)
+
+# Store-based distributed build (both controllers read the same store).
+store_dir = sys.argv[3]
+from matternet_rs_tpu.storage import shards as shard_store
+sa3 = shard_store.distributed_build_from_store(
+    store_dir, params, k_clusters=10, mesh=make_mesh(8)
+)
+res3 = sa3.search(data[17], k=3)
+print("RESULTSTORE", pid, [i for i, _ in res3], flush=True)
 """)
 
 
@@ -81,9 +97,16 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         )
     )
     port = str(_free_port())
+    # Shared store for the store-based distributed build.
+    from matternet_rs_tpu.storage import shards as shard_store
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data0 = make_energy_test_dataset(800, 16, seed=77).astype(np.float32)
+    store_dir = tmp_path / "store"
+    shard_store.write_shards(data0, store_dir, rows_per_shard=250)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker_file), str(i), port],
+            [sys.executable, str(worker_file), str(i), port, str(store_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -104,10 +127,13 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             elif line.startswith("RESULTEIG"):
                 parts = line.split(" ", 2)
                 resultseig[int(parts[1])] = parts[2]
+            elif line.startswith("RESULTAPIS") or line.startswith("RESULTSTORE"):
+                key = line.split(" ", 2)
+                results[(key[0], int(key[1]))] = key[2]
             elif line.startswith("RESULT"):
                 parts = line.split(" ", 2)
                 results[int(parts[1])] = parts[2]
-    assert set(results) == {0, 1}, f"missing worker results: {outs}"
+    assert {0, 1} <= set(results), f"missing worker results: {outs}"
     assert set(results2d) == {0, 1}, f"missing 2-D results: {outs}"
     # Both controllers computed the identical replicated answers, on the
     # 1-D mesh and on the 2-D mesh whose slice axis crosses the process
@@ -117,6 +143,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # Ring kNN graph + LOBPCG eigenvalues agree across controllers.
     assert set(resultseig) == {0, 1}
     assert resultseig[0] == resultseig[1]
+    # Batched / hybrid / energy searches and the store-based build too.
+    assert results[("RESULTAPIS", 0)] == results[("RESULTAPIS", 1)]
+    assert results[("RESULTSTORE", 0)] == results[("RESULTSTORE", 1)]
 
     # And it matches the single-process build on the same inputs.
     from matternet_rs_tpu.graph import GraphParams
