@@ -19,11 +19,12 @@ import pytest
 WORKER = textwrap.dedent("""
 import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+n_procs = int(sys.argv[4]); local_dev = 8 // n_procs
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_dev}"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=n_procs, process_id=pid)
 import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from matternet_rs_tpu.graph import GraphParams
@@ -83,7 +84,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster_matches_single_process(tmp_path):
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_cluster_matches_single_process(tmp_path, n_procs):
     import pathlib
 
     worker_file = tmp_path / "worker.py"
@@ -106,10 +108,11 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     shard_store.write_shards(data0, store_dir, rows_per_shard=250)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker_file), str(i), port, str(store_dir)],
+            [sys.executable, str(worker_file), str(i), port, str(store_dir),
+             str(n_procs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -133,19 +136,18 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             elif line.startswith("RESULT"):
                 parts = line.split(" ", 2)
                 results[int(parts[1])] = parts[2]
-    assert {0, 1} <= set(results), f"missing worker results: {outs}"
-    assert set(results2d) == {0, 1}, f"missing 2-D results: {outs}"
-    # Both controllers computed the identical replicated answers, on the
-    # 1-D mesh and on the 2-D mesh whose slice axis crosses the process
-    # boundary (the DCN analogue).
-    assert results[0] == results[1]
-    assert results2d[0] == results2d[1]
-    # Ring kNN graph + LOBPCG eigenvalues agree across controllers.
-    assert set(resultseig) == {0, 1}
-    assert resultseig[0] == resultseig[1]
-    # Batched / hybrid / energy searches and the store-based build too.
-    assert results[("RESULTAPIS", 0)] == results[("RESULTAPIS", 1)]
-    assert results[("RESULTSTORE", 0)] == results[("RESULTSTORE", 1)]
+    assert set(range(n_procs)) <= set(results), f"missing worker results: {outs}"
+    assert set(results2d) >= set(range(n_procs)), f"missing 2-D results: {outs}"
+    # Every controller computed the identical replicated answers, on the
+    # 1-D mesh and on the 2-D mesh whose slice axis crosses process
+    # boundaries (the DCN analogue), plus the ring graph + LOBPCG and the
+    # remaining search APIs and store-based build.
+    for pid in range(1, n_procs):
+        assert results[pid] == results[0]
+        assert results2d[pid] == results2d[0]
+        assert resultseig[pid] == resultseig[0]
+        assert results[("RESULTAPIS", pid)] == results[("RESULTAPIS", 0)]
+        assert results[("RESULTSTORE", pid)] == results[("RESULTSTORE", 0)]
 
     # And it matches the single-process build on the same inputs.
     from matternet_rs_tpu.graph import GraphParams
