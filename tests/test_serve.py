@@ -253,3 +253,23 @@ def test_full_batch_dispatches_before_window():
         )
     finally:
         svc.close()
+
+
+def test_large_connection_burst_no_resets(server):
+    """Regression: TCPServer's default accept backlog (5) reset
+    connections under bursts; the server now listens deep (256). 100
+    simultaneous connections must all succeed."""
+    import concurrent.futures
+
+    base, data = server
+
+    def one(i):
+        code, doc = _post(
+            base + "/search", {"query": data[i % 100].tolist(), "k": 3}
+        )
+        return code, doc["results"][0]["index"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=100) as ex:
+        results = list(ex.map(one, range(100)))
+    assert all(code == 200 for code, _ in results)
+    assert all(top == i % 100 for i, (_, top) in enumerate(results))
