@@ -113,3 +113,59 @@ def test_cli_distributed_save_then_stream_search(data_file, tmp_path, capsys):
           "--k", "5"])
     res = json.loads(capsys.readouterr().out)
     assert res["results"][0][0]["index"] == 7
+
+
+def test_cli_serve_subprocess(data_file, tmp_path):
+    """The serve subcommand boots, turns healthy, and answers queries —
+    the one CLI path the in-process tests could not cover."""
+    import json as _json
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    data_path, q_path, data = data_file
+    out = tmp_path / "idx"
+    main(["build", str(data_path), "--out", str(out), "--name", "s",
+          "--max-clusters", "10", "--radius", "4.0"])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(__import__("os").environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "matternet_rs_tpu", "serve", str(out),
+         "--name", "s", "--port", str(port)],
+        cwd=str(repo), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        healthy = False
+        for _ in range(60):
+            time.sleep(1)
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=2
+                ) as r:
+                    healthy = _json.loads(r.read())["status"] == "ok"
+                    break
+            except Exception:
+                continue
+        assert healthy, "serve subprocess never became healthy"
+        body = _json.dumps({"query": data[7].tolist(), "k": 3}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            doc = _json.loads(r.read())
+        assert doc["results"][0]["index"] == 7
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
