@@ -125,7 +125,7 @@ def test_random_config_checkpoint_roundtrip(seed, tmp_path):
     )
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(7))
 def test_random_energy_config_invariants(seed):
     from matternet_rs_tpu import energymaps as em
 
