@@ -51,7 +51,7 @@ def _random_config(rng):
     return data, b
 
 
-@pytest.mark.parametrize("seed", range(14))
+@pytest.mark.parametrize("seed", range(15))
 def test_random_config_invariants(seed):
     rng = np.random.default_rng(1000 + seed)
     data, b = _random_config(rng)
