@@ -230,13 +230,15 @@ class ArrowSpaceBuilder:
             gl = em.eigenmaps(aspace, self, centroids, n_items)
             import jax as _jax
 
-            _jax.block_until_ready(gl.matrix)
+            _jax.block_until_ready(
+                gl.ell().weights if gl.is_ell_backed else gl.matrix
+            )
         # NOTE: device→host pulls are gated behind the persistence check —
         # evaluating np.asarray(...) as a call argument forces a D2H even
         # when persistence is off, and the remote transport charges a large
         # fixed cost for the first materialization of a jit output.
         if self.persistence is not None:
-            self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
+            self._persist_sparse("gl-matrix", np.asarray(gl.dense()))
             if self.prebuilt_spectral and aspace.signals is not None:
                 self._persist_sparse("aspace-signals", np.asarray(aspace.signals))
 
@@ -273,7 +275,7 @@ class ArrowSpaceBuilder:
         aspace, gl = em_energy.build_energy(self, rows, energy_params)
         if self.persistence is not None:
             self._persist_dense("raw_input", np.asarray(aspace.data))
-            self._persist_sparse("gl-matrix", np.asarray(gl.matrix))
+            self._persist_sparse("gl-matrix", np.asarray(gl.dense()))
             self._persist_lambdas(aspace)
         return aspace, gl
 

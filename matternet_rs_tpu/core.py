@@ -46,26 +46,39 @@ def _nearest_subcentroid_lambda_jit(sub_c, sc_lams, q):
     return sc_lams[jnp.argmin(d)]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
-def _batched_search_jit(X, norms, lams, Q, q_lams, k, alpha, approx):
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _batched_search_jit(X, norms, lams, Q, q_lams, k, alphas, approx):
+    """``alphas`` is a traced ``[B]`` vector — heterogeneous per-query
+    blend weights share ONE compiled program (the serve batcher would
+    otherwise fragment into a program per distinct alpha)."""
     return jax.vmap(
-        lambda q, ql: search_ops.search_lambda_aware(
-            X, norms, lams, q, ql, k, alpha, approx=approx
+        lambda q, ql, a: search_ops.search_lambda_aware(
+            X, norms, lams, q, ql, k, a, approx=approx
         )
-    )(Q, q_lams)
+    )(Q, q_lams, alphas)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alpha", "approx"))
-def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alpha, approx):
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alphas, approx):
     """Search with the query-λ normalization folded in — one dispatch
     instead of four (sub/div/clip each cost a round-trip when eager on a
-    remote-attached TPU)."""
+    remote-attached TPU). ``alphas`` is traced per-query (see above)."""
     q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
     return jax.vmap(
-        lambda q, ql: search_ops.search_lambda_aware(
-            X, norms, lams, q, ql, k, alpha, approx=approx
+        lambda q, ql, a: search_ops.search_lambda_aware(
+            X, norms, lams, q, ql, k, a, approx=approx
         )
-    )(Q, q_lams)
+    )(Q, q_lams, alphas)
+
+
+def _alpha_vector(alpha, b_pad: int) -> jax.Array:
+    """Scalar-or-[B] alpha → padded traced [b_pad] vector."""
+    a = jnp.asarray(alpha, jnp.float32)
+    if a.ndim == 0:
+        return jnp.full((b_pad,), a, jnp.float32)
+    if a.shape[0] != b_pad:
+        a = jnp.pad(a, (0, b_pad - a.shape[0]))
+    return a
 
 
 @dataclasses.dataclass(frozen=True)
@@ -341,7 +354,7 @@ class ArrowSpace:
                     self._signals_ell = ell_from_dense_laplacian(self.signals)
                 return self._signals_ell
             return self.signals
-        if gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD:
+        if gl.is_ell_backed or gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD:
             return gl.ell()
         return gl.matrix
 
@@ -526,7 +539,9 @@ class ArrowSpace:
         mode — same routing as :meth:`prepare_query_item`) + vmapped
         blended top-k. Returns ``(indices [B, k], scores [B, k])``, plus
         the raw query λ per row when ``return_raw`` (for undecidable-query
-        detection in batched serving).
+        detection in batched serving). ``alpha`` may be a scalar or a
+        per-query ``[B]`` vector (heterogeneous serving traffic batches
+        into one dispatch — alpha is traced, not compiled-in).
 
         This is the TPU-idiomatic serving path — one ``[B, F] × [F, N]``
         matmul amortizes the corpus read across the whole batch.
@@ -541,6 +556,7 @@ class ArrowSpace:
         b_pad = 1 << max(b - 1, 1).bit_length() if b > 1 else 1
         if b_pad != b:
             Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
+        alphas = _alpha_vector(alpha, b_pad)
 
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
             Qe = Q
@@ -559,7 +575,7 @@ class ArrowSpace:
             raw = q_lams
             idx, sc = _batched_search_jit(
                 self._scan_corpus(quantized), self.norms, self.lambdas,
-                Q, q_lams, k, alpha, approx,
+                Q, q_lams, k, alphas, approx,
             )
         else:
             graph = self.graph_for_taumode(gl)
@@ -578,7 +594,7 @@ class ArrowSpace:
             idx, sc = _batched_search_normalized_jit(
                 self._scan_corpus(quantized), self.norms, self.lambdas, Q, raw,
                 jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
-                k, alpha, approx,
+                k, alphas, approx,
             )
         if return_raw:
             return np.asarray(idx)[:b], np.asarray(sc)[:b], np.asarray(raw)[:b]

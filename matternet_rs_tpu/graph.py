@@ -40,11 +40,15 @@ class GraphParams:
 
 @dataclasses.dataclass
 class GraphLaplacian:
-    """Dense graph Laplacian ``L = D - W`` (or ``L_sym``) over n nodes.
+    """Graph Laplacian ``L = D - W`` (or ``L_sym``) over n nodes.
 
     Attributes
     ----------
-    matrix : ``[n, n]`` Laplacian (dense jax array; structurally sparse).
+    matrix : ``[n, n]`` Laplacian (dense jax array; structurally sparse),
+        or ``None`` for an ELL-backed graph (``_ell_cache`` holds the
+        exact fixed-degree form — the direct large-F construction path
+        never materializes ``[n, n]``; see ops/laplacian.py
+        ``build_laplacian_ell``).
     init_data : the node-profile matrix the graph was built from
         (reference keeps this as ``init_data``, src_legacy/graph.rs:127-130).
     nnodes : number of items of the *original raw data* (bookkeeping; the
@@ -53,7 +57,7 @@ class GraphLaplacian:
     energy : False for eigenmaps, True for energymaps.
     """
 
-    matrix: jax.Array
+    matrix: Optional[jax.Array]
     init_data: jax.Array
     nnodes: int
     graph_params: GraphParams
@@ -62,12 +66,25 @@ class GraphLaplacian:
         default=None, repr=False, compare=False
     )
 
+    @classmethod
+    def from_ell(cls, ell, init_data, nnodes: int, graph_params: GraphParams,
+                 energy: bool = False) -> "GraphLaplacian":
+        """ELL-backed Laplacian: O(n·k) memory, no dense matrix ever."""
+        return cls(
+            matrix=None, init_data=init_data, nnodes=nnodes,
+            graph_params=graph_params, energy=energy, _ell_cache=ell,
+        )
+
+    @property
+    def is_ell_backed(self) -> bool:
+        return self.matrix is None
+
     def ell(self):
         """Cached exact ELL form of the Laplacian (large-F λ/SpMV path).
 
         Extraction costs one top-k pass over [n, n] + one scalar D2H; the
         cache amortizes it across every λ batch and query against this
-        graph.
+        graph. ELL-backed graphs return their native form directly.
         """
         if self._ell_cache is None:
             from matternet_rs_tpu.ops.csr import ell_from_dense_laplacian
@@ -75,13 +92,27 @@ class GraphLaplacian:
             self._ell_cache = ell_from_dense_laplacian(self.matrix)
         return self._ell_cache
 
+    def dense(self) -> jax.Array:
+        """The dense ``[n, n]`` matrix — densifies an ELL-backed graph on
+        demand (O(n²) memory: tests / small n only)."""
+        if self.matrix is not None:
+            return self.matrix
+        return jnp.asarray(self.ell().to_dense())
+
     # -- basic ops (reference: src_legacy/graph.rs:329-700) ---------------
 
     @property
     def shape(self) -> tuple[int, int]:
+        if self.matrix is None:
+            return self.ell().shape
         return tuple(self.matrix.shape)
 
     def nnz(self, tol: float = 0.0) -> int:
+        if self.matrix is None:
+            e = self.ell()
+            return int(jnp.sum(e.weights > tol)) + int(
+                jnp.sum(jnp.abs(e.diag) > tol)
+            )
         return int(jnp.sum(jnp.abs(self.matrix) > tol))
 
     @staticmethod
@@ -91,10 +122,24 @@ class GraphLaplacian:
         return 1.0 - nnz / max(n, 1)
 
     def sparsity(self, tol: float = 0.0) -> float:
+        if self.matrix is None:
+            n = self.shape[0]
+            return 1.0 - self.nnz(tol) / max(n * n, 1)
         return self.sparsity_of(self.matrix, tol)
 
     def multiply_vector(self, x: jax.Array) -> jax.Array:
-        """``L @ x`` (reference: graph.rs:464-501)."""
+        """``L @ x`` (reference: graph.rs:464-501); ELL-backed graphs use
+        the fixed-degree SpMV (no densification)."""
+        if self.matrix is None:
+            from matternet_rs_tpu.ops.csr import spmv_ell
+
+            # Honor the stored diagonal rather than re-deriving row degrees
+            # (L_sym has diag=1, not the degree).
+            e = self.ell()
+            wx = spmv_ell(e.indices, e.weights, x)
+            if x.ndim == 2:
+                return e.diag[:, None] * x - wx
+            return e.diag * x - wx
         return mm(self.matrix, x)
 
     def rayleigh_quotient(self, x: jax.Array) -> jax.Array:
@@ -104,15 +149,23 @@ class GraphLaplacian:
         return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 0.0)
 
     def adjacency(self) -> jax.Array:
-        """Recover ``W`` from off-diagonals: ``W_ij = max(-L_ij, 0)`` (graph.rs:510-525)."""
-        off = -self.matrix
+        """Recover ``W`` from off-diagonals: ``W_ij = max(-L_ij, 0)``
+        (graph.rs:510-525). Densifies an ELL-backed graph (O(n²))."""
+        off = -self.dense()
         w = jnp.maximum(off, 0.0)
         return w - jnp.diag(jnp.diag(w))
 
     def degrees(self) -> jax.Array:
+        if self.matrix is None:
+            return self.ell().diag
         return jnp.diag(self.matrix)
 
     def neighbors_of(self, i: int, tol: float = 1e-12) -> np.ndarray:
+        if self.matrix is None:
+            e = self.ell()
+            idx = np.asarray(e.indices[i])
+            w = np.asarray(e.weights[i])
+            return np.unique(idx[w > tol])
         w = np.asarray(self.adjacency()[i])
         return np.nonzero(w > tol)[0]
 
@@ -122,7 +175,7 @@ class GraphLaplacian:
         Reference: graph.rs:554-618. Returns a dict of booleans instead of
         panicking; callers assert on what they need.
         """
-        m = np.asarray(self.matrix)
+        m = np.asarray(self.dense())
         sym = bool(np.allclose(m, m.T, atol=atol))
         row_sums_zero = bool(np.allclose(m.sum(axis=1), 0.0, atol=atol))
         diag_nonneg = bool((np.diag(m) >= -atol).all())
@@ -136,7 +189,7 @@ class GraphLaplacian:
         """Degree / nnz / sparsity stats (reference: graph.rs:656-686)."""
         deg = np.asarray(self.degrees())
         return {
-            "nnodes": self.matrix.shape[0],
+            "nnodes": self.shape[0],
             "nnz": self.nnz(),
             "sparsity": self.sparsity(),
             "min_degree": float(deg.min()) if deg.size else 0.0,

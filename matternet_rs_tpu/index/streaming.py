@@ -184,7 +184,11 @@ class StreamingIndex:
 
         # Pass 2: streamed λ (raw), fixed-shape device chunks, appended.
         gl = idx.gl
-        graph = gl.ell() if f > taumode_ops.SPARSE_F_THRESHOLD else gl.matrix
+        graph = (
+            gl.ell()
+            if gl.is_ell_backed or f > taumode_ops.SPARSE_F_THRESHOLD
+            else gl.matrix
+        )
         offset = 0
         with open(lam_path, "ab") as fh:
             for block in shard_store.stream_blocks(directory, block_rows):
@@ -215,7 +219,7 @@ class StreamingIndex:
         file for ``load``/resume to choke on."""
         import os
 
-        G = np.ascontiguousarray(np.asarray(self.gl.matrix, np.float32))
+        G = np.ascontiguousarray(np.asarray(self.gl.dense(), np.float32))
         g_tmp = self.directory / (GRAPH_FILE + ".tmp")
         g_tmp.write_bytes(G.tobytes())
         os.replace(g_tmp, self.directory / GRAPH_FILE)
@@ -328,7 +332,8 @@ class StreamingIndex:
         qr = self._reduced_query(q)
         graph = (
             self.gl.ell()
-            if self.gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
+            if self.gl.is_ell_backed
+            or self.gl.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
             else self.gl.matrix
         )
         raw = float(
@@ -361,7 +366,8 @@ class StreamingIndex:
         Qr = self._reduced_query(Q)
         graph = (
             self.gl.ell()
-            if self.gl.matrix.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
+            if self.gl.is_ell_backed
+            or self.gl.shape[0] > taumode_ops.SPARSE_F_THRESHOLD
             else self.gl.matrix
         )
         raw = taumode_ops.taumode_lambdas_auto(

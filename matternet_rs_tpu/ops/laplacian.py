@@ -37,6 +37,12 @@ from matternet_rs_tpu.ops import distance as dist_ops
 WEIGHT_FLOOR = 1e-12
 SPARSIFY_AVG_DEGREE = 10.0
 SPARSIFY_KEEP_FRACTION = 0.5
+# Node count beyond which build_laplacian_matrix routes to the direct ELL
+# construction (never materializes [n, n]; memory O(n·k) + one [tile, n]
+# distance strip). The F=4096 dense build already costs 67 MB × 3 arrays;
+# at F=16384 dense would be 1 GB × 3 — the wall VERDICT r2 #6 names.
+DIRECT_ELL_N = 8192
+DIRECT_ELL_ROW_TILE = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "normalise"))
@@ -115,6 +121,200 @@ def sym_normalized_laplacian(W: jax.Array) -> jax.Array:
     return jnp.eye(W.shape[0], dtype=W.dtype) - Wn
 
 
+@functools.partial(jax.jit, static_argnames=("topk", "normalise", "row_tile"))
+def _knn_dense_tiled(nodes: jax.Array, topk: int, normalise: bool,
+                     row_tile: int):
+    """Exact rectified-cosine kNN with bounded memory: the full pairwise
+    matrix never exists — each ``lax.map`` step materializes one
+    ``[row_tile, n]`` distance strip (an MXU matmul row-slice, numerically
+    identical to the dense build's full matmul) and reduces it to top-k.
+
+    Returns ``(nd [n, kk], idx [n, kk])`` with self excluded — the same
+    candidate lists ``_adjacency_dense`` derives from its [n, n] pass.
+    """
+    n = nodes.shape[0]
+    x = dist_ops.standardize_columns(nodes) if normalise else nodes
+    xhat = dist_ops.normalize_rows(x)
+    kk = min(topk, n - 1)
+
+    n_pad = n + ((-n) % row_tile)
+    xpad = jnp.pad(xhat, ((0, n_pad - n), (0, 0)))
+    tiles = xpad.reshape(n_pad // row_tile, row_tile, xhat.shape[1])
+    rids = jnp.arange(n_pad).reshape(n_pad // row_tile, row_tile)
+
+    def tile_fn(args):
+        t, rid = args
+        cos = jnp.dot(
+            t, xhat.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = 1.0 - jnp.maximum(cos, 0.0)
+        d = jnp.where(rid[:, None] == jnp.arange(n)[None, :], jnp.inf, d)
+        neg_d, idx = jax.lax.top_k(-d, kk)
+        return -neg_d, idx.astype(jnp.int32)
+
+    nd, idx = jax.lax.map(tile_fn, (tiles, rids))
+    return (
+        nd.reshape(n_pad, kk)[:n],
+        idx.reshape(n_pad, kk)[:n],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rk",))
+def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
+    """kNN candidate lists → symmetrized ELL adjacency + degree diagonal,
+    with the exact ``_adjacency_dense`` semantics (eps filter, kernel
+    weights, inline degree sparsification, union symmetrization) — but
+    O(n·k) memory throughout. Single-device counterpart of the
+    mesh-sharded recovery in ``parallel/knn_graph.py:239-337``: reverse
+    (in-)edges come from the (dst, -w)-sorted directed edge list via
+    searchsorted, rows with in-degree beyond ``rk`` keep their
+    highest-weight reverse edges, and the dropped count is returned (no
+    silent truncation).
+    """
+    n, kk = nd.shape
+    my_ids = jnp.arange(n, dtype=jnp.int32)
+
+    valid = nd <= eps
+    w = 1.0 / (1.0 + (jnp.where(valid, nd, 0.0) / sigma) ** p)
+    vmask = valid & (w > WEIGHT_FLOOR)
+    w = jnp.where(vmask, w, 0.0)
+
+    degrees = jnp.sum(valid, axis=1)
+    avg_degree = jnp.mean(degrees.astype(jnp.float32))
+    sparsify = avg_degree > SPARSIFY_AVG_DEGREE
+    deg_f = degrees.astype(jnp.float32)
+    score = w * jnp.sqrt(deg_f[:, None] * deg_f[idx])
+    score = jnp.where(vmask, score, -jnp.inf)
+    order = jnp.argsort(-score, axis=1)
+    ranks = jnp.argsort(order, axis=1)
+    n_valid = jnp.sum(vmask, axis=1)
+    keep_count = jnp.where(n_valid > 2, jnp.maximum(n_valid // 2, 1), n_valid)
+    keep_mask = ranks < keep_count[:, None]
+    w = jnp.where(jnp.logical_and(sparsify, ~keep_mask), 0.0, w)
+    fwd_ids = jnp.where(w > 0, idx, -1)
+
+    # Forward slots take max(w_ij, w_ji): does j also point at i?
+    nb_rows = fwd_ids[jnp.maximum(fwd_ids, 0)]                # [n, kk, kk]
+    nb_w = w[jnp.maximum(fwd_ids, 0)]
+    rev_hit = (nb_rows == my_ids[:, None, None]) & (nb_w > 0)
+    w_rev_fwd = jnp.max(jnp.where(rev_hit, nb_w, 0.0), axis=2)
+    w_fwd = jnp.where(fwd_ids >= 0, jnp.maximum(w, w_rev_fwd), 0.0)
+    n_mutual = jnp.sum(
+        (jnp.any(rev_hit, axis=2) & (w_fwd > 0)).astype(jnp.int32), axis=1
+    )
+
+    # Reverse-only edges via the sorted directed edge list.
+    src = jnp.repeat(my_ids, kk)
+    dst = fwd_ids.reshape(-1)
+    ew = w.reshape(-1)
+    dst_key = jnp.where(dst >= 0, dst, n)                     # invalid → end
+    edge_order = jnp.lexsort((-ew, dst_key))
+    dst_s = dst_key[edge_order]
+    src_s = src[edge_order]
+    ew_s = ew[edge_order]
+
+    rkx = rk + kk        # over-gather: ≤ kk run entries are fwd duplicates
+    lo = jnp.searchsorted(dst_s, my_ids, side="left")
+    hi = jnp.searchsorted(dst_s, my_ids, side="right")
+    take = lo[:, None] + jnp.arange(rkx)[None, :]
+    in_run = take < hi[:, None]
+    take = jnp.minimum(take, dst_s.shape[0] - 1)
+    cand_src = jnp.where(in_run, src_s[take], -1)
+    cand_w = jnp.where(in_run, ew_s[take], 0.0)
+    dup = jnp.any(
+        cand_src[:, :, None]
+        == jnp.where(w_fwd > 0, fwd_ids, -2)[:, None, :],
+        axis=2,
+    )
+    ok = in_run & ~dup & (cand_w > 0)
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    keep = ok & (rank < rk)
+    slot = jnp.where(keep, rank, rk)
+    rev_src = jnp.full((n, rk + 1), -1, jnp.int32).at[
+        jnp.arange(n)[:, None], slot
+    ].max(jnp.where(keep, cand_src, -1))[:, :rk]
+    rev_w = jnp.zeros((n, rk + 1), jnp.float32).at[
+        jnp.arange(n)[:, None], slot
+    ].max(jnp.where(keep, cand_w, 0.0))[:, :rk]
+    dropped = jnp.sum(jnp.maximum((hi - lo) - n_mutual - rk, 0))
+
+    ell_ids = jnp.concatenate(
+        [jnp.where(w_fwd > 0, fwd_ids, -1), rev_src], axis=1
+    )
+    ell_w = jnp.concatenate([w_fwd, rev_w], axis=1)
+    diag = jnp.sum(ell_w, axis=1)
+    return ell_ids, ell_w, diag, dropped
+
+
+def build_laplacian_ell(
+    nodes: jax.Array,
+    params: GraphParams,
+    n_items: int | None = None,
+    energy: bool = False,
+    normalized: bool = False,
+    reverse_k: int | None = None,
+    row_tile: int = DIRECT_ELL_ROW_TILE,
+) -> GraphLaplacian:
+    """Direct O(n·k)-memory graph build: tiled exact kNN → symmetrized ELL
+    Laplacian, never materializing ``[n, n]`` (reference Stage-C design
+    target, surfface-core/src/laplacian.rs:19-21). Semantics match
+    :func:`build_laplacian_matrix` exactly when ``reverse_k`` covers the
+    realized in-degrees (default 2·topk; the dropped-edge count is checked
+    and a warning logged otherwise).
+
+    ``normalized=True`` yields ``L_sym`` in ELL form (diag 1 for connected
+    rows, weights ``w/√(dᵢdⱼ)``).
+    """
+    import logging
+
+    from matternet_rs_tpu.ops.csr import EllLaplacian
+
+    nodes = jnp.asarray(nodes, dtype=jnp.float32)
+    n = nodes.shape[0]
+    if n < 2 or nodes.shape[1] < 2:
+        raise ValueError(
+            f"nodes should be at least of shape (2,2): {tuple(nodes.shape)}"
+        )
+    kk = min(int(params.topk), n - 1)
+    rk = 2 * kk if reverse_k is None else int(reverse_k)
+    nd, idx = _knn_dense_tiled(
+        nodes, topk=kk, normalise=bool(params.normalise),
+        row_tile=min(row_tile, n),
+    )
+    ell_ids, ell_w, diag, dropped = _ell_from_knn(
+        nd, idx,
+        jnp.float32(params.eps), jnp.float32(params.p),
+        jnp.float32(params.sigma_value()), rk=rk,
+    )
+    n_dropped = int(dropped)
+    if n_dropped:
+        logging.getLogger(__name__).warning(
+            "build_laplacian_ell: %d reverse edges beyond the per-row "
+            "capacity %d were dropped (weakest first); raise reverse_k "
+            "for exact union symmetrization", n_dropped, rk,
+        )
+    if normalized:
+        inv_sqrt = jnp.where(
+            diag > 0, 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30)), 0.0
+        )
+        ell_w = ell_w * inv_sqrt[:, None] * inv_sqrt[jnp.maximum(ell_ids, 0)]
+        ell_w = jnp.where(ell_ids >= 0, ell_w, 0.0)
+        diag = jnp.ones_like(diag)
+    ell = EllLaplacian(indices=ell_ids, weights=ell_w, diag=diag)
+    gl = GraphLaplacian.from_ell(
+        ell, init_data=nodes,
+        nnodes=n if n_items is None else int(n_items),
+        graph_params=params, energy=energy,
+    )
+    if params.sparsity_check:
+        sp = gl.sparsity(tol=1e-12)
+        if sp > 0.95:
+            raise ValueError(f"Resulting laplacian matrix is too sparse {sp}")
+    return gl
+
+
 def build_adjacency(nodes: jax.Array, params: GraphParams) -> jax.Array:
     """Symmetric weighted adjacency per the reference's kNN + kernel recipe."""
     return _adjacency_dense(
@@ -146,6 +346,13 @@ def build_laplacian_matrix(
     if n < 2 or nodes.shape[1] < 2:
         raise ValueError(
             f"nodes should be at least of shape (2,2): {tuple(nodes.shape)}"
+        )
+    if n >= DIRECT_ELL_N:
+        # F ≳ 8k: the dense [n, n] intermediate (distances + W + L) is a
+        # memory wall; the direct construction is exact with O(n·k) state.
+        return build_laplacian_ell(
+            nodes, params, n_items=n_items, energy=energy,
+            normalized=normalized,
         )
     W = build_adjacency(nodes, params)
     L = sym_normalized_laplacian(W) if normalized else laplacian_from_adjacency(W)
@@ -187,6 +394,6 @@ def build_spectral_laplacian(gl: GraphLaplacian, n_items: int) -> jax.Array:
     Laplacian over its rows with the same params. Returns the F×F matrix.
     """
     out = build_laplacian_matrix(
-        gl.matrix, gl.graph_params, n_items=n_items, energy=False
+        gl.dense(), gl.graph_params, n_items=n_items, energy=False
     )
-    return out.matrix
+    return out.dense()

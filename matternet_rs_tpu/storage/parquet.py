@@ -221,7 +221,7 @@ def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
     path = _ensure_dir(path)
     save_dense_matrix(np.asarray(aspace.data), path, f"{name}-raw_input", builder)
     save_dense_matrix(np.asarray(gl.init_data), path, f"{name}-clustered-dm", builder)
-    save_sparse_matrix(np.asarray(gl.matrix), path, f"{name}-gl-matrix", builder=builder)
+    save_sparse_matrix(np.asarray(gl.dense()), path, f"{name}-gl-matrix", builder=builder)
     if aspace.signals is not None:
         save_sparse_matrix(
             np.asarray(aspace.signals), path, f"{name}-aspace-signals", builder=builder
