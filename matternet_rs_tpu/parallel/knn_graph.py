@@ -351,6 +351,7 @@ def distributed_knn_ell_laplacian(
 
 def distributed_lobpcg(
     mesh, ell: ShardedEllLaplacian, k: int, iters: int = 100, seed: int = 0,
+    return_residuals: bool = False,
 ):
     """Smallest-k eigenpairs of the sharded ELL Laplacian.
 
@@ -361,8 +362,26 @@ def distributed_lobpcg(
     §7.3 "blocked Lanczos/LOBPCG with psum'd reductions" north star.
     Padded rows carry ``diag = PAD_DIAG`` so their eigenpairs sit far
     above the smallest-k window.
+
+    ``return_residuals=True`` additionally returns ``‖L·x − θ·x‖₂`` per
+    eigenpair (computed with the same sharded operator, one fused
+    dispatch) — the convergence observability VERDICT r2 #5 asks for.
     """
     from matternet_rs_tpu.ops.eigensolver import _lobpcg_core
+
+    if ell.dropped_reverse_edges:
+        import logging
+
+        # A dropped reverse edge leaves W asymmetric (one endpoint keeps
+        # the edge, the other lost it to capacity) — LOBPCG assumes a
+        # symmetric operator, so eigenpairs degrade. Rebuild the graph
+        # with a larger reverse_k for exact spectra.
+        logging.getLogger(__name__).warning(
+            "distributed_lobpcg: operator has %d dropped reverse edges "
+            "(asymmetric rows); raise reverse_k in "
+            "distributed_knn_ell_laplacian for exact eigenpairs",
+            ell.dropped_reverse_edges,
+        )
 
     n_pad = int(ell.indices.shape[0])
     rng = np.random.default_rng(seed)
@@ -390,7 +409,13 @@ def distributed_lobpcg(
             )
             return diag[:, None] * V - wx
 
-        return _lobpcg_core(matvec, X, kk, it)
+        theta, Xk = _lobpcg_core(matvec, X, kk, it)
+        R = matvec(Xk) - Xk * theta[None, :]
+        res = jnp.sqrt(jnp.sum(R * R, axis=0))
+        return theta, Xk, res
 
-    vals, vecs = run(ell.indices, ell.weights, ell.diag, X0, kk=k, it=iters)
-    return np.asarray(vals), np.asarray(vecs)[: ell.n_items]
+    vals, vecs, res = run(ell.indices, ell.weights, ell.diag, X0, kk=k, it=iters)
+    out = (np.asarray(vals), np.asarray(vecs)[: ell.n_items])
+    if return_residuals:
+        return out + (np.asarray(res),)
+    return out
