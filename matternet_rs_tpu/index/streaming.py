@@ -95,6 +95,10 @@ class StreamingIndex:
     # sub-centroid routing happen in the reduced space; corpus scoring
     # stays original-dim.
     projection: Optional[object] = None
+    # Wall-clock per build stage, populated by build_from_store (not
+    # persisted): {"sample_cluster_graph_s", "lambda_pass_s",
+    # "lambda_rows_computed"} — the out-of-core observability row.
+    build_timings: Optional[dict] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -120,9 +124,12 @@ class StreamingIndex:
         write is truncated) — at Deep1B scale the λ pass is hours of IO,
         and the reference has no resumable build at all.
         """
+        import time as _time
+
         from matternet_rs_tpu.clustering import incremental_clustering
         from matternet_rs_tpu.ops import laplacian as lap_ops
 
+        t_start = _time.perf_counter()
         directory = Path(directory)
         m = shard_store.read_manifest(directory)
         n, f = m["n_rows"], m["n_features"]
@@ -182,6 +189,8 @@ class StreamingIndex:
                 prev = np.memmap(lam_path, np.float32, "r", shape=(done_rows,))
                 mn, mx = float(prev.min()), float(prev.max())
 
+        t_pass1 = _time.perf_counter()
+
         # Pass 2: streamed λ (raw), fixed-shape device chunks, appended.
         gl = idx.gl
         graph = (
@@ -209,6 +218,11 @@ class StreamingIndex:
         idx.min_lambdas = mn
         idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()
+        idx.build_timings = {
+            "sample_cluster_graph_s": round(t_pass1 - t_start, 3),
+            "lambda_pass_s": round(_time.perf_counter() - t_pass1, 3),
+            "lambda_rows_computed": int(offset - done_rows),
+        }
         return idx
 
     def _save_meta(self) -> None:

@@ -12,6 +12,8 @@ import pytest
 from matternet_rs_tpu.graph import GraphParams
 from matternet_rs_tpu.ops import laplacian as lap
 from matternet_rs_tpu.ops import taumode as tm
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.core import TauMode
 
 
 def _graph(f=12, seed=0):
@@ -382,3 +384,148 @@ def test_dispersion_zero_on_disconnected_node_vector():
     lam = float(tm.synthetic_lambda(jnp.asarray(x), jnp.asarray(L_np),
                                     tm.TAU_MEDIAN))
     assert lam == pytest.approx(0.0, abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Reference assertion classes ported in round 3 (VERDICT r2 #8:
+# src_legacy/tests/test_taumode.rs:319-917)
+# ---------------------------------------------------------------------------
+
+
+def test_tau_floor_constant():
+    """TAU_FLOOR is a small positive finite value (test_taumode.rs:319-327)."""
+    import math
+
+    assert tm.TAU_FLOOR > 0.0
+    assert tm.TAU_FLOOR < 1e-6
+    assert math.isfinite(tm.TAU_FLOOR)
+
+
+def test_builder_lambdas_consistency_properties():
+    """Two independent builds produce statistically consistent λ
+    distributions: valid range, non-degenerate variance, means within 2×
+    (test_taumode.rs:330-431). Our builds are deterministic given a seed,
+    so we vary the seed to model the reference's randomized clustering."""
+    from matternet_rs_tpu.utils.fixtures import make_moons_hd
+
+    items = make_moons_hd(80, 0.15, 0.4, 11, seed=789).astype(np.float32)
+
+    def build(seed):
+        return (
+            ArrowSpaceBuilder()
+            .with_lambda_graph(0.3, 5, p=2.0)
+            .with_sparsity_check(False)
+            .with_seed(seed)
+            .with_cluster_params(max_clusters=20, radius=4.0)
+            .build(items)
+        )
+
+    stats = []
+    for seed in (1, 2):
+        aspace, _ = build(seed)
+        lam = np.asarray(aspace.lambdas)
+        assert lam.size > 0 and lam.size <= len(items)
+        assert np.all(np.isfinite(lam)) and np.all((lam >= 0) & (lam <= 1))
+        assert lam.max() > lam.min()            # non-degenerate
+        assert lam.var() > 0.0
+        stats.append(lam.mean())
+    m1, m2 = stats
+    assert max(m1, m2) / max(min(m1, m2), 1e-12) < 2.0
+
+
+def test_lambdas_projection_seed_sensitivity():
+    """JL target dim is deterministic from the formula, but different
+    projection seeds give different λ values; the SAME seed reproduces
+    them exactly (test_taumode.rs:432-500, adapted to seed-only
+    projections — this framework has no hidden RNG state)."""
+    from matternet_rs_tpu.utils.fixtures import make_moons_hd
+
+    items = make_moons_hd(80, 0.15, 0.4, 120, seed=555).astype(np.float32)
+
+    def build(seed):
+        return (
+            ArrowSpaceBuilder()
+            .with_lambda_graph(0.1, 5, p=2.0)
+            .with_sparsity_check(False)
+            .with_seed(seed)
+            .with_dims_reduction(True, 0.3)
+            .with_cluster_params(max_clusters=20, radius=4.0)
+            .build(items)
+        )
+
+    a1, _ = build(1)
+    a2, _ = build(2)
+    a1b, _ = build(1)
+    assert a1.reduced_dim == a2.reduced_dim        # JL formula deterministic
+    l1, l2 = np.asarray(a1.lambdas), np.asarray(a2.lambdas)
+    assert np.max(np.abs(l1 - np.asarray(a1b.lambdas))) == 0.0
+    assert np.max(np.abs(l1 - l2)) > 1e-9          # projections differ
+
+
+@pytest.mark.parametrize(
+    "taumode",
+    [TauMode.median(), TauMode.mean(), TauMode.fixed(0.5), TauMode.percentile(0.75)],
+)
+def test_energy_projection_consistency_all_tau_modes(taumode):
+    """Energy build + JL reduction: query λ is deterministic across
+    recomputations and matches the indexed item's λ — for EVERY τ mode
+    (test_taumode.rs:501-644 covered Median only; VERDICT r2 #8 asks for
+    the full τ matrix)."""
+    from matternet_rs_tpu.utils.fixtures import make_moons_hd
+
+    rows = make_moons_hd(99, 0.2, 0.08, 50, seed=42).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(9999)
+        .with_lambda_graph(0.25, 5, p=2.0)
+        .with_sparsity_check(False)
+        .with_dims_reduction(True, 0.3)
+        .with_synthesis(taumode)
+        .with_cluster_params(max_clusters=16, radius=4.0)
+        .with_expected_items(99)
+    )
+    aspace, gl = b.build_energy(rows)
+
+    test_idx = 25
+    q = rows[test_idx]
+    lams = [aspace.prepare_query_item(q, gl) for _ in range(3)]
+    assert lams[0] == lams[1] == lams[2]            # deterministic
+    indexed = float(np.asarray(aspace.lambdas)[test_idx])
+    assert abs(lams[0] - indexed) < 1e-6
+
+
+def test_energy_dimension_consistency():
+    """Energy-mode structural invariants (test_taumode.rs:781-889):
+    item/λ counts, sub-centroid/energy-graph agreement, centroid_map
+    validity, and a panic-free search."""
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+    from matternet_rs_tpu import energymaps as em
+
+    rows = make_gaussian_blob(250, 0.6).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(9999)
+        .with_lambda_graph(0.25, 5, p=2.0)
+        .with_sparsity_check(False)
+        .with_dims_reduction(True, 0.1)
+        .with_cluster_params(max_clusters=16, radius=4.0)
+        .with_expected_items(250)
+    )
+    aspace, gl_energy = b.build_energy(rows)
+
+    assert aspace.nitems == len(rows)
+    assert aspace.sub_centroids is not None, "energy mode stores sub-centroids"
+    n_sub = aspace.sub_centroids.shape[0]
+    assert n_sub == gl_energy.nnodes
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape[0] == aspace.nitems
+    assert np.all(np.isfinite(lam)) and np.all(lam >= 0.0)
+    assert aspace.centroid_map is not None
+    cm = np.asarray(aspace.centroid_map)
+    assert cm.shape[0] == aspace.nitems
+    assert cm.min() >= 0 and cm.max() < n_sub
+    sc_lam = np.asarray(aspace.subcentroid_lambdas)
+    assert sc_lam.shape[0] == n_sub
+
+    res = em.search_energy(aspace, rows[42], gl_energy, 5)
+    assert len(res) == 5
