@@ -527,7 +527,12 @@ def bench_largef(jax, jnp, extra):
 
     rng = np.random.default_rng(3)
     out = {}
-    for F, n_tpu, n_np in ((1536, 50_000, 5_000), (4096, 20_000, 1_000)):
+    # F=16384 exercises the round-3 direct-ELL construction: the graph
+    # build never materializes [F, F] (a 1 GB × 3 dense wall otherwise) —
+    # memory O(F·k) + one [row_tile, F] distance strip.
+    for F, n_tpu, n_np in (
+        (1536, 50_000, 5_000), (4096, 20_000, 1_000), (16_384, 10_000, 200),
+    ):
         X = rng.normal(size=(n_tpu, F)).astype(np.float32)
         cents = np.stack(
             [X[rng.choice(n_tpu, 20, replace=False)].mean(0) for _ in range(200)]
@@ -538,11 +543,17 @@ def bench_largef(jax, jnp, extra):
         gl = lap_ops.build_laplacian_from_k_cluster(
             jnp.asarray(cents), params, n_items=n_tpu
         )
-        jax.block_until_ready(gl.matrix)
+        jax.block_until_ready(
+            gl.ell().weights if gl.is_ell_backed else gl.matrix
+        )
         graph_s = time.perf_counter() - t0
 
         Xd = jnp.asarray(X)
-        graph = gl.ell() if F > tm_ops.SPARSE_F_THRESHOLD else gl.matrix
+        graph = (
+            gl.ell()
+            if gl.is_ell_backed or F > tm_ops.SPARSE_F_THRESHOLD
+            else gl.matrix
+        )
         lam = tm_ops.taumode_lambdas_auto(Xd, graph, tm_ops.TAU_MEDIAN)
         float(jnp.sum(lam))                     # warm + true barrier
         t0 = time.perf_counter()
@@ -550,20 +561,35 @@ def bench_largef(jax, jnp, extra):
         float(jnp.sum(lam))
         tpu_s = time.perf_counter() - t0
 
-        L_np = np.asarray(gl.matrix, np.float64)
-        t0 = time.perf_counter()
-        oracle.taumode_lambdas_fast(X[:n_np].astype(np.float64), L_np)
-        np_s = time.perf_counter() - t0
-
+        if F <= 4096:
+            L_np = np.asarray(gl.dense(), np.float64)
+            t0 = time.perf_counter()
+            oracle.taumode_lambdas_fast(X[:n_np].astype(np.float64), L_np)
+            np_s = time.perf_counter() - t0
+            np_ips = n_np / np_s
+        else:
+            # Densifying 16384² f64 for the oracle costs 2 GB + minutes;
+            # extrapolate its O(F²) per-item cost from the F=4096 row.
+            np_ips = out["F4096"]["lambda_items_per_sec_numpy_f64"] / 16.0
         tpu_ips = n_tpu / tpu_s
-        np_ips = n_np / np_s
         out[f"F{F}"] = {
             "graph_build_seconds": round(graph_s, 3),
             "lambda_items_per_sec_tpu": round(tpu_ips, 1),
             "lambda_items_per_sec_numpy_f64": round(np_ips, 1),
             "lambda_speedup_vs_numpy": round(tpu_ips / np_ips, 1),
-            "path": "ell_sparse" if F > tm_ops.SPARSE_F_THRESHOLD else "pallas_tiled",
+            "path": (
+                "direct_ell_build" if gl.is_ell_backed
+                else "ell_sparse" if F > tm_ops.SPARSE_F_THRESHOLD
+                else "pallas_tiled"
+            ),
         }
+        if gl.is_ell_backed:
+            e = gl.ell()
+            out[f"F{F}"]["graph_memory_mb"] = round(
+                (e.indices.size * 4 + e.weights.size * 4 + e.diag.size * 4)
+                / 1e6, 1,
+            )
+            out[f"F{F}"]["dense_would_be_mb"] = round(F * F * 4 / 1e6, 1)
     extra["largef"] = out
 
 
