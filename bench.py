@@ -619,6 +619,36 @@ def bench_1m(jax, jnp, extra):
         "self_recall_at_1_bf16": float((btop1 == bq_idx).mean()),
         "n_items": N,
     }
+    # Device time at 1M — the scale where the corpus read dominates and
+    # effective HBM GB/s is meaningful (v5e peak ≈ 819 GB/s).
+    try:
+        dt = {}
+        for name, approx, quantized, bytes_per_batch in (
+            ("exact_f32", False, False, N * F * 4 + N * 8),
+            ("approx_bf16", True, True, N * F * 2 + N * 8),
+        ):
+            ms1, qps1 = _device_time_protocol(
+                jax, jnp, aspace, data, n_batches=32,
+                approx=approx, quantized=quantized,
+            )
+            ms2, qps2 = _device_time_protocol(
+                jax, jnp, aspace, data, n_batches=32,
+                approx=approx, quantized=quantized,
+            )
+            ms = min(ms1, ms2)
+            dt[name] = {
+                "device_ms_per_batch_256q": round(ms, 3),
+                "device_qps": round(max(qps1, qps2), 1),
+                "run_agreement_pct": round(
+                    100 * (1 - abs(ms1 - ms2) / max(ms1, ms2)), 1
+                ),
+                "hbm_gbps_effective": round(
+                    bytes_per_batch / (ms / 1e3) / 1e9, 1
+                ),
+            }
+        extra["config_1m"]["device_time"] = dt
+    except Exception as exc:  # noqa: BLE001
+        extra["config_1m"]["error_device_time"] = repr(exc)[:200]
 
     # IVF-pruned search is deliberately NOT benchmarked here: measured on
     # this chip it loses to the flat fused scan at every batch size while

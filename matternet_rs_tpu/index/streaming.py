@@ -41,6 +41,7 @@ from matternet_rs_tpu.storage import shards as shard_store
 INDEX_FILE = "index.json"
 LAMBDA_FILE = "lambdas.bin"
 GRAPH_FILE = "graph.bin"
+GRAPH_ELL_FILE = "graph_ell.npz"
 ENERGY_FILE = "energy.npz"
 DEFAULT_BLOCK_ROWS = 131_072
 
@@ -233,10 +234,27 @@ class StreamingIndex:
         file for ``load``/resume to choke on."""
         import os
 
-        G = np.ascontiguousarray(np.asarray(self.gl.dense(), np.float32))
-        g_tmp = self.directory / (GRAPH_FILE + ".tmp")
-        g_tmp.write_bytes(G.tobytes())
-        os.replace(g_tmp, self.directory / GRAPH_FILE)
+        if self.gl.is_ell_backed:
+            # Matrix-free graph (direct-ELL build at F ≥ 8192): persist the
+            # O(F·k) ELL arrays — densifying to graph.bin would write the
+            # exact [F, F] the construction exists to avoid (1 GB at 16k).
+            e = self.gl.ell()
+            g_tmp = self.directory / (GRAPH_ELL_FILE + ".tmp")
+            with g_tmp.open("wb") as fh:
+                np.savez(
+                    fh,
+                    indices=np.asarray(e.indices, np.int32),
+                    weights=np.asarray(e.weights, np.float32),
+                    diag=np.asarray(e.diag, np.float32),
+                )
+            os.replace(g_tmp, self.directory / GRAPH_ELL_FILE)
+            g_shape = list(e.shape)
+        else:
+            G = np.ascontiguousarray(np.asarray(self.gl.matrix, np.float32))
+            g_tmp = self.directory / (GRAPH_FILE + ".tmp")
+            g_tmp.write_bytes(G.tobytes())
+            os.replace(g_tmp, self.directory / GRAPH_FILE)
+            g_shape = list(G.shape)
 
         def _num(v):
             return float(v) if np.isfinite(v) else None
@@ -267,7 +285,8 @@ class StreamingIndex:
                         "param": float(self.taumode.param)},
             "graph_params": dataclasses.asdict(self.gl.graph_params),
             "graph_nnodes": self.gl.nnodes,
-            "graph_shape": list(G.shape),
+            "graph_shape": g_shape,
+            "graph_format": "ell" if self.gl.is_ell_backed else "dense",
             "energy_mode": self.sub_centroids is not None,
             "projection": (
                 None if self.projection is None else {
@@ -289,15 +308,29 @@ class StreamingIndex:
         meta = json.loads((directory / INDEX_FILE).read_text())
         params = GraphParams(**meta["graph_params"])
         shape = tuple(meta["graph_shape"])
-        matrix = jnp.asarray(
-            np.frombuffer(
-                (directory / GRAPH_FILE).read_bytes(), np.float32
-            ).reshape(shape)
-        )
-        gl = GraphLaplacian(
-            matrix=matrix, init_data=matrix, nnodes=meta["graph_nnodes"],
-            graph_params=params,
-        )
+        if meta.get("graph_format") == "ell":
+            from matternet_rs_tpu.ops.csr import EllLaplacian
+
+            with np.load(directory / GRAPH_ELL_FILE) as gz:
+                ell = EllLaplacian(
+                    indices=jnp.asarray(gz["indices"]),
+                    weights=jnp.asarray(gz["weights"]),
+                    diag=jnp.asarray(gz["diag"]),
+                )
+            gl = GraphLaplacian.from_ell(
+                ell, init_data=ell.weights, nnodes=meta["graph_nnodes"],
+                graph_params=params,
+            )
+        else:
+            matrix = jnp.asarray(
+                np.frombuffer(
+                    (directory / GRAPH_FILE).read_bytes(), np.float32
+                ).reshape(shape)
+            )
+            gl = GraphLaplacian(
+                matrix=matrix, init_data=matrix, nnodes=meta["graph_nnodes"],
+                graph_params=params,
+            )
 
         def _num(v):
             return float("nan") if v is None else float(v)

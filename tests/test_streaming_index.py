@@ -362,3 +362,34 @@ def test_streaming_matches_inmemory_builder_end_to_end(seed, tmp_path):
         np.testing.assert_allclose(
             [s for _, s in stream], [s for _, s in mem], rtol=1e-4, atol=1e-5
         )
+
+
+def test_ell_backed_graph_persists_and_roundtrips(tmp_path, monkeypatch):
+    """A store built with the direct-ELL graph (F ≥ DIRECT_ELL_N) persists
+    the O(F·k) ELL arrays — not a dense [F, F] graph.bin — and
+    load() reproduces the exact same rankings."""
+    from matternet_rs_tpu.ops import laplacian as lap_ops
+
+    monkeypatch.setattr(lap_ops, "DIRECT_ELL_N", 16)   # force the route
+    d = tmp_path / "ell_store"
+    data = make_energy_test_dataset(600, F, seed=33).astype(np.float32)
+    shard_store.write_shards(data, d, rows_per_shard=200)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    idx = StreamingIndex.build_from_store(
+        d, params, max_clusters=12, radius=20.0, block_rows=256,
+        sample_rows=600,
+    )
+    assert idx.gl.is_ell_backed
+    assert (d / "graph_ell.npz").exists()
+    assert not (d / "graph.bin").exists()
+
+    idx2 = StreamingIndex.load(d)
+    assert idx2.gl.is_ell_backed
+    q = data[17] + 0.01
+    r1 = idx.search(q, K)
+    r2 = idx2.search(q, K)
+    assert [i for i, _ in r1] == [i for i, _ in r2]
+    np.testing.assert_allclose(
+        [s for _, s in r1], [s for _, s in r2], atol=1e-6
+    )
+    assert r1[0][0] == 17
