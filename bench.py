@@ -825,6 +825,69 @@ def bench_out_of_core_10m(jax, jnp, extra):
     extra["out_of_core_10m"] = out
 
 
+def bench_distributed_parity(jax, jnp, extra):
+    """Distributed-vs-serial build equivalence, measured at 100k (VERDICT
+    r2 #4): recall@10 overlap on shared queries, λ Spearman/Pearson/KS,
+    centroid regime. Runs in a CPU subprocess (8 virtual devices — the
+    real chip is single-device); the asserted version lives in
+    tests/test_distributed_serial_parity.py."""
+    import subprocess
+    import sys
+
+    script = """
+import os, time, json
+os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','') + ' --xla_force_host_platform_device_count=8'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.parallel import make_mesh
+from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+N, F, K = 100_000, 32, 10
+rng = np.random.default_rng(17)
+centers = rng.normal(size=(16, F)) * 4.0
+X = (centers[rng.integers(0, 16, N)] + rng.normal(size=(N, F))).astype(np.float32)
+b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 6).with_sparsity_check(False)
+     .with_cluster_params(max_clusters=64, radius=25.0).with_sampling(None))
+aspace, gl = b.build(X)
+sa = ShardedArrowSpace.distributed_build(
+    [X[:N//3], X[N//3:2*N//3], X[2*N//3:]],
+    GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False),
+    k_clusters=aspace.n_clusters, mesh=make_mesh(8))
+
+queries = X[rng.integers(0, N, 48)] + 0.05 * rng.normal(size=(48, F)).astype(np.float32)
+queries = queries.astype(np.float32)
+s_idx, _ = aspace.search_batch(queries, gl, K)
+overlaps = []
+for r, q in enumerate(queries):
+    d_ids = [i for i, _ in sa.search(q, k=K)]
+    overlaps.append(len(set(s_idx[r].tolist()) & set(d_ids)) / K)
+lam_s = np.asarray(aspace.lambdas); lam_d = np.asarray(sa.lambdas)[:N]
+rs = np.argsort(np.argsort(lam_s)); rd = np.argsort(np.argsort(lam_d))
+grid = np.linspace(0, 1, 512)
+cdf = lambda lam: np.searchsorted(np.sort(lam), grid, side='right') / N
+print(json.dumps({
+    'n_items': N,
+    'recall_overlap_at_10': round(float(np.mean(overlaps)), 4),
+    'lambda_spearman': round(float(np.corrcoef(rs, rd)[0, 1]), 4),
+    'lambda_pearson': round(float(np.corrcoef(lam_s, lam_d)[0, 1]), 4),
+    'lambda_ks': round(float(np.max(np.abs(cdf(lam_s) - cdf(lam_d)))), 4),
+    'n_clusters_serial': int(aspace.n_clusters),
+}))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            extra["distributed_parity_100k"] = json.loads(line)
+            return
+    extra["distributed_parity_100k"] = {"error": (r.stderr or r.stdout)[-300:]}
+
+
 def _ooc_distributed_subprocess(f, blk, n_rows=200_000):
     import shutil
     import subprocess
@@ -939,6 +1002,7 @@ def main():
         ("1m", bench_1m, (jax, jnp, extra)),
         ("ooc", bench_out_of_core_10m, (jax, jnp, extra)),
         ("build100k", bench_build_throughput_100k, (jax, jnp, extra)),
+        ("distparity", bench_distributed_parity, (jax, jnp, extra)),
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),
         ("blend", bench_blend_quality, (jax, jnp, extra)),
