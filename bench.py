@@ -937,6 +937,15 @@ print(json.dumps({{
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _mark(msg: str) -> None:
+    """Progress heartbeat on stderr (the JSON contract owns stdout): when a
+    congested tunnel stalls a section, the driver's capture shows WHERE."""
+    import sys
+
+    print(f"bench[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import pathlib
 
@@ -969,9 +978,11 @@ def main():
     # milliseconds). The round-2 "147 s cold build" was ~90% this one 40 KB
     # λ download. Pay it up front on a dummy transfer and record it, so
     # build_seconds_cold measures the actual compile+build cost.
+    _mark("first-D2H transport warmup (can take minutes; see TUNING.md)")
     t0 = time.perf_counter()
     np.asarray(jnp.arange(8) * 1)
     extra["transport_first_d2h_s"] = round(time.perf_counter() - t0, 1)
+    _mark(f"warmup done in {extra['transport_first_d2h_s']} s; headline build")
 
     qps, base_qps, data, aspace, gl, builder, noise_q, gt = bench_headline(
         jax, jnp, N, F, extra
@@ -983,6 +994,7 @@ def main():
     # back-to-back runs agree where the transport-window figure swung 3×
     # between rounds on unchanged code. The transport view stays in
     # extra["query_qps_transport"].
+    _mark(f"headline done (transport qps {qps:.0f}); device-time section")
     headline_qps = qps
     try:
         dt_out = bench_device_time(jax, jnp, aspace, data, extra)
@@ -1015,6 +1027,8 @@ def main():
             continue
         if name == "ooc" and os.environ.get("BENCH_SKIP_OOC"):
             continue
+        _mark(f"section {name} "
+              f"(t+{time.perf_counter() - t_start:.0f}s)")
         try:
             fn(*args)
         except Exception as exc:  # noqa: BLE001
