@@ -101,6 +101,39 @@ def stream_blocks(directory, block_rows: int):
     return ShardReader(paths, block_rows, m["n_features"])
 
 
+def read_rows(directory, row_ids) -> np.ndarray:
+    """Random-access fetch of specific rows by global id (``[len(ids), F]``
+    f32, in the order given). Shards are raw fixed-stride f32 records, so
+    this is pure seek arithmetic over per-shard memmaps — the candidate
+    refinement path of the resident-sketch search
+    (index/streaming.py) fetches a few hundred rows this way instead of
+    re-streaming the corpus."""
+    directory = Path(directory)
+    m = read_manifest(directory)
+    f = m["n_features"]
+    ids = np.asarray(row_ids, np.int64)
+    if ids.ndim != 1:
+        raise ValueError("row_ids must be 1-D")
+    if len(ids) == 0:
+        return np.zeros((0, f), np.float32)
+    if ids.min() < 0 or ids.max() >= m["n_rows"]:
+        raise IndexError(
+            f"row id out of range [0, {m['n_rows']}): "
+            f"[{ids.min()}, {ids.max()}]"
+        )
+    starts = np.cumsum([0] + [s["rows"] for s in m["shards"]])
+    out = np.empty((len(ids), f), np.float32)
+    # One memmap + one gather per shard that actually holds requested rows.
+    shard_of = np.searchsorted(starts, ids, side="right") - 1
+    for si in np.unique(shard_of):
+        sel = shard_of == si
+        mm = np.memmap(
+            directory / m["shards"][si]["file"], np.float32, "r"
+        ).reshape(-1, f)
+        out[sel] = mm[ids[sel] - starts[si]]
+    return out
+
+
 def shard_items_from_store(mesh, directory):
     """Assemble the mesh-sharded ``[N_pad, F]`` array by streaming exactly
     one block per device from disk — never more than two blocks on the

@@ -1,0 +1,167 @@
+"""Resident-sketch out-of-core search: int8 sketch scan → disk fetch →
+exact rescore (index/streaming.py build_sketch/search_batch_sketch) and
+the random-row fetch underneath it (storage/shards.read_rows).
+
+Reference counterpart: none (the reference is strictly in-memory,
+SURVEY §2.4). The contract tested here: with a large-enough candidate
+pool the two-stage search returns EXACTLY what the exact streamed scan
+returns; with the default pool its recall stays high (the sketch stage
+is the only approximation — the rescore is the parity-grade kernel).
+"""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.index.streaming import (
+    SKETCH_FILE,
+    SKETCH_META_FILE,
+    StreamingIndex,
+    _quantize_rows,
+)
+from matternet_rs_tpu.storage import shards as shard_store
+from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+N, F, K = 5000, 24, 10
+BLK = 1024          # 5 blocks, ragged tail (5000 = 4*1024 + 904)
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sketch_store")
+    data = make_energy_test_dataset(N, F, seed=31).astype(np.float32)
+    shard_store.write_shards(data, d, rows_per_shard=1100)   # 5 shards
+    return d, data
+
+
+@pytest.fixture(scope="module")
+def index(store):
+    d, _ = store
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    return StreamingIndex.build_from_store(
+        d, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N,
+    )
+
+
+# ---------------------------------------------------------------- read_rows
+def test_read_rows_matches_corpus(store):
+    d, data = store
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, N, 200)
+    got = shard_store.read_rows(d, ids)
+    np.testing.assert_array_equal(got, data[ids])
+
+
+def test_read_rows_shard_boundaries(store):
+    d, data = store
+    ids = np.array([0, 1099, 1100, 2199, 2200, N - 1])
+    np.testing.assert_array_equal(shard_store.read_rows(d, ids), data[ids])
+
+
+def test_read_rows_preserves_order_and_duplicates(store):
+    d, data = store
+    ids = np.array([42, 7, 42, N - 1, 7])
+    np.testing.assert_array_equal(shard_store.read_rows(d, ids), data[ids])
+
+
+def test_read_rows_out_of_range(store):
+    d, _ = store
+    with pytest.raises(IndexError):
+        shard_store.read_rows(d, np.array([N]))
+    with pytest.raises(IndexError):
+        shard_store.read_rows(d, np.array([-1]))
+    assert shard_store.read_rows(d, np.array([], np.int64)).shape == (0, F)
+
+
+# ---------------------------------------------------------------- quantizer
+def test_quantize_rows_bounds_and_zero_rows():
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 3, (64, 17)).astype(np.float32)
+    X[5] = 0.0
+    q8, mult = _quantize_rows(X)
+    assert q8.dtype == np.int8
+    assert np.abs(q8).max() <= 127
+    assert mult[5] == 0.0 and (q8[5] == 0).all()
+    # Dequantized cosine ≈ true cosine for every row.
+    v = rng.normal(0, 1, 17).astype(np.float32)
+    approx = (q8 @ v) * mult / np.linalg.norm(v)
+    true = (X @ v) / (np.linalg.norm(X, axis=1) + 1e-30) / np.linalg.norm(v)
+    np.testing.assert_allclose(approx[mult > 0], true[mult > 0], atol=0.02)
+
+
+# ------------------------------------------------------------------ search
+def test_sketch_exact_when_candidates_cover(index, store):
+    """candidates = block_rows (the cap) covers everything the sketch could
+    rank wrong at this scale → ids match the exact streamed scan 1:1."""
+    _, data = store
+    rng = np.random.default_rng(11)
+    q = data[rng.integers(0, N, 6)] + 0.05 * rng.normal(
+        0, 1, (6, F)
+    ).astype(np.float32)
+    ex_i, ex_s = index.search_batch(q, K)
+    sk_i, sk_s = index.search_batch_sketch(q, K, candidates=BLK)
+    np.testing.assert_array_equal(sk_i, ex_i)
+    np.testing.assert_allclose(sk_s, ex_s, rtol=1e-5, atol=1e-6)
+
+
+def test_sketch_default_candidates_recall(index, store):
+    _, data = store
+    rng = np.random.default_rng(13)
+    q = data[rng.integers(0, N, 16)] + 0.05 * rng.normal(
+        0, 1, (16, F)
+    ).astype(np.float32)
+    ex_i, _ = index.search_batch(q, K)
+    sk_i, _ = index.search_batch_sketch(q, K)
+    overlap = np.mean(
+        [len(set(a) & set(b)) / K for a, b in zip(ex_i, sk_i)]
+    )
+    assert overlap >= 0.9, f"sketch recall@{K} = {overlap}"
+
+
+def test_sketch_self_query_top1(index, store):
+    _, data = store
+    for i in (0, BLK - 1, BLK, 4 * BLK, N - 1):   # block/tail boundaries
+        res = index.search_sketch(data[i], 3)
+        assert res[0][0] == i
+        scores = [s for _, s in res]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_sketch_alpha_sweep_matches_exact(index, store):
+    """λ-blend weighting flows through the sketch stage too."""
+    _, data = store
+    q = data[123] + 0.02 * np.random.default_rng(5).normal(0, 1, F).astype(
+        np.float32
+    )
+    for alpha in (0.3, 0.95):
+        ex = index.search(q, K, alpha=alpha)
+        sk = index.search_sketch(q, K, alpha=alpha, candidates=BLK)
+        assert [i for i, _ in ex] == [i for i, _ in sk]
+
+
+def test_sketch_persist_roundtrip(index, store):
+    """sketch.bin + sketch_meta.npz reload into an identical sketch."""
+    d, data = store
+    index.build_sketch(persist=True, force=True)
+    assert (d / SKETCH_FILE).exists() and (d / SKETCH_META_FILE).exists()
+    assert (d / SKETCH_FILE).stat().st_size == N * F   # 1 byte/elem
+
+    fresh = StreamingIndex.load(d)
+    fresh.block_rows = index.block_rows
+    fresh.build_sketch()           # loads from the persisted files
+    rng = np.random.default_rng(17)
+    q = data[rng.integers(0, N, 4)]
+    a_i, a_s = index.search_batch_sketch(q, K)
+    b_i, b_s = fresh.search_batch_sketch(q, K)
+    np.testing.assert_array_equal(a_i, b_i)
+    np.testing.assert_allclose(a_s, b_s, rtol=1e-6)
+
+
+def test_sketch_k_larger_than_candidates_floor(index, store):
+    """candidates below k is floored to k — never fewer rows than asked."""
+    _, data = store
+    ids, sc = index.search_batch_sketch(data[7][None, :], 20, candidates=4)
+    assert ids.shape == (1, 20)
+    assert (ids >= 0).all()
+    assert ids[0, 0] == 7
