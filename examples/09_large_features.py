@@ -46,6 +46,7 @@ def main():
     assert vecs.shape == (F, 4)
 
     print("ok")
+    return vals
 
 
 if __name__ == "__main__":
