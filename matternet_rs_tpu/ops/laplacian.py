@@ -161,21 +161,10 @@ def _knn_dense_tiled(nodes: jax.Array, topk: int, normalise: bool,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rk",))
-def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
-    """kNN candidate lists → symmetrized ELL adjacency + degree diagonal,
-    with the exact ``_adjacency_dense`` semantics (eps filter, kernel
-    weights, inline degree sparsification, union symmetrization) — but
-    O(n·k) memory throughout. Single-device counterpart of the
-    mesh-sharded recovery in ``parallel/knn_graph.py:239-337``: reverse
-    (in-)edges come from the (dst, -w)-sorted directed edge list via
-    searchsorted, rows with in-degree beyond ``rk`` keep their
-    highest-weight reverse edges, and the dropped count is returned (no
-    silent truncation).
-    """
-    n, kk = nd.shape
-    my_ids = jnp.arange(n, dtype=jnp.int32)
-
+@jax.jit
+def _ell_weights(nd: jax.Array, idx: jax.Array, eps, p, sigma):
+    """Stage 1 of the direct-ELL build: eps filter, kernel weights, inline
+    degree sparsification → directed weights + forward ids ([n, kk])."""
     valid = nd <= eps
     w = 1.0 / (1.0 + (jnp.where(valid, nd, 0.0) / sigma) ** p)
     vmask = valid & (w > WEIGHT_FLOOR)
@@ -194,8 +183,16 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
     keep_mask = ranks < keep_count[:, None]
     w = jnp.where(jnp.logical_and(sparsify, ~keep_mask), 0.0, w)
     fwd_ids = jnp.where(w > 0, idx, -1)
+    return w, fwd_ids
 
-    # Forward slots take max(w_ij, w_ji): does j also point at i?
+
+@jax.jit
+def _ell_forward_sym(w: jax.Array, fwd_ids: jax.Array):
+    """Stage 2: forward slots take max(w_ij, w_ji) — does j also point
+    at i? Also counts mutual edges (needed for the exact dropped-edge
+    accounting in stage 3)."""
+    n = w.shape[0]
+    my_ids = jnp.arange(n, dtype=jnp.int32)
     nb_rows = fwd_ids[jnp.maximum(fwd_ids, 0)]                # [n, kk, kk]
     nb_w = w[jnp.maximum(fwd_ids, 0)]
     rev_hit = (nb_rows == my_ids[:, None, None]) & (nb_w > 0)
@@ -204,8 +201,18 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
     n_mutual = jnp.sum(
         (jnp.any(rev_hit, axis=2) & (w_fwd > 0)).astype(jnp.int32), axis=1
     )
+    return w_fwd, n_mutual
 
-    # Reverse-only edges via the sorted directed edge list.
+
+@functools.partial(jax.jit, static_argnames=("rk",))
+def _ell_reverse(w: jax.Array, fwd_ids: jax.Array, w_fwd: jax.Array,
+                 n_mutual: jax.Array, rk: int):
+    """Stage 3: reverse-only (in-)edges via the (dst, -w)-sorted directed
+    edge list — searchsorted runs, forward-duplicate suppression, per-row
+    capacity ``rk`` keeping the highest-weight reverse edges, dropped
+    count returned (no silent truncation)."""
+    n, kk = w.shape
+    my_ids = jnp.arange(n, dtype=jnp.int32)
     src = jnp.repeat(my_ids, kk)
     dst = fwd_ids.reshape(-1)
     ew = w.reshape(-1)
@@ -246,6 +253,24 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
     ell_w = jnp.concatenate([w_fwd, rev_w], axis=1)
     diag = jnp.sum(ell_w, axis=1)
     return ell_ids, ell_w, diag, dropped
+
+
+def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
+    """kNN candidate lists → symmetrized ELL adjacency + degree diagonal,
+    with the exact ``_adjacency_dense`` semantics (eps filter, kernel
+    weights, inline degree sparsification, union symmetrization) — but
+    O(n·k) memory throughout. Single-device counterpart of the
+    mesh-sharded recovery in ``parallel/knn_graph.py:239-337``.
+
+    Three staged jits rather than one: the ops are identical (stage
+    boundaries only pass [n, kk] arrays), but XLA's fusion pass goes
+    superlinear on the monolithic graph — 32 s compile vs ~4 s staged at
+    n = 16384 (measured on this sandbox; the cold-build row in BENCH
+    showed 49 s for the F=16384 direct-ELL build, almost all compile).
+    """
+    w, fwd_ids = _ell_weights(nd, idx, eps, p, sigma)
+    w_fwd, n_mutual = _ell_forward_sym(w, fwd_ids)
+    return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk)
 
 
 def build_laplacian_ell(
