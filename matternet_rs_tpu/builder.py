@@ -152,11 +152,13 @@ class ArrowSpaceBuilder:
             self.lambda_topk = 4
 
     # ---------------- Stage 1: clustering (builder.rs:128-273) ----------
-    def start_clustering(self, rows: np.ndarray) -> tuple[ArrowSpace, np.ndarray]:
-        rows = np.asarray(rows, np.float32)
-        n_items, n_features = rows.shape
-        aspace = ArrowSpace.from_items(rows, self.synthesis)
-
+    def _cluster_working(
+        self, aspace: ArrowSpace, working: np.ndarray
+    ) -> np.ndarray:
+        """Shared clustering core: sampler → optimal-k heuristics →
+        incremental clustering, all in ``working``'s space (which may be
+        the raw feature space or a JL-reduced one)."""
+        n_items = working.shape[0]
         sampler: Optional[InlineSampler] = None
         if n_items > 1000 and self.sampling is not None:
             kind, rate = self.sampling
@@ -167,13 +169,13 @@ class ArrowSpaceBuilder:
         else:
             if self.clustering_seed is None:
                 raise ValueError("clustering_seed must be set for full heuristics")
-            k_opt, radius, _ = clus.compute_optimal_k(rows, self.clustering_seed)
+            k_opt, radius, _ = clus.compute_optimal_k(working, self.clustering_seed)
             if getattr(self, "_radius_user_set", False):
                 radius = self.cluster_radius      # user radius + heuristic k
             self.cluster_max_clusters, self.cluster_radius = k_opt, radius
 
         out = clus.incremental_clustering(
-            rows,
+            working,
             max_clusters=k_opt,
             radius=radius,
             sampler=sampler,
@@ -184,8 +186,13 @@ class ArrowSpaceBuilder:
         aspace.cluster_assignments = out.assignments
         aspace.cluster_sizes = out.sizes
         aspace.cluster_radius = radius
+        return out.centroids
 
-        centroids = out.centroids
+    def start_clustering(self, rows: np.ndarray) -> tuple[ArrowSpace, np.ndarray]:
+        rows = np.asarray(rows, np.float32)
+        n_items, n_features = rows.shape
+        aspace = ArrowSpace.from_items(rows, self.synthesis)
+        centroids = self._cluster_working(aspace, rows)
         # Optional JL projection of centroids (builder.rs:230-262).
         if self.use_dims_reduction and n_features > 64:
             jl_dim = compute_jl_dimension(aspace.n_clusters, n_features, self.rp_eps)
@@ -201,6 +208,56 @@ class ArrowSpaceBuilder:
                 centroids = np.asarray(project_matrix(centroids, proj))
                 aspace.projection = proj
                 aspace.reduced_dim = target
+        return aspace, centroids
+
+    def start_clustering_dim_reduce(
+        self, rows: np.ndarray
+    ) -> tuple[ArrowSpace, np.ndarray]:
+        """Early-JL clustering front-end: project ALL rows to the JL
+        dimension first, then run optimal-k + incremental clustering in the
+        reduced space (reference ``start_clustering_dim_reduce``,
+        surfface-pipeline/src/builder.rs:277-430 — its "fast clustering" for
+        huge F, e.g. Dorothea-style 100k-dim sparse data).
+
+        Contrast with :meth:`start_clustering`, which clusters in the raw
+        space and JL-projects only the centroids afterwards
+        (builder.rs:230-262). Here the O(N·F·k) distance work of the
+        optimal-k sweep and the clustering itself happens in r ≪ F dims;
+        the projection is one MXU matmul (blocked over rows so the working
+        set stays bounded at huge F). The ArrowSpace keeps the ORIGINAL
+        rows; centroids come back in the reduced space, and the seed-only
+        projection is stored on the space so queries can be projected.
+        """
+        rows = np.asarray(rows, np.float32)
+        n_items, n_features = rows.shape
+        aspace = ArrowSpace.from_items(rows, self.synthesis)
+
+        working = rows
+        if self.use_dims_reduction and n_features > 1000:
+            jl_dim = compute_jl_dimension(n_items, n_features, self.rp_eps)
+            # builder.rs:294: target = clamp(jl_dim, 64, F/2)
+            target = max(min(jl_dim, n_features // 2), 64)
+            proj = ImplicitProjection(
+                n_features, target,
+                42 if self.clustering_seed is None else self.clustering_seed,
+            )
+            # Blocked projection: bound the on-device input slab to ~64 MB
+            # regardless of F (at F=100k a full [N,F] upload would be
+            # N·400 KB; the row blocks keep peak memory flat).
+            blk = max(1, (16 << 20) // max(n_features, 1))
+            parts = [
+                np.asarray(project_matrix(rows[i:i + blk], proj))
+                for i in range(0, n_items, blk)
+            ]
+            working = np.concatenate(parts, axis=0)
+            aspace.projection = proj
+            aspace.reduced_dim = target
+            log.info(
+                "early JL projection: %d → %d dims (ε=%.2f, %.1fx compression)",
+                n_features, target, self.rp_eps, n_features / target,
+            )
+
+        centroids = self._cluster_working(aspace, working)
         return aspace, centroids
 
     # ---------------- Build (builder.rs:831-1080) ------------------------
