@@ -332,3 +332,43 @@ def test_energy_add_items_extends_caches(built):
     assert len(res) == 5
     lam = np.asarray(a2.lambdas)
     assert (lam >= 0).all() and (lam <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# ported energy-search classes (test_energy_search.rs:290-405)
+# ---------------------------------------------------------------------------
+
+
+def test_energy_search_lambda_proximity(built):
+    # Energy ranking is λ-distance ascending: the top hit's λ gap to the
+    # query must not exceed the bottom hit's (test_energy_search.rs:290).
+    aspace, gl, data = built
+    q = data[0]
+    res = em.search_energy(aspace, q, gl, k=10)
+    assert len(res) == 10
+    q_lambda = aspace.prepare_query_item(q, gl)
+    lam = np.asarray(aspace.lambdas)
+    top_diff = abs(q_lambda - lam[res[0][0]])
+    bottom_diff = abs(q_lambda - lam[res[-1][0]])
+    assert top_diff <= bottom_diff * 1.5 + 1e-9
+
+
+def test_energy_search_score_monotonicity(built):
+    aspace, gl, data = built
+    res = em.search_energy(aspace, data[5], gl, k=20)
+    ds = [d for _, d in res]
+    assert all(a <= b + 1e-9 for a, b in zip(ds, ds[1:])), \
+        "energy distances must be ascending"
+
+
+def test_energy_search_empty_k(built):
+    aspace, gl, data = built
+    res = em.search_energy(aspace, data[0], gl, k=0)
+    assert res == []
+
+
+def test_energy_search_scores_finite_high_dim(built):
+    aspace, gl, data = built
+    res = em.search_energy(aspace, data[2], gl, k=8)
+    assert len(res) == 8
+    assert all(np.isfinite(d) for _, d in res)
