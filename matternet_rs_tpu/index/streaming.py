@@ -279,22 +279,36 @@ class StreamingIndex:
             else gl.matrix
         )
         offset = 0
+        # One-block-deep pipeline: dispatch block i+1's upload+λ compute
+        # (jax async dispatch) BEFORE materializing block i's result, so
+        # the device works while the host pays the D2H + disk write. On
+        # the remote-tunnel TPU the per-block cost is almost entirely
+        # round-trip overhead (the 7-matmul λ itself is sub-ms at
+        # [262k, 96]), so overlapping roughly halves the pass.
+        pending = None                         # in-flight device λ block
         with open(lam_path, "ab") as fh:
-            for block in shard_store.stream_blocks(directory, block_rows):
-                if offset + len(block) <= done_rows:
-                    offset += len(block)
-                    continue                   # already computed pre-crash
-                raw = np.asarray(
-                    taumode_ops.taumode_lambdas_auto(
-                        jnp.asarray(block), graph, taumode.mode, taumode.param
-                    ),
-                    np.float32,
-                )
+
+            def _drain(dev) -> None:
+                nonlocal mn, mx
+                raw = np.asarray(dev, np.float32)
                 mn = min(mn, float(raw.min()))
                 mx = max(mx, float(raw.max()))
                 fh.write(raw.tobytes())
                 fh.flush()
+
+            for block in shard_store.stream_blocks(directory, block_rows):
+                if offset + len(block) <= done_rows:
+                    offset += len(block)
+                    continue                   # already computed pre-crash
+                dev = taumode_ops.taumode_lambdas_auto(
+                    jnp.asarray(block), graph, taumode.mode, taumode.param
+                )
+                if pending is not None:
+                    _drain(pending)
+                pending = dev
                 offset += len(block)
+            if pending is not None:
+                _drain(pending)
         idx.min_lambdas = mn
         idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()
