@@ -175,6 +175,14 @@ def builder_config_typed(builder) -> dict:
     }
 
 
+def config_summary(builder) -> str:
+    """One-line human-readable config digest (reference
+    ``ArrowSpaceMetadata::config_summary``, storage metadata API)."""
+    cfg = builder_config_typed(builder)
+    parts = [f"{k}={v}" for k, v in cfg.items() if v is not None]
+    return ", ".join(parts)
+
+
 def arrowspace_config_typed(aspace) -> dict:
     """ArrowSpace state needed for exact search resume (core.rs:1460-1543)."""
     return {
@@ -282,6 +290,14 @@ def load_arrowspace(path, name: str):
 
     data = load_dense_matrix(path / f"{name}-raw_input.parquet")
     lambdas = load_lambdas(path / f"{name}-lambdas.parquet")
+    if len(lambdas) != data.shape[0]:
+        # A mismatched λ artifact means the directory holds artifacts from
+        # different builds — searching against it would silently misrank
+        # (reference: test_load_from_storage.rs test_lambda_count_mismatch).
+        raise StorageError(
+            f"lambda count {len(lambdas)} does not match item count "
+            f"{data.shape[0]} in checkpoint {name!r}"
+        )
     matrix = load_sparse_matrix(path / f"{name}-gl-matrix.parquet")
     init_data = load_dense_matrix(path / f"{name}-clustered-dm.parquet")
 

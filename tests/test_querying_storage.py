@@ -320,3 +320,98 @@ def test_checkpoint_artifact_manifest(tmp_path):
         assert (tmp_path / fname).exists(), f"missing artifact {fname}"
     # Energy-mode artifacts absent for an eigen build.
     assert not (tmp_path / "m-sub-centroids.parquet").exists()
+
+
+# --- ported storage edge-case classes (test_storage.rs:162-545,
+#     test_load_from_storage.rs:308-520) ------------------------------------
+
+
+def _tiny_checkpoint(tmp_path, name="ck", n=80):
+    data = make_gaussian_blob(n, 0.4).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=8, radius=4.0)
+        .with_deterministic_clustering(True)
+    )
+    aspace, gl = b.build(data)
+    pq.save_checkpoint(aspace, gl, b, tmp_path, name)
+    return data, aspace, gl, b
+
+
+def test_sparse_matrix_empty_roundtrip(tmp_path):
+    z = np.zeros((6, 6), np.float32)
+    pq.save_sparse_matrix(z, tmp_path, "empty")
+    back = pq.load_sparse_matrix(tmp_path / "empty.parquet")
+    np.testing.assert_array_equal(back, z)
+
+
+def test_dense_matrix_extreme_dimensions(tmp_path):
+    for arr in (
+        np.random.default_rng(0).standard_normal((1, 4096)).astype(np.float32),
+        np.random.default_rng(1).standard_normal((4096, 1)).astype(np.float32),
+    ):
+        pq.save_dense_matrix(arr, tmp_path, "wide")
+        back = pq.load_dense_matrix(tmp_path / "wide.parquet")
+        assert back.shape == arr.shape
+        np.testing.assert_allclose(back, arr, atol=1e-6)
+
+
+def test_multiple_checkpoints_same_directory(tmp_path):
+    d1, a1, g1, _ = _tiny_checkpoint(tmp_path, "alpha", n=70)
+    d2, a2, g2, _ = _tiny_checkpoint(tmp_path, "beta", n=90)
+    ra, gla = pq.load_arrowspace(tmp_path, "alpha")
+    rb, glb = pq.load_arrowspace(tmp_path, "beta")
+    assert ra.nitems == 70 and rb.nitems == 90
+    np.testing.assert_allclose(
+        np.asarray(ra.lambdas), np.asarray(a1.lambdas), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.lambdas), np.asarray(a2.lambdas), atol=1e-6
+    )
+
+
+def test_lambda_count_mismatch_raises(tmp_path):
+    _tiny_checkpoint(tmp_path, "ck")
+    # Corrupt: replace the λ artifact with one of the wrong length.
+    pq.save_lambdas(np.zeros(7, np.float32), tmp_path, "ck-lambdas")
+    with pytest.raises(StorageError, match="lambda count"):
+        pq.load_arrowspace(tmp_path, "ck")
+
+
+def test_metadata_json_format(tmp_path):
+    import json
+
+    _tiny_checkpoint(tmp_path, "ck")
+    doc = json.loads((tmp_path / "ck-arrowspace_metadata.json").read_text())
+    assert doc["version"] == 1
+    assert doc["name"] == "ck"
+    for key in ("nfeatures", "nitems", "taumode_mode", "min_lambdas",
+                "n_clusters"):
+        assert key in doc["arrowspace"]
+    for key in ("lambda_eps", "lambda_k", "synthesis_mode",
+                "cluster_max_clusters"):
+        assert key in doc["builder"]
+
+
+def test_metadata_config_summary():
+    b = ArrowSpaceBuilder().with_lambda_graph(0.5, 9).with_seed(3)
+    s = pq.config_summary(b)
+    assert "lambda_eps=0.5" in s
+    assert "lambda_k=9" in s
+    assert "synthesis" in s
+
+
+def test_loaded_gl_matrix_structure(tmp_path):
+    # Square, positive diagonal for connected nodes, reasonably sparse
+    # (test_load_from_storage.rs:349-386).
+    _tiny_checkpoint(tmp_path, "ck")
+    from matternet_rs_tpu.graph import GraphParams
+
+    gl = pq.load_graph_laplacian(tmp_path, "ck", GraphParams(eps=1.0, k=6))
+    M = np.asarray(gl.dense())
+    assert M.shape[0] == M.shape[1] == gl.nnodes
+    d = np.diag(M)
+    assert (d >= 0).all()
+    assert (d > 0).any(), "at least some nodes must be connected"
