@@ -844,7 +844,7 @@ def bench_out_of_core_10m(jax, jnp, extra):
         sk["self_recall_at_10"] = float(
             np.mean([w in sk_ids[r].tolist() for r, w in enumerate(want)])
         )
-        for bsz in (8, 64):
+        for bsz in (8, 64, 256):
             QB = np.repeat(Q, max(1, bsz // len(Q)), axis=0)[:bsz]
             idx.search_batch_sketch(QB, 10)          # warm this batch shape
             t0 = time.perf_counter()
