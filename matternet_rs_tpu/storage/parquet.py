@@ -204,7 +204,20 @@ def arrowspace_config_typed(aspace) -> dict:
     }
 
 
-def save_arrowspace_metadata(aspace, builder, path, name: str) -> Path:
+def _file_info(out: Path, file_type: str, rows=None, cols=None, nnz=None) -> dict:
+    """Per-artifact manifest entry (reference ``FileInfo``: filename, type,
+    rows/cols/nnz and on-disk size, parquet.rs:277-299, :663-683)."""
+    return {
+        "filename": out.name,
+        "file_type": file_type,
+        "rows": rows,
+        "cols": cols,
+        "nnz": nnz,
+        "size_bytes": out.stat().st_size,
+    }
+
+
+def save_arrowspace_metadata(aspace, builder, path, name: str, files=None) -> Path:
     path = _ensure_dir(path)
     doc = {
         "version": 1,
@@ -212,6 +225,8 @@ def save_arrowspace_metadata(aspace, builder, path, name: str) -> Path:
         "arrowspace": arrowspace_config_typed(aspace),
         "builder": builder_config_typed(builder) if builder is not None else None,
     }
+    if files is not None:
+        doc["files"] = files
     out = path / f"{name}-arrowspace_metadata.json"
     out.write_text(json.dumps(doc, indent=2))
     return out
@@ -227,27 +242,42 @@ def save_checkpoint(aspace, gl, builder, path, name: str) -> None:
     (sub-centroids, their λ, the item→sub-centroid map) is persisted too so
     a resumed index keeps energy search semantics."""
     path = _ensure_dir(path)
-    save_dense_matrix(np.asarray(aspace.data), path, f"{name}-raw_input", builder)
-    save_dense_matrix(np.asarray(gl.init_data), path, f"{name}-clustered-dm", builder)
-    save_sparse_matrix(np.asarray(gl.dense()), path, f"{name}-gl-matrix", builder=builder)
+    files = {}
+    raw = np.asarray(aspace.data)
+    out = save_dense_matrix(raw, path, f"{name}-raw_input", builder)
+    files["raw_input"] = _file_info(out, "dense", *raw.shape)
+    init = np.asarray(gl.init_data)
+    out = save_dense_matrix(init, path, f"{name}-clustered-dm", builder)
+    files["clustered_dm"] = _file_info(out, "dense", *init.shape)
+    glm = np.asarray(gl.dense())
+    out = save_sparse_matrix(glm, path, f"{name}-gl-matrix", builder=builder)
+    files["gl_matrix"] = _file_info(
+        out, "sparse", *glm.shape, nnz=int(np.count_nonzero(glm))
+    )
     if aspace.signals is not None:
-        save_sparse_matrix(
-            np.asarray(aspace.signals), path, f"{name}-aspace-signals", builder=builder
+        sig = np.asarray(aspace.signals)
+        out = save_sparse_matrix(
+            sig, path, f"{name}-aspace-signals", builder=builder
         )
-    save_lambdas(np.asarray(aspace.lambdas), path, f"{name}-lambdas", builder)
+        files["signals"] = _file_info(
+            out, "sparse", *sig.shape, nnz=int(np.count_nonzero(sig))
+        )
+    lam = np.asarray(aspace.lambdas)
+    out = save_lambdas(lam, path, f"{name}-lambdas", builder)
+    files["lambdas"] = _file_info(out, "lambdas", rows=len(lam), cols=1)
     if aspace.sub_centroids is not None:
-        save_dense_matrix(
-            np.asarray(aspace.sub_centroids), path, f"{name}-sub-centroids", builder
+        sc = np.asarray(aspace.sub_centroids)
+        out = save_dense_matrix(sc, path, f"{name}-sub-centroids", builder)
+        files["sub_centroids"] = _file_info(out, "dense", *sc.shape)
+        scl = np.asarray(aspace.subcentroid_lambdas)
+        out = save_lambdas(scl, path, f"{name}-subcentroid-lambdas", builder)
+        files["subcentroid_lambdas"] = _file_info(
+            out, "lambdas", rows=len(scl), cols=1
         )
-        save_lambdas(
-            np.asarray(aspace.subcentroid_lambdas), path,
-            f"{name}-subcentroid-lambdas", builder,
-        )
-        save_lambdas(
-            np.asarray(aspace.centroid_map, np.float64), path,
-            f"{name}-centroid-map", builder,
-        )
-    save_arrowspace_metadata(aspace, builder, path, name)
+        cmap = np.asarray(aspace.centroid_map, np.float64)
+        out = save_lambdas(cmap, path, f"{name}-centroid-map", builder)
+        files["centroid_map"] = _file_info(out, "lambdas", rows=len(cmap), cols=1)
+    save_arrowspace_metadata(aspace, builder, path, name, files=files)
 
 
 def load_graph_laplacian(path, name: str, graph_params=None, energy: bool = False):
@@ -287,6 +317,17 @@ def load_arrowspace(path, name: str):
     meta = json.loads((path / f"{name}-arrowspace_metadata.json").read_text())
     acfg = meta["arrowspace"]
     bcfg = meta.get("builder") or {}
+
+    # Manifest completeness: every artifact the checkpoint recorded must be
+    # present before any of it is parsed (reference records a FileInfo per
+    # artifact, parquet.rs:663-683; sizes are observability, presence is a
+    # hard requirement).
+    for key, info in (meta.get("files") or {}).items():
+        if not (path / info["filename"]).exists():
+            raise StorageError(
+                f"checkpoint {name!r} manifest lists artifact {key} "
+                f"({info['filename']}) but the file is missing"
+            )
 
     data = load_dense_matrix(path / f"{name}-raw_input.parquet")
     lambdas = load_lambdas(path / f"{name}-lambdas.parquet")

@@ -415,3 +415,47 @@ def test_loaded_gl_matrix_structure(tmp_path):
     d = np.diag(M)
     assert (d >= 0).all()
     assert (d > 0).any(), "at least some nodes must be connected"
+
+
+def test_checkpoint_manifest_file_sizes(tmp_path):
+    """Metadata carries a per-artifact FileInfo manifest with real on-disk
+    sizes and the sparse nnz (test_storage.rs:530-543 file-size tracking +
+    checkpoint metadata completeness, parquet.rs:663-683)."""
+    import json
+
+    _tiny_checkpoint(tmp_path, "ck")
+    doc = json.loads((tmp_path / "ck-arrowspace_metadata.json").read_text())
+    files = doc["files"]
+    for key in ("raw_input", "clustered_dm", "gl_matrix", "lambdas"):
+        info = files[key]
+        actual = (tmp_path / info["filename"]).stat().st_size
+        assert info["size_bytes"] == actual > 0
+    assert files["gl_matrix"]["file_type"] == "sparse"
+    assert files["gl_matrix"]["nnz"] > 0
+    assert files["raw_input"]["rows"] == 80
+    assert files["lambdas"]["rows"] == 80
+
+
+def test_checkpoint_manifest_missing_artifact_raises(tmp_path):
+    """A manifest entry whose file vanished must fail the resume up front
+    (stronger than the reference, which only records the manifest)."""
+    _tiny_checkpoint(tmp_path, "ck")
+    (tmp_path / "ck-gl-matrix.parquet").unlink()
+    with pytest.raises(StorageError, match="manifest lists artifact"):
+        pq.load_arrowspace(tmp_path, "ck")
+
+
+def test_save_arrowspace_overwrite_protection(tmp_path):
+    """Second save of the same name overwrites cleanly
+    (test_load_from_storage.rs:500-519)."""
+    import time
+
+    _, aspace, gl, b = _tiny_checkpoint(tmp_path, "v1")
+    meta = tmp_path / "v1-arrowspace_metadata.json"
+    mtime_v1 = meta.stat().st_mtime_ns
+    time.sleep(0.02)
+    pq.save_checkpoint(aspace, gl, b, tmp_path, "v1")
+    assert meta.stat().st_mtime_ns > mtime_v1
+    # Still loadable after the overwrite.
+    a2, _ = pq.load_arrowspace(tmp_path, "v1")
+    assert a2.nitems == aspace.nitems
