@@ -405,6 +405,16 @@ class ArrowSpace:
             np.clip((raw_lambda - self.min_lambdas) / self.range_lambdas, 0.0, 1.0)
         )
 
+    def _require_lambdas(self) -> None:
+        """Searching an index whose λ were never computed must fail with a
+        clear message, not a tracer TypeError from inside jit (reference
+        panics: test_eigenmaps.rs ``test_search_without_taumode_panics``)."""
+        if self.lambdas is None:
+            raise RuntimeError(
+                "taumode lambdas not computed: call compute_taumode(gl) "
+                "(or build via ArrowSpaceBuilder) before searching"
+            )
+
     def build_lambdas_sorted(self, on_device: bool | None = None) -> None:
         """Sorted-λ index. Defaults to the device-resident build on
         accelerators (avoids a full λ download; device→host is the
@@ -517,6 +527,7 @@ class ArrowSpace:
         approx: bool = False, recall_target: float = 0.95,
         quantized: bool = False,
     ) -> list[tuple[int, float]]:
+        self._require_lambdas()
         if query_lambda == 0.0:
             raise ValueError(
                 "Lambda of the item is 0.0, prepare the item before searching"
@@ -546,6 +557,7 @@ class ArrowSpace:
         This is the TPU-idiomatic serving path — one ``[B, F] × [F, N]``
         matmul amortizes the corpus read across the whole batch.
         """
+        self._require_lambdas()
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
@@ -670,6 +682,7 @@ class ArrowSpace:
     def search_lambda_aware_hybrid(
         self, query, query_lambda: float, k: int, alpha: float = 0.7
     ) -> list[tuple[int, float]]:
+        self._require_lambdas()
         if k == 0:
             return []
         q = jnp.asarray(query, jnp.float32)
@@ -681,6 +694,7 @@ class ArrowSpace:
 
     def search_linear_sorted(self, query, gl: GraphLaplacian, k: int):
         """Sorted-index band search (core.rs:1326-1335)."""
+        self._require_lambdas()
         q_lambda = self.prepare_query_item(query, gl)
         return self.lambdas_sorted.range_bylambda(q_lambda, k, gl.graph_params.p)
 
@@ -807,6 +821,7 @@ class ArrowSpace:
 
     def range_search(self, query, query_lambda: float, eps: float):
         """All items with ``λq - λi ≤ eps`` (signed, core.rs:1389-1424)."""
+        self._require_lambdas()
         dist, mask = search_ops.range_search_mask(
             self.lambdas, jnp.float32(query_lambda), jnp.float32(eps)
         )

@@ -380,3 +380,25 @@ def test_sorted_lambdas_zadd_insert():
     # Band query still works over the mutated index.
     res = sl.range_bylambda(0.5, 10, 2.0)
     assert {i for i, _ in res} >= {1, 7}
+
+
+def test_search_without_taumode_raises_clearly():
+    """Searching before compute_taumode must fail with a clear message,
+    not a tracer TypeError (test_eigenmaps.rs
+    test_search_without_taumode_panics)."""
+    data = make_gaussian_blob(60, 0.5).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    gl = lap.build_laplacian_from_k_cluster(
+        data[:8], GraphParams(eps=1.0, k=5, sparsity_check=False),
+        n_items=len(data),
+    )
+    with pytest.raises(RuntimeError, match="lambdas not computed"):
+        aspace.search_lambda_aware(data[3], 0.5, 5)
+    with pytest.raises(RuntimeError, match="lambdas not computed"):
+        aspace.search_batch(data[:4], gl, 5)
+    with pytest.raises(RuntimeError, match="lambdas not computed"):
+        aspace.search_lambda_aware_hybrid(data[3], 0.5, 5)
+    with pytest.raises(RuntimeError, match="lambdas not computed"):
+        aspace.search_linear_sorted(data[3], gl, 5)
+    with pytest.raises(RuntimeError, match="lambdas not computed"):
+        aspace.range_search(data[3], 0.5, 0.1)
