@@ -844,7 +844,7 @@ def bench_out_of_core_10m(jax, jnp, extra):
         sk["self_recall_at_10"] = float(
             np.mean([w in sk_ids[r].tolist() for r, w in enumerate(want)])
         )
-        for bsz in (8, 64, 256):
+        for bsz in (8, 64, 256, 1024):
             QB = np.repeat(Q, max(1, bsz // len(Q)), axis=0)[:bsz]
             idx.search_batch_sketch(QB, 10)          # warm this batch shape
             t0 = time.perf_counter()
@@ -854,6 +854,30 @@ def bench_out_of_core_10m(jax, jnp, extra):
             dt = (time.perf_counter() - t0) / reps
             sk[f"search_qps_batch{bsz}"] = round(bsz / dt, 1)
             sk[f"search_ms_batch{bsz}"] = round(dt * 1e3, 1)
+
+        # Sketch-only serving mode (refine=False): no disk rescore, only
+        # [B, k] crosses the wire — the floor is the device scan itself.
+        u_ids, _ = idx.search_batch_sketch(
+            Q.astype(np.float32), 10, refine=False
+        )
+        sk["unrefined_recall_at_10_vs_exact_scan"] = float(
+            np.mean(
+                [
+                    len(set(a.tolist()) & set(b.tolist())) / 10.0
+                    for a, b in zip(u_ids, ids_exact)
+                ]
+            )
+        )
+        for bsz in (256, 1024):
+            QB = np.repeat(Q, max(1, bsz // len(Q)), axis=0)[:bsz]
+            idx.search_batch_sketch(QB, 10, refine=False)    # warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                idx.search_batch_sketch(QB, 10, refine=False)
+            dt = (time.perf_counter() - t0) / reps
+            sk[f"unrefined_qps_batch{bsz}"] = round(bsz / dt, 1)
+            sk[f"unrefined_ms_batch{bsz}"] = round(dt * 1e3, 1)
         out["resident_sketch"] = sk
 
         # ---- 8-virtual-device distributed build from a store ------------

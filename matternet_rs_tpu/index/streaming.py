@@ -749,7 +749,7 @@ class StreamingIndex:
 
     def search_batch_sketch(
         self, queries, k: int, alpha: float = 0.7,
-        candidates: int | None = None,
+        candidates: int | None = None, refine: bool = True,
     ):
         """Two-stage out-of-core search: resident int8 sketch scan →
         disk fetch of the per-query top-``candidates`` → exact f32
@@ -757,7 +757,16 @@ class StreamingIndex:
         scores [B, kk])`` like :meth:`search_batch`; the rescore ranks
         with the same parity-grade kernel as the exact streamed scan, so
         any deviation from it is purely sketch-stage recall (measured in
-        tests/bench; raise ``candidates`` to push it to 1.0)."""
+        tests/bench; raise ``candidates`` to push it to 1.0).
+
+        ``refine=False`` serves straight from the sketch scan: the same
+        top-``candidates`` device scan, but the result is its first ``k``
+        columns — no disk fetch, no rescore, and the host downloads only
+        ``[B, k]`` instead of the ``[B, candidates]`` id matrix plus
+        candidate rows. Scores carry int8/bf16 quantization (~0.4 %
+        relative); use it when the serving floor is transport/disk rather
+        than exactness (recall vs the refined mode is measured in bench).
+        """
         if self._sketch is None:
             self.build_sketch()
         Q = jnp.asarray(queries, jnp.float32)
@@ -781,9 +790,15 @@ class StreamingIndex:
         rng = jnp.float32(self.range_lambdas)
 
         X8s, mults, lams, valids = self._sketch
-        _, best_i = _sketch_scan_topk(
+        best_s, best_i = _sketch_scan_topk(
             X8s, mults, lams, valids, Q, q_lams, al, mn, rng, kk=C
         )
+        if not refine:
+            # Slice on device; only [B, k] crosses the wire.
+            return (
+                np.asarray(best_i[:, :kk]).astype(np.int64),
+                np.asarray(best_s[:, :kk]),
+            )
 
         ids = np.asarray(best_i)
         uids = np.unique(ids[ids >= 0])
@@ -812,12 +827,12 @@ class StreamingIndex:
 
     def search_sketch(
         self, query, k: int, alpha: float = 0.7,
-        candidates: int | None = None,
+        candidates: int | None = None, refine: bool = True,
     ) -> list[tuple[int, float]]:
         """Single-query convenience over :meth:`search_batch_sketch`."""
         idx, sc = self.search_batch_sketch(
             np.asarray(query, np.float32)[None, :], k, alpha,
-            candidates=candidates,
+            candidates=candidates, refine=refine,
         )
         return [
             (int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0

@@ -165,3 +165,42 @@ def test_sketch_k_larger_than_candidates_floor(index, store):
     assert ids.shape == (1, 20)
     assert (ids >= 0).all()
     assert ids[0, 0] == 7
+
+
+def test_sketch_unrefined_mode_matches_refined_ids(index, store):
+    """refine=False serves straight from the sketch scan: ids must agree
+    with the refined mode at high rate (the scan is ~exact at int8/bf16;
+    only the rescore ordering can differ), shapes/padding as usual."""
+    d, data = store
+    q = data[[3, 400, 2222, 4901]]
+    r_i, r_s = index.search_batch_sketch(q, K)
+    u_i, u_s = index.search_batch_sketch(q, K, refine=False)
+    assert u_i.shape == (4, K) and u_s.shape == (4, K)
+    # Self-query must still win outright.
+    assert list(u_i[:, 0]) == [3, 400, 2222, 4901]
+    # Id overlap with the refined (exact-rescored) mode stays high.
+    overlap = np.mean([
+        len(set(u_i[b]) & set(r_i[b])) / K for b in range(4)
+    ])
+    assert overlap >= 0.8, f"unrefined overlap {overlap}"
+    # Scores sorted descending and finite for valid rows.
+    assert np.all(np.diff(u_s, axis=1) <= 1e-6)
+    assert np.all(np.isfinite(u_s))
+
+
+def test_sketch_unrefined_full_pool_score_parity(index, store):
+    """With candidates = block size the scan is exhaustive, so the
+    unrefined mode's result quality is bounded only by int8 score
+    quantization. On a clustered corpus the rank-k boundary is a dense
+    tie region (score gaps ≪ quantization step), so id sets may legally
+    differ — the contract is that the returned items are AS GOOD as the
+    exact ones: top-1 matches and the sorted score vectors agree to
+    quantization tolerance."""
+    d, data = store
+    q = data[[17, 3101]]
+    ex_i, ex_s = index.search_batch(q, K)
+    u_i, u_s = index.search_batch_sketch(q, K, candidates=BLK, refine=False)
+    ex_s = np.asarray(ex_s)
+    for b in range(2):
+        assert u_i[b, 0] == np.asarray(ex_i)[b, 0], b
+        np.testing.assert_allclose(u_s[b], ex_s[b], atol=0.02, rtol=0.02)
