@@ -26,6 +26,13 @@ def main():
         # Reload without recompute; bf16 blocks halve the upload bytes.
         si2 = StreamingIndex.load(store)
         print("resumed top-1:", si2.search(X[11], k=1, quantized=True))
+
+        # Serving path: device-resident int8 sketch (one upload, scans at
+        # HBM speed) + exact disk rescore; refine=False skips the rescore
+        # for pure-sketch latency.
+        si2.build_sketch(persist=False)
+        print("sketch top-3:", si2.search_sketch(X[11], k=3))
+        print("sketch-only top-3:", si2.search_sketch(X[11], k=3, refine=False))
         return True
 
 
