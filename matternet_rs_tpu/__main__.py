@@ -97,9 +97,18 @@ def cmd_info(args) -> None:
 
 
 def cmd_serve(args) -> None:
-    from matternet_rs_tpu.serve import IndexService, serve
+    from matternet_rs_tpu.serve import (
+        IndexService,
+        StreamingIndexService,
+        serve,
+    )
 
-    service = IndexService.from_storage(args.index_dir, args.name)
+    if getattr(args, "streaming", False):
+        service = StreamingIndexService.from_store(
+            args.index_dir, sketch=not args.no_sketch
+        )
+    else:
+        service = IndexService.from_storage(args.index_dir, args.name)
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **service.info()}))
     serve(service, args.host, args.port)
@@ -220,6 +229,15 @@ def main(argv=None) -> None:
     pv.add_argument("--name", default="index")
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8757)
+    pv.add_argument(
+        "--streaming", action="store_true",
+        help="index_dir is a shard store (out-of-core index); serve via "
+             "the device-resident sketch",
+    )
+    pv.add_argument(
+        "--no-sketch", action="store_true",
+        help="with --streaming: exact streamed scan instead of the sketch",
+    )
     pv.set_defaults(fn=cmd_serve)
 
     pw = sub.add_parser(

@@ -56,6 +56,19 @@ def _host_bf16(block: np.ndarray) -> np.ndarray:
     return block.astype(ml_dtypes.bfloat16)
 
 
+def _alpha_param(alpha, b: int):
+    """Scalar or ``[B]`` per-query blend weights → broadcastable operand
+    (``[B, 1]`` against the ``[B, n]`` score matrix). Mirrors the
+    in-memory ``search_batch``: heterogeneous serving traffic shares one
+    dispatch instead of fragmenting per distinct alpha."""
+    a = jnp.asarray(alpha, jnp.float32)
+    if a.ndim == 0:
+        return a
+    if a.shape[0] != b:
+        raise ValueError(f"alpha vector length {a.shape[0]} != batch {b}")
+    return a[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
     """Blended top-k over one corpus block (λ arrives raw, normalized
@@ -640,9 +653,11 @@ class StreamingIndex:
             )
         q_lams = self._query_lambdas(Q)
 
+        al = _alpha_param(alpha, Q.shape[0])
+
         def kernel(Xb, lamb, valid):
             return _score_block_batch(
-                Xb, lamb, Q, q_lams, jnp.float32(alpha),
+                Xb, lamb, Q, q_lams, al,
                 jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
                 valid, min(min(k, self.n_items), self.block_rows),
             )
@@ -785,7 +800,7 @@ class StreamingIndex:
             self.n_items, self.block_rows,
         )
         C = max(C, kk)
-        al = jnp.float32(alpha)
+        al = _alpha_param(alpha, Q.shape[0])
         mn = jnp.float32(self.min_lambdas)
         rng = jnp.float32(self.range_lambdas)
 

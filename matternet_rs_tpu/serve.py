@@ -70,6 +70,10 @@ class IndexService:
                  batch_window_ms: float = 2.0, max_batch: int = 64):
         self.aspace = aspace
         self.gl = gl
+        self._nfeatures = aspace.nfeatures
+        self._init_batching(batch_window_ms, max_batch)
+
+    def _init_batching(self, batch_window_ms: float, max_batch: int) -> None:
         self.batch_window_s = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self._queue: list[_Pending] = []
@@ -243,10 +247,10 @@ class IndexService:
         # The batched scorers dot the query against the ORIGINAL-dim corpus,
         # so only nfeatures-dim queries are servable (reduced-dim inputs
         # would shape-crash inside the dispatch, not 400 cleanly).
-        if q.shape[0] != self.aspace.nfeatures:
+        if q.shape[0] != self._nfeatures:
             raise ValueError(
                 f"Query dimension {q.shape[0]} doesn't match index "
-                f"dimension {self.aspace.nfeatures}"
+                f"dimension {self._nfeatures}"
             )
         if not np.all(np.isfinite(q)):
             raise ValueError("query item has non-finite values")
@@ -263,6 +267,88 @@ class IndexService:
     def search_energy(self, query, k: int = 10) -> list[dict]:
         q = self._validate(query)
         return self._submit(_Pending(q, int(k), 0.0, False, "energy"))
+
+
+class StreamingIndexService(IndexService):
+    """Micro-batched service over an out-of-core :class:`StreamingIndex`.
+
+    Same HTTP surface and batching collector as :class:`IndexService`, but
+    the corpus lives on disk and (by default) a device-resident int8
+    sketch serves every query at HBM speed with an exact disk rescore
+    (index/streaming.py DESIGN). Field mapping on ``POST /search``:
+    ``approx=True`` selects the sketch-only mode (``refine=False`` — no
+    disk rescore, quantization-tolerance scores), ``quantized`` selects
+    bf16 blocks on the no-sketch exact streamed path. No reference
+    counterpart (its serving story stops at an in-memory library).
+    """
+
+    def __init__(self, index, batch_window_ms: float = 2.0,
+                 max_batch: int = 64, sketch: bool = True,
+                 candidates: Optional[int] = None):
+        self.index = index
+        self.use_sketch = sketch
+        self.candidates = candidates
+        self._nfeatures = index.n_features
+        if sketch:
+            index.build_sketch()     # pay the one-time upload up front
+        self._init_batching(batch_window_ms, max_batch)
+
+    @classmethod
+    def from_store(cls, directory, **kwargs) -> "StreamingIndexService":
+        from matternet_rs_tpu.index.streaming import StreamingIndex
+
+        return cls(StreamingIndex.load(directory), **kwargs)
+
+    def info(self) -> dict:
+        return {
+            "n_items": self.index.n_items,
+            "n_features": self.index.n_features,
+            "streaming": True,
+            "sketch": self.use_sketch,
+            "energy_mode": False,
+            "queries_served": self.n_queries,
+            "batches_dispatched": self.n_batches,
+            **self.metrics(),
+        }
+
+    def _dispatch(self, mode: str, k: int, approx: bool,
+                  quantized: bool, members: list[_Pending]) -> None:
+        try:
+            Q = np.stack([p.query for p in members])
+            if mode == "energy":
+                idx, dist = self.index.search_energy_batch(Q, k)
+                for p, row_i, row_d in zip(members, idx, dist):
+                    p.result = [
+                        {"index": int(i), "distance": float(d)}
+                        for i, d in zip(row_i, row_d) if i >= 0
+                    ]
+                    p.done.set()
+            else:
+                alphas = np.asarray([p.alpha for p in members], np.float32)
+                if self.use_sketch:
+                    idx, sc = self.index.search_batch_sketch(
+                        Q, k, alphas, candidates=self.candidates,
+                        refine=not approx,
+                    )
+                else:
+                    idx, sc = self.index.search_batch(
+                        Q, k, alphas, quantized=quantized
+                    )
+                for p, row_i, row_s in zip(members, idx, sc):
+                    p.result = [
+                        {"index": int(i), "score": float(s)}
+                        for i, s in zip(row_i, row_s) if i >= 0
+                    ]
+                    p.done.set()
+            with self._cv:
+                self.n_queries += len(members)
+                self.n_batches += 1
+                self._record_latency(members)
+        except Exception as exc:  # noqa: BLE001 — deliver to every waiter
+            for p in members:
+                if not p.done.is_set():
+                    p.error = exc
+                    p.done.set()
 
 
 def make_handler(service: IndexService):

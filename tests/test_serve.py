@@ -354,3 +354,93 @@ def test_metrics_endpoint_reports_latency_and_occupancy(server):
     assert doc["latency_p50_ms"] > 0
     assert doc["latency_p99_ms"] >= doc["latency_p50_ms"]
     assert doc["batch_occupancy"] >= 1.0
+
+
+# --------------------------------------------------------------- streaming
+@pytest.fixture(scope="module")
+def streaming_server(tmp_path_factory):
+    """HTTP service over an out-of-core shard store via the resident
+    sketch (serve.StreamingIndexService)."""
+    from matternet_rs_tpu.graph import GraphParams
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+    from matternet_rs_tpu.serve import StreamingIndexService
+    from matternet_rs_tpu.storage import shards as shard_store
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    d = tmp_path_factory.mktemp("serve_store")
+    data = make_energy_test_dataset(2000, 24, seed=5).astype(np.float32)
+    shard_store.write_shards(data, d, rows_per_shard=700)
+    idx = StreamingIndex.build_from_store(
+        d, GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False),
+        max_clusters=16, radius=20.0, block_rows=512, sample_rows=2000,
+    )
+    service = StreamingIndexService(idx, sketch=True)
+    srv = serve(service, port=0, block=False)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}", data, service
+    srv.shutdown()
+    service.close()
+
+
+def test_streaming_serve_info(streaming_server):
+    base, _, _ = streaming_server
+    code, doc = _get(base + "/info")
+    assert code == 200
+    assert doc["streaming"] is True and doc["sketch"] is True
+    assert doc["n_items"] == 2000
+
+
+def test_streaming_serve_search_refined_and_fast(streaming_server):
+    base, data, _ = streaming_server
+    code, doc = _post(base + "/search", {"query": data[42].tolist(), "k": 5})
+    assert code == 200
+    assert doc["results"][0]["index"] == 42
+    # approx=True → sketch-only (refine=False) mode.
+    code, doc = _post(
+        base + "/search",
+        {"query": data[42].tolist(), "k": 5, "approx": True},
+    )
+    assert code == 200
+    assert doc["results"][0]["index"] == 42
+
+
+def test_streaming_serve_energy_on_eigen_store_400(streaming_server):
+    """The energy endpoint over an EIGEN-mode store fails with a clean
+    400 naming the missing state (not a 500 from deep inside dispatch)."""
+    base, data, _ = streaming_server
+    code, doc = _post(base + "/search_energy", {"query": data[7].tolist(), "k": 3})
+    assert code == 400
+    assert "energy-mode" in doc["error"]
+
+
+def test_streaming_serve_mixed_alpha_batches(streaming_server):
+    """Heterogeneous alphas coalesce into shared dispatches (per-query
+    traced alpha now flows through the sketch scan too)."""
+    import concurrent.futures
+
+    base, data, service = streaming_server
+    q0, b0 = service.n_queries, service.n_batches
+    n = 16
+    alphas = [0.5 + 0.03 * i for i in range(n)]
+
+    def one(i):
+        return _post(base + "/search", {
+            "query": data[i].tolist(), "k": 3, "alpha": alphas[i],
+        })
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+        results = list(ex.map(one, range(n)))
+    for i, (code, doc) in enumerate(results):
+        assert code == 200
+        assert doc["results"][0]["index"] == i
+    served = service.n_queries - q0
+    batches = service.n_batches - b0
+    assert served == n
+    assert batches < n, f"{batches} dispatches for {n} mixed-alpha queries"
+
+
+def test_streaming_serve_wrong_dim_400(streaming_server):
+    base, _, _ = streaming_server
+    code, doc = _post(base + "/search", {"query": [1.0, 2.0], "k": 3})
+    assert code == 400
+    assert "dimension" in doc["error"].lower()
