@@ -28,3 +28,23 @@ assert not jax._src.xla_bridge.backends_are_initialized(), (
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles many hundreds of XLA CPU programs in one
+    process; past ~600 the XLA CPU JIT segfaulted *during a later
+    compilation* (reproduced twice at ~94% of the suite, in
+    backend_compile_and_load — not in any test's own logic; every module
+    passes in isolation and the suite tail passes as a subset). Unloading
+    executables per module keeps the JIT's code memory bounded at the cost
+    of cross-module recompiles."""
+    yield
+    jax.clear_caches()
+    gc.collect()
