@@ -109,14 +109,16 @@ def _merge_topk_jit(best_s, best_i, sc, idx, offset, ascending, kk):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kk",))
-def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk):
-    """Whole-sketch blended top-k in ONE device program: ``lax.scan`` over
-    the stacked ``[nb, blk, F]`` int8 blocks with a running per-query
-    top-``kk`` carry. Replaces the per-block dispatch loop — on a
-    remote-attached TPU each dispatch is a tunnel round-trip, so 38 blocks
-    × 2 calls cost ~200 ms/batch in latency alone; the fused scan pays one
-    round-trip and runs block-to-block at HBM speed."""
+def scan_sketch_blocks(
+    X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, offset0
+):
+    """Traceable core of the sketch scan: ``lax.scan`` over stacked
+    ``[nb, blk, F]`` int8 blocks with a running per-query top-``kk``
+    carry, global ids starting at ``offset0``. Shared verbatim by the
+    single-chip jit wrapper (:func:`_sketch_scan_topk`, offset0=0) and the
+    mesh-sharded scan (``parallel/sketch.py``, offset0 = the device's
+    global row base) — one implementation, so the sharded path ranks
+    block-for-block identically to the single-chip path."""
     b = Q.shape[0]
     blk = X8s.shape[1]
     Qb = Q.astype(jnp.bfloat16)
@@ -159,12 +161,24 @@ def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk):
     init = (
         jnp.full((b, kk), -jnp.inf, jnp.float32),
         jnp.full((b, kk), -1, jnp.int32),
-        jnp.int32(0),
+        jnp.int32(offset0),
     )
     (best_s, best_i, _), _ = jax.lax.scan(
         step, init, (X8s, mults, lams, valids)
     )
     return best_s, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("kk",))
+def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk):
+    """Whole-sketch blended top-k in ONE device program (see
+    :func:`scan_sketch_blocks`). Replaces the per-block dispatch loop — on
+    a remote-attached TPU each dispatch is a tunnel round-trip, so 38
+    blocks × 2 calls cost ~200 ms/batch in latency alone; the fused scan
+    pays one round-trip and runs block-to-block at HBM speed."""
+    return scan_sketch_blocks(
+        X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, 0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("kk",))
@@ -679,17 +693,12 @@ class StreamingIndex:
     # storage/shards.read_rows) for an exact f32 rescore. No reference
     # counterpart (its search is all in-memory, src_legacy/core.rs).
     # ----------------------------------------------------------------
-    def build_sketch(self, persist: bool = True, force: bool = False):
-        """Quantize the on-disk corpus to a device-resident int8 sketch.
-
-        One streamed pass (host-side ``_quantize_rows``); the quantized
-        blocks accumulate into ONE host-pinned ``[nb, blk, F]`` buffer that
-        ships to the device in a single transfer — a quarter of the f32
-        H2D bytes, and no per-block RPC overhead. ``persist=True`` also
-        writes ``sketch.bin`` + ``sketch_meta.npz`` beside the shards so
-        later sessions upload straight from the 1-byte/elem file instead
-        of re-reading the 4-byte corpus. Returns the stacked device tuple
-        (also cached on ``self._sketch``)."""
+    def sketch_host_buffers(self, persist: bool = True, force: bool = False):
+        """Assemble the stacked sketch HOST buffers ``(X8 [nb, blk, F]
+        int8, mult [nb, blk], lam [nb, blk], valid [nb])`` — the quantize
+        pass of :meth:`build_sketch` without the device upload. Used
+        directly by the mesh-sharded sketch (``parallel/sketch.py``),
+        which places each device's block slice itself."""
         import os
 
         sk_path = self.directory / SKETCH_FILE
@@ -749,7 +758,22 @@ class StreamingIndex:
                 if fh is not None:
                     fh.close()
                     tmp.unlink(missing_ok=True)
+        return X8h, multh, lamh, validh
 
+    def build_sketch(self, persist: bool = True, force: bool = False):
+        """Quantize the on-disk corpus to a device-resident int8 sketch.
+
+        One streamed pass (host-side ``_quantize_rows``); the quantized
+        blocks accumulate into ONE host-pinned ``[nb, blk, F]`` buffer that
+        ships to the device in a single transfer — a quarter of the f32
+        H2D bytes, and no per-block RPC overhead. ``persist=True`` also
+        writes ``sketch.bin`` + ``sketch_meta.npz`` beside the shards so
+        later sessions upload straight from the 1-byte/elem file instead
+        of re-reading the 4-byte corpus. Returns the stacked device tuple
+        (also cached on ``self._sketch``)."""
+        X8h, multh, lamh, validh = self.sketch_host_buffers(
+            persist=persist, force=force
+        )
         # One transfer per array: [nb, blk, F] int8 + metadata. Every
         # search is then a SINGLE device program (lax.scan over the
         # leading axis) — no per-block dispatches, no device-side restack.
@@ -815,7 +839,16 @@ class StreamingIndex:
                 np.asarray(best_s[:, :kk]),
             )
 
-        ids = np.asarray(best_i)
+        return self.refine_candidates(
+            np.asarray(best_i), Q, q_lams, al, mn, rng, kk
+        )
+
+    def refine_candidates(self, ids, Q, q_lams, al, mn, rng, kk: int):
+        """Exact rescore of a ``[B, C]`` candidate-id matrix: fetch the
+        candidate union from disk by seek arithmetic, rescore with the
+        parity-grade kernel, return ``(ids [B, kk] int64, scores)``.
+        Shared by the single-chip and mesh-sharded sketch paths."""
+        ids = np.asarray(ids)
         uids = np.unique(ids[ids >= 0])
         XU = shard_store.read_rows(self.directory, uids)
         lam_mm = np.memmap(

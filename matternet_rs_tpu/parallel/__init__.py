@@ -22,8 +22,10 @@ from matternet_rs_tpu.parallel.search import (
     sharded_search_lambda_aware,
     sharded_taumode_lambdas,
 )
+from matternet_rs_tpu.parallel.sketch import ShardedSketch
 
 __all__ = [
+    "ShardedSketch",
     "distributed_lloyd",
     "make_mesh",
     "make_mesh_2d",

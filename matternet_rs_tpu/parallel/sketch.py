@@ -1,0 +1,215 @@
+"""Mesh-sharded resident-sketch serving — the beyond-one-chip corpus axis.
+
+The single-chip sketch path (``index/streaming.py``) holds N·(F+8) bytes of
+int8 sketch in HBM: 1.0 GB at 10M×96, 10.4 GB at the Deep1B-stretch
+100M×96. At the FULL Deep1B scale (1B×96) the sketch is 104 GB — it fits
+only ACROSS a mesh. :class:`ShardedSketch` shards the stacked
+``[nb, blk, F]`` int8 block axis over the mesh (each chip holds
+``nb/D`` blocks ≈ N·(F+8)/D bytes), scans locally with the exact same
+running top-C carry as the single-chip scan
+(:func:`index.streaming.scan_sketch_blocks` — one implementation, shared),
+and merges per-device candidates with one ``all_gather`` of ``[B, C]``
+ids+scores over ICI followed by the deterministic (score desc, id asc)
+re-rank used by every merge in ``parallel/search.py``. The exact disk
+rescore stays host-side and unchanged
+(:meth:`index.streaming.StreamingIndex.refine_candidates`).
+
+Scaling shape: per-device scan work and HBM both fall as 1/D while the
+merge carries only D·C candidates per query — the same local-topk →
+all-gather → re-rank recipe as the in-memory distributed search (SURVEY
+§2.5 "index sharding + collective top-k merge"), applied to the
+out-of-core serving tier.
+
+Reference provenance: the reference is single-process (SURVEY §5
+"Distributed communication backend: none"); this is the mesh-native
+extension of its search surface (src_legacy/core.rs:1156-1193 scoring
+semantics) to corpora beyond one device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from matternet_rs_tpu.index.streaming import (
+    StreamingIndex,
+    _alpha_param,
+    scan_sketch_blocks,
+)
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_sketch_scan(mesh, kk: int):
+    """Compile the mesh-sharded sketch scan: every device runs the
+    single-chip block scan over its local blocks (global ids via its row
+    base), then one ``all_gather`` + deterministic re-rank yields the
+    replicated global top-``kk``."""
+    axes = tuple(mesh.axis_names)
+    joint = axes if len(axes) > 1 else axes[0]
+
+    def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha, mn, rng):
+        best_s, best_i = scan_sketch_blocks(
+            X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk,
+            base[0],
+        )                                                      # [B, kk]
+        all_s = jax.lax.all_gather(best_s, joint)              # [D, B, kk]
+        all_i = jax.lax.all_gather(best_i, joint)
+        d = all_s.shape[0]
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(-1, d * kk)  # [B, D·kk]
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(-1, d * kk)
+        # Deterministic (score desc, id asc) re-rank — identical to the
+        # in-memory distributed merge (parallel/search.py): id-sort first,
+        # then stable argsort by -score. Invalid slots carry id -1 and
+        # score -inf, so they sort last.
+        id_order = jnp.argsort(all_i, axis=1)
+        all_s = jnp.take_along_axis(all_s, id_order, axis=1)
+        all_i = jnp.take_along_axis(all_i, id_order, axis=1)
+        sel = jnp.argsort(-all_s, axis=1, stable=True)[:, :kk]
+        return (
+            jnp.take_along_axis(all_s, sel, axis=1),
+            jnp.take_along_axis(all_i, sel, axis=1),
+        )
+
+    blk_spec = P(joint)  # leading (block) axis sharded
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(joint, None, None), P(joint, None), P(joint, None), blk_spec,
+            blk_spec, P(), P(), P(), P(), P(),
+        ),
+        # After the all_gather every device holds identical candidate
+        # sets, so the outputs are replicated by construction.
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class ShardedSketch:
+    """Int8 corpus sketch sharded over a device mesh, serving blended
+    top-k out-of-core search for corpora whose sketch exceeds one chip's
+    HBM. Wraps a built :class:`StreamingIndex` (disk layout, λ stats,
+    query preparation, exact refine) and replaces only the scan tier."""
+
+    def __init__(self, index: StreamingIndex, mesh):
+        self.index = index
+        self.mesh = mesh
+        d = int(mesh.devices.size)
+        X8h, multh, lamh, validh = index.sketch_host_buffers()
+        nb = X8h.shape[0]
+        pad = (-nb) % d
+        if pad:
+            # Zero blocks: valid=0 ⇒ every row masks to -inf, and the
+            # running offset does not advance across them.
+            X8h = np.concatenate(
+                [X8h, np.zeros((pad,) + X8h.shape[1:], np.int8)]
+            )
+            multh = np.concatenate(
+                [multh, np.zeros((pad, multh.shape[1]), np.float32)]
+            )
+            lamh = np.concatenate(
+                [lamh, np.zeros((pad, lamh.shape[1]), np.float32)]
+            )
+            validh = np.concatenate([validh, np.zeros(pad, np.int32)])
+        nb_pad = nb + pad
+        self.blocks_per_device = nb_pad // d
+        # Global row base of each device = items in all earlier blocks.
+        starts = np.concatenate(
+            [[0], np.cumsum(validh.astype(np.int64))]
+        )[:-1]
+        bases = starts[:: self.blocks_per_device].astype(np.int32)
+
+        axes = tuple(mesh.axis_names)
+        joint = axes if len(axes) > 1 else axes[0]
+        sh3 = NamedSharding(mesh, P(joint, None, None))
+        sh2 = NamedSharding(mesh, P(joint, None))
+        sh1 = NamedSharding(mesh, P(joint))
+        # device_put with a sharding ships each device exactly its slice;
+        # at real scale the host buffers come from the memmapped
+        # sketch.bin, so nothing device-sized materializes in RAM twice.
+        self._shards = (
+            jax.device_put(X8h, sh3),
+            jax.device_put(multh, sh2),
+            jax.device_put(lamh, sh2),
+            jax.device_put(validh, sh1),
+            jax.device_put(bases, sh1),
+        )
+        jax.block_until_ready(self._shards[0])
+        self._scan_cache: dict[int, callable] = {}
+
+    @property
+    def hbm_bytes_per_device(self) -> int:
+        x8, mult, lam, valid, _ = self._shards
+        tot = (
+            x8.size * 1 + mult.size * 4 + lam.size * 4 + valid.size * 4
+        )
+        return tot // int(self.mesh.devices.size)
+
+    def _scan(self, kk: int):
+        fn = self._scan_cache.get(kk)
+        if fn is None:
+            fn = make_sharded_sketch_scan(self.mesh, kk)
+            self._scan_cache[kk] = fn
+        return fn
+
+    def search_batch(
+        self, queries, k: int, alpha: float = 0.7,
+        candidates: int | None = None, refine: bool = True,
+    ):
+        """Same contract as
+        :meth:`StreamingIndex.search_batch_sketch`, with the scan tier
+        sharded over the mesh. ``refine=True`` fetches the per-query
+        top-``candidates`` from disk and rescores exactly; ``refine=False``
+        serves straight from the sharded scan."""
+        idx = self.index
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if Q.shape[-1] != idx.n_features:
+            raise ValueError(
+                f"Query dimension {Q.shape[-1]} doesn't match index "
+                f"dimension {idx.n_features}"
+            )
+        q_lams = idx._query_lambdas(Q)
+        kk = min(k, idx.n_items)
+        C = min(
+            candidates if candidates is not None else max(4 * k, 32),
+            idx.n_items, idx.block_rows,
+        )
+        C = max(C, kk)
+        al = _alpha_param(alpha, Q.shape[0])
+        mn = jnp.float32(idx.min_lambdas)
+        rng = jnp.float32(idx.range_lambdas)
+
+        best_s, best_i = self._scan(C)(
+            *self._shards, Q, q_lams, al, mn, rng
+        )
+        if not refine:
+            return (
+                np.asarray(best_i[:, :kk]).astype(np.int64),
+                np.asarray(best_s[:, :kk]),
+            )
+        return idx.refine_candidates(
+            np.asarray(best_i), Q, q_lams, al, mn, rng, kk
+        )
+
+    def search(
+        self, query, k: int, alpha: float = 0.7,
+        candidates: int | None = None, refine: bool = True,
+    ) -> list[tuple[int, float]]:
+        ids, sc = self.search_batch(
+            np.asarray(query, np.float32)[None, :], k, alpha,
+            candidates=candidates, refine=refine,
+        )
+        return [
+            (int(i), float(s)) for i, s in zip(ids[0], sc[0]) if i >= 0
+        ]
