@@ -104,8 +104,13 @@ def cmd_serve(args) -> None:
     )
 
     if getattr(args, "streaming", False):
+        mesh = None
+        if getattr(args, "mesh", 0):
+            from matternet_rs_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh)
         service = StreamingIndexService.from_store(
-            args.index_dir, sketch=not args.no_sketch
+            args.index_dir, sketch=not args.no_sketch, mesh=mesh
         )
     else:
         service = IndexService.from_storage(args.index_dir, args.name)
@@ -237,6 +242,11 @@ def main(argv=None) -> None:
     pv.add_argument(
         "--no-sketch", action="store_true",
         help="with --streaming: exact streamed scan instead of the sketch",
+    )
+    pv.add_argument(
+        "--mesh", type=int, default=0, metavar="D",
+        help="with --streaming: shard the sketch over a D-device mesh "
+             "(sketches bigger than one chip's HBM)",
     )
     pv.set_defaults(fn=cmd_serve)
 

@@ -284,13 +284,23 @@ class StreamingIndexService(IndexService):
 
     def __init__(self, index, batch_window_ms: float = 2.0,
                  max_batch: int = 64, sketch: bool = True,
-                 candidates: Optional[int] = None):
+                 candidates: Optional[int] = None, mesh=None):
         self.index = index
         self.use_sketch = sketch
         self.candidates = candidates
         self._nfeatures = index.n_features
-        if sketch:
+        self.mesh_devices = 0
+        if sketch and mesh is not None:
+            # Mesh-sharded sketch tier: the sketch shards over the mesh's
+            # data axis (corpora whose sketch exceeds one chip's HBM);
+            # identical search contract, so the dispatch path is shared.
+            from matternet_rs_tpu.parallel.sketch import ShardedSketch
+
+            self._sketch_search = ShardedSketch(index, mesh).search_batch
+            self.mesh_devices = int(mesh.devices.size)
+        elif sketch:
             index.build_sketch()     # pay the one-time upload up front
+            self._sketch_search = index.search_batch_sketch
         self._init_batching(batch_window_ms, max_batch)
 
     @classmethod
@@ -305,6 +315,7 @@ class StreamingIndexService(IndexService):
             "n_features": self.index.n_features,
             "streaming": True,
             "sketch": self.use_sketch,
+            "mesh_devices": self.mesh_devices,
             "energy_mode": False,
             "queries_served": self.n_queries,
             "batches_dispatched": self.n_batches,
@@ -326,7 +337,7 @@ class StreamingIndexService(IndexService):
             else:
                 alphas = np.asarray([p.alpha for p in members], np.float32)
                 if self.use_sketch:
-                    idx, sc = self.index.search_batch_sketch(
+                    idx, sc = self._sketch_search(
                         Q, k, alphas, candidates=self.candidates,
                         refine=not approx,
                     )

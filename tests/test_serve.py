@@ -444,3 +444,34 @@ def test_streaming_serve_wrong_dim_400(streaming_server):
     code, doc = _post(base + "/search", {"query": [1.0, 2.0], "k": 3})
     assert code == 400
     assert "dimension" in doc["error"].lower()
+
+
+def test_streaming_serve_mesh_sharded_sketch(streaming_server, tmp_path):
+    """serve over the mesh-sharded sketch tier: same answers as the
+    single-chip sketch service, mesh_devices reported in /info."""
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.serve import StreamingIndexService
+
+    base, data, service = streaming_server
+    idx = StreamingIndex.load(service.index.directory)
+    msvc = StreamingIndexService(idx, sketch=True, mesh=make_mesh(4))
+    srv = serve(msvc, port=0, block=False)
+    try:
+        mbase = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, doc = _get(mbase + "/info")
+        assert code == 200 and doc["mesh_devices"] == 4
+        for qi in (3, 42, 777):
+            code, got = _post(
+                mbase + "/search", {"query": data[qi].tolist(), "k": 5}
+            )
+            code2, ref = _post(
+                base + "/search", {"query": data[qi].tolist(), "k": 5}
+            )
+            assert code == 200 and code2 == 200
+            assert [r["index"] for r in got["results"]] == [
+                r["index"] for r in ref["results"]
+            ]
+    finally:
+        srv.shutdown()
+        msvc.close()
