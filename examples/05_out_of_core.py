@@ -33,6 +33,16 @@ def main():
         si2.build_sketch(persist=False)
         print("sketch top-3:", si2.search_sketch(X[11], k=3))
         print("sketch-only top-3:", si2.search_sketch(X[11], k=3, refine=False))
+
+        # Sketch bigger than one chip's HBM? Shard it over the mesh —
+        # same scan core, all-gather merge, identical results.
+        import jax
+
+        if len(jax.devices()) >= 2:
+            from matternet_rs_tpu.parallel import ShardedSketch, make_mesh
+
+            sk = ShardedSketch(si2, make_mesh(len(jax.devices())))
+            print("mesh-sharded top-3:", sk.search(X[11], k=3))
         return True
 
 
