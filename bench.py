@@ -1107,6 +1107,20 @@ def main():
             traceback.print_exc()
             extra[f"error_{name}"] = repr(exc)[:200]
 
+    # Fold in the committed Deep1B-stretch artifact (scripts/stretch_100m.py
+    # — a multi-hour single-shot run, not re-executed under bench's budget)
+    # so the round artifact carries the 100M×96 out-of-core numbers.
+    stretch_path = pathlib.Path(__file__).parent / "BENCH_STRETCH_100M.json"
+    if stretch_path.exists():
+        try:
+            extra["stretch_100m"] = {
+                "source": "BENCH_STRETCH_100M.json (scripts/stretch_100m.py)",
+                **json.loads(stretch_path.read_text()),
+            }
+            extra["stretch_100m"].pop("dir", None)
+        except Exception as exc:  # noqa: BLE001
+            extra["error_stretch_100m"] = repr(exc)[:200]
+
     result = {
         "metric": f"device_qps_{N//1000}k_{F}d_lambda_aware_top10",
         "value": round(headline_qps, 1),
