@@ -110,7 +110,8 @@ def _merge_topk_jit(best_s, best_i, sc, idx, offset, ascending, kk):
 
 
 def scan_sketch_blocks(
-    X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, offset0
+    X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, offset0,
+    energy: bool = False,
 ):
     """Traceable core of the sketch scan: ``lax.scan`` over stacked
     ``[nb, blk, F]`` int8 blocks with a running per-query top-``kk``
@@ -118,7 +119,13 @@ def scan_sketch_blocks(
     single-chip jit wrapper (:func:`_sketch_scan_topk`, offset0=0) and the
     mesh-sharded scan (``parallel/sketch.py``, offset0 = the device's
     global row base) — one implementation, so the sharded path ranks
-    block-for-block identically to the single-chip path."""
+    block-for-block identically to the single-chip path.
+
+    ``energy=True`` scores energy-mode semantics (ascending |Δλ| with the
+    cosine tie-break, energymaps.rs:628-674) NEGATED, so the carry/merge/
+    selection machinery stays in the maximize convention; callers flip the
+    sign back. The λ part is exact (λ is resident f32); only the tie-break
+    term — active within |Δλ| < 1e-9 — carries int8/bf16 rounding."""
     b = Q.shape[0]
     blk = X8s.shape[1]
     Qb = Q.astype(jnp.bfloat16)
@@ -135,7 +142,14 @@ def scan_sketch_blocks(
             dots * mult[None, :] / jnp.maximum(qn[:, None], 1e-12), -1.0, 1.0
         )
         lam_n = jnp.clip((lam - mn) / rng, 0.0, 1.0)
-        scores = _blend(cos, lam_n[None, :], q_lams[:, None], alpha)
+        if energy:
+            lam_dist = jnp.abs(lam_n[None, :] - q_lams[:, None])
+            scores = -(
+                lam_dist
+                + jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+            )
+        else:
+            scores = _blend(cos, lam_n[None, :], q_lams[:, None], alpha)
         scores = jnp.where(col < valid, scores, -jnp.inf)
         # TPU-native selection: approx_max_k is the hardware top-k for
         # MIPS-style scans (~10× faster than exact lax.top_k at this
@@ -169,16 +183,37 @@ def scan_sketch_blocks(
     return best_s, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("kk",))
-def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk):
+@functools.partial(jax.jit, static_argnames=("kk", "energy"))
+def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng,
+                      kk, energy=False):
     """Whole-sketch blended top-k in ONE device program (see
     :func:`scan_sketch_blocks`). Replaces the per-block dispatch loop — on
     a remote-attached TPU each dispatch is a tunnel round-trip, so 38
     blocks × 2 calls cost ~200 ms/batch in latency alone; the fused scan
     pays one round-trip and runs block-to-block at HBM speed."""
     return scan_sketch_blocks(
-        X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, 0
+        X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk, 0,
+        energy=energy,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("kk",))
+def _refine_energy_topk(XU, lamU, Q, q_lams, mn, rng, valid_u, kk):
+    """Exact energy-mode rescore of the fetched candidate union
+    (ascending |Δλ|, cosine tie-break — the same parity-grade kernel as
+    the streamed energy scan, energymaps.rs:628-674)."""
+    norms = jnp.sqrt(jnp.sum(XU * XU, axis=-1))
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))
+    dots = mm(Q, XU.T)
+    cos = dots / (qn[:, None] * norms[None, :] + 1e-9)
+    lam_n = jnp.clip((lamU - mn) / rng, 0.0, 1.0)
+    lam_dist = jnp.abs(lam_n[None, :] - q_lams[:, None])
+    scores = lam_dist + jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
+    scores = jnp.where(
+        jnp.arange(XU.shape[0])[None, :] < valid_u, scores, jnp.inf
+    )
+    neg, idx = jax.lax.top_k(-scores, kk)
+    return -neg, idx
 
 
 @functools.partial(jax.jit, static_argnames=("kk",))
@@ -843,12 +878,10 @@ class StreamingIndex:
             np.asarray(best_i), Q, q_lams, al, mn, rng, kk
         )
 
-    def refine_candidates(self, ids, Q, q_lams, al, mn, rng, kk: int):
-        """Exact rescore of a ``[B, C]`` candidate-id matrix: fetch the
-        candidate union from disk by seek arithmetic, rescore with the
-        parity-grade kernel, return ``(ids [B, kk] int64, scores)``.
-        Shared by the single-chip and mesh-sharded sketch paths."""
-        ids = np.asarray(ids)
+    def _fetch_union(self, ids: np.ndarray, kk: int):
+        """Candidate-union fetch for the refine stage: unique ids → disk
+        rows (seek arithmetic) + λ memmap reads, pow-2 padded so repeat
+        queries reuse one compiled rescore program."""
         uids = np.unique(ids[ids >= 0])
         XU = shard_store.read_rows(self.directory, uids)
         lam_mm = np.memmap(
@@ -857,13 +890,20 @@ class StreamingIndex:
         )
         lamU = np.asarray(lam_mm[uids], np.float32)
         u = len(uids)
-        # Pow-2 pad the union so repeat queries reuse one compiled program.
         u_pad = max(kk, 1 << (max(u, 1) - 1).bit_length())
         if u < u_pad:
             XU = np.concatenate(
                 [XU, np.zeros((u_pad - u, self.n_features), np.float32)]
             )
             lamU = np.concatenate([lamU, np.zeros(u_pad - u, np.float32)])
+        return uids, XU, lamU, u
+
+    def refine_candidates(self, ids, Q, q_lams, al, mn, rng, kk: int):
+        """Exact rescore of a ``[B, C]`` candidate-id matrix: fetch the
+        candidate union from disk by seek arithmetic, rescore with the
+        parity-grade kernel, return ``(ids [B, kk] int64, scores)``.
+        Shared by the single-chip and mesh-sharded sketch paths."""
+        uids, XU, lamU, u = self._fetch_union(np.asarray(ids), kk)
         sc, sel = _refine_exact_topk(
             jnp.asarray(XU), jnp.asarray(lamU), Q, q_lams, al, mn, rng,
             jnp.int32(u), kk=kk,
@@ -884,6 +924,79 @@ class StreamingIndex:
         )
         return [
             (int(i), float(s)) for i, s in zip(idx[0], sc[0]) if i >= 0
+        ]
+
+    def search_energy_batch_sketch(
+        self, queries, k: int, candidates: int | None = None,
+        refine: bool = True,
+    ):
+        """Energy-mode search over the RESIDENT sketch: ascending |Δλ|
+        with the cosine tie-break, scanned entirely on device (λ is
+        resident f32, so the λ ranking is exact; the tie-break — active
+        only within |Δλ| < 1e-9 — carries int8 rounding). ``refine=True``
+        rescores the per-query top-``candidates`` from disk with the
+        parity-grade energy kernel. Turns energy serving from a
+        corpus-restream per batch into a device-resident scan — the same
+        inversion as the blended sketch path (DESIGN.md)."""
+        if self.sub_centroids is None:
+            raise ValueError("not an energy-mode index (no sub-centroid state)")
+        if self._sketch is None:
+            self.build_sketch()
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if Q.shape[-1] != self.n_features:
+            raise ValueError(
+                f"Query dimension {Q.shape[-1]} doesn't match index "
+                f"dimension {self.n_features}"
+            )
+        q_lams = self._query_lambdas(Q)
+        kk = min(k, self.n_items)
+        C = min(
+            candidates if candidates is not None else max(4 * k, 32),
+            self.n_items, self.block_rows,
+        )
+        C = max(C, kk)
+        mn = jnp.float32(self.min_lambdas)
+        rng = jnp.float32(self.range_lambdas)
+        X8s, mults, lams, valids = self._sketch
+        best_s, best_i = _sketch_scan_topk(
+            X8s, mults, lams, valids, Q, q_lams, jnp.float32(0.0), mn, rng,
+            kk=C, energy=True,
+        )
+        if not refine:
+            return (
+                np.asarray(best_i[:, :kk]).astype(np.int64),
+                -np.asarray(best_s[:, :kk]),
+            )
+        return self.refine_energy_candidates(
+            np.asarray(best_i), Q, q_lams, mn, rng, kk
+        )
+
+    def refine_energy_candidates(self, ids, Q, q_lams, mn, rng, kk: int):
+        """Energy-mode counterpart of :meth:`refine_candidates` (exact
+        ascending-|Δλ| rescore of the fetched union); shared by the
+        single-chip and mesh-sharded sketch paths."""
+        uids, XU, lamU, u = self._fetch_union(np.asarray(ids), kk)
+        sc, sel = _refine_energy_topk(
+            jnp.asarray(XU), jnp.asarray(lamU), Q, q_lams, mn, rng,
+            jnp.int32(u), kk=kk,
+        )
+        sel = np.asarray(sel)
+        sc = np.asarray(sc)
+        gids = np.where(sc < np.inf, uids[np.minimum(sel, u - 1)], -1)
+        return gids.astype(np.int64), sc
+
+    def search_energy_sketch(
+        self, query, k: int, candidates: int | None = None,
+        refine: bool = True,
+    ) -> list[tuple[int, float]]:
+        ids, sc = self.search_energy_batch_sketch(
+            np.asarray(query, np.float32)[None, :], k,
+            candidates=candidates, refine=refine,
+        )
+        return [
+            (int(i), float(s)) for i, s in zip(ids[0], sc[0]) if i >= 0
         ]
 
     def search_energy_batch(self, queries, k: int):

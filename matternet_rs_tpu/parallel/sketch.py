@@ -47,18 +47,20 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def make_sharded_sketch_scan(mesh, kk: int):
+def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False):
     """Compile the mesh-sharded sketch scan: every device runs the
     single-chip block scan over its local blocks (global ids via its row
     base), then one ``all_gather`` + deterministic re-rank yields the
-    replicated global top-``kk``."""
+    replicated global top-``kk``. ``energy=True`` scans energy-mode
+    semantics (negated-ascending convention — see
+    :func:`scan_sketch_blocks`; callers flip the sign)."""
     axes = tuple(mesh.axis_names)
     joint = axes if len(axes) > 1 else axes[0]
 
     def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha, mn, rng):
         best_s, best_i = scan_sketch_blocks(
             X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk,
-            base[0],
+            base[0], energy=energy,
         )                                                      # [B, kk]
         all_s = jax.lax.all_gather(best_s, joint)              # [D, B, kk]
         all_i = jax.lax.all_gather(best_i, joint)
@@ -154,11 +156,12 @@ class ShardedSketch:
         )
         return tot // int(self.mesh.devices.size)
 
-    def _scan(self, kk: int):
-        fn = self._scan_cache.get(kk)
+    def _scan(self, kk: int, energy: bool = False):
+        key = (kk, energy)
+        fn = self._scan_cache.get(key)
         if fn is None:
-            fn = make_sharded_sketch_scan(self.mesh, kk)
-            self._scan_cache[kk] = fn
+            fn = make_sharded_sketch_scan(self.mesh, kk, energy=energy)
+            self._scan_cache[key] = fn
         return fn
 
     def search_batch(
@@ -208,6 +211,60 @@ class ShardedSketch:
     ) -> list[tuple[int, float]]:
         ids, sc = self.search_batch(
             np.asarray(query, np.float32)[None, :], k, alpha,
+            candidates=candidates, refine=refine,
+        )
+        return [
+            (int(i), float(s)) for i, s in zip(ids[0], sc[0]) if i >= 0
+        ]
+
+    def search_energy_batch(
+        self, queries, k: int, candidates: int | None = None,
+        refine: bool = True,
+    ):
+        """Energy-mode search through the sharded sketch (same contract
+        as :meth:`StreamingIndex.search_energy_batch_sketch`): ascending
+        |Δλ| with the cosine tie-break, λ exact-resident, optional exact
+        disk rescore."""
+        idx = self.index
+        if idx.sub_centroids is None:
+            raise ValueError(
+                "not an energy-mode index (no sub-centroid state)"
+            )
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        if Q.shape[-1] != idx.n_features:
+            raise ValueError(
+                f"Query dimension {Q.shape[-1]} doesn't match index "
+                f"dimension {idx.n_features}"
+            )
+        q_lams = idx._query_lambdas(Q)
+        kk = min(k, idx.n_items)
+        C = min(
+            candidates if candidates is not None else max(4 * k, 32),
+            idx.n_items, idx.block_rows,
+        )
+        C = max(C, kk)
+        mn = jnp.float32(idx.min_lambdas)
+        rng = jnp.float32(idx.range_lambdas)
+        best_s, best_i = self._scan(C, energy=True)(
+            *self._shards, Q, q_lams, jnp.float32(0.0), mn, rng
+        )
+        if not refine:
+            return (
+                np.asarray(best_i[:, :kk]).astype(np.int64),
+                -np.asarray(best_s[:, :kk]),
+            )
+        return idx.refine_energy_candidates(
+            np.asarray(best_i), Q, q_lams, mn, rng, kk
+        )
+
+    def search_energy(
+        self, query, k: int, candidates: int | None = None,
+        refine: bool = True,
+    ) -> list[tuple[int, float]]:
+        ids, sc = self.search_energy_batch(
+            np.asarray(query, np.float32)[None, :], k,
             candidates=candidates, refine=refine,
         )
         return [

@@ -296,11 +296,14 @@ class StreamingIndexService(IndexService):
             # identical search contract, so the dispatch path is shared.
             from matternet_rs_tpu.parallel.sketch import ShardedSketch
 
-            self._sketch_search = ShardedSketch(index, mesh).search_batch
+            sk = ShardedSketch(index, mesh)
+            self._sketch_search = sk.search_batch
+            self._energy_search = sk.search_energy_batch
             self.mesh_devices = int(mesh.devices.size)
         elif sketch:
             index.build_sketch()     # pay the one-time upload up front
             self._sketch_search = index.search_batch_sketch
+            self._energy_search = index.search_energy_batch_sketch
         self._init_batching(batch_window_ms, max_batch)
 
     @classmethod
@@ -327,7 +330,15 @@ class StreamingIndexService(IndexService):
         try:
             Q = np.stack([p.query for p in members])
             if mode == "energy":
-                idx, dist = self.index.search_energy_batch(Q, k)
+                if self.use_sketch:
+                    # Resident-sketch energy scan (λ exact-resident; no
+                    # corpus restream); approx=True skips the disk rescore.
+                    idx, dist = self._energy_search(
+                        Q, k, candidates=self.candidates,
+                        refine=not approx,
+                    )
+                else:
+                    idx, dist = self.index.search_energy_batch(Q, k)
                 for p, row_i, row_d in zip(members, idx, dist):
                     p.result = [
                         {"index": int(i), "distance": float(d)}

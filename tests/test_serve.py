@@ -475,3 +475,47 @@ def test_streaming_serve_mesh_sharded_sketch(streaming_server, tmp_path):
     finally:
         srv.shutdown()
         msvc.close()
+
+
+def test_streaming_serve_energy_store_sketch(tmp_path):
+    """Energy-mode store served via the resident sketch: /search_energy
+    matches the streamed exact energy scan (no corpus restream)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.index.streaming import StreamingIndex
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+    from matternet_rs_tpu.serve import StreamingIndexService
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(800, 20, seed=11).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=12, radius=18.0)
+        .with_dims_reduction(True)
+        .with_seed(3)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=10, neighbor_k=4, candidate_m=8)
+    )
+    if aspace.projection is not None:
+        pytest.skip("projection-active energy store not covered here")
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path / "estore"
+    sa.to_store(d)
+    idx = StreamingIndex.load(d)
+    svc = StreamingIndexService(idx, sketch=True, candidates=512)
+    srv = serve(svc, port=0, block=False)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        ref = idx.search_energy(data[9], k=5)
+        code, doc = _post(
+            base + "/search_energy", {"query": data[9].tolist(), "k": 5}
+        )
+        assert code == 200
+        assert [r["index"] for r in doc["results"]] == [i for i, _ in ref]
+    finally:
+        srv.shutdown()
+        svc.close()

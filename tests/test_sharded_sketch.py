@@ -138,3 +138,62 @@ def test_dimension_mismatch_raises(index):
     sk = ShardedSketch(idx, make_mesh(2))
     with pytest.raises(ValueError, match="dimension"):
         sk.search_batch(np.zeros((2, F + 3), np.float32), K)
+
+
+# ----------------------------------------------------- energy-mode sharded
+@pytest.fixture(scope="module")
+def energy_index(tmp_path_factory):
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    data = make_energy_test_dataset(1200, 24, seed=48).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=16, radius=18.0)
+        .with_dims_reduction(True)
+        .with_seed(6)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=12, neighbor_k=4, candidate_m=8)
+    )
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path_factory.mktemp("energy_sharded_store")
+    sa.to_store(d)
+    idx = StreamingIndex.load(d)
+    idx.block_rows = 256
+    idx.build_sketch(persist=False)
+    return idx, data
+
+
+@pytest.mark.parametrize("d", [2, 8])
+def test_sharded_energy_matches_single_chip(energy_index, d):
+    idx, data = energy_index
+    Q = data[[5, 321, 999]]
+    ref_ids, ref_sc = idx.search_energy_batch_sketch(
+        Q, 8, candidates=idx.block_rows
+    )
+    sk = ShardedSketch(idx, make_mesh(d))
+    got_ids, got_sc = sk.search_energy_batch(Q, 8, candidates=idx.block_rows)
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-6)
+
+
+def test_sharded_energy_unrefined_and_wrapper(energy_index):
+    idx, data = energy_index
+    sk = ShardedSketch(idx, make_mesh(4))
+    ids, sc = sk.search_energy_batch(data[:8], 5, refine=False)
+    assert ids.shape == (8, 5)
+    assert np.all(np.diff(sc, axis=1) >= -1e-7)
+    got = sk.search_energy(data[7], 5, candidates=idx.block_rows)
+    ref = idx.search_energy_sketch(data[7], 5, candidates=idx.block_rows)
+    assert got == ref
+
+
+def test_sharded_energy_on_eigen_store_raises(index):
+    idx, _ = index
+    sk = ShardedSketch(idx, make_mesh(2))
+    with pytest.raises(ValueError, match="energy-mode"):
+        sk.search_energy_batch(np.zeros((1, F), np.float32), 3)

@@ -204,3 +204,90 @@ def test_sketch_unrefined_full_pool_score_parity(index, store):
     for b in range(2):
         assert u_i[b, 0] == np.asarray(ex_i)[b, 0], b
         np.testing.assert_allclose(u_s[b], ex_s[b], atol=0.02, rtol=0.02)
+
+
+# ----------------------------------------------------- energy-mode sketch
+@pytest.fixture(scope="module")
+def energy_index(tmp_path_factory):
+    """Energy-mode shard store (in-memory energy build → unified store)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.parallel import make_mesh
+    from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+
+    data = make_energy_test_dataset(1200, 24, seed=47).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=16, radius=18.0)
+        .with_dims_reduction(True)
+        .with_seed(6)
+    )
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=12, neighbor_k=4, candidate_m=8)
+    )
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=make_mesh(8))
+    d = tmp_path_factory.mktemp("energy_sketch_store")
+    sa.to_store(d)
+    idx = StreamingIndex.load(d)
+    # Small blocks so the scan really merges across blocks.
+    idx.block_rows = 512
+    idx.build_sketch(persist=False)
+    return idx, data
+
+
+def test_energy_sketch_refined_matches_streamed(energy_index):
+    """Exact-parity contract: candidates=block + exact rescore ⇒ the
+    energy sketch search returns exactly the streamed energy scan."""
+    idx, data = energy_index
+    Q = data[[3, 99, 640, 1100]]
+    ref_ids, ref_sc = idx.search_energy_batch(Q, 8)
+    got_ids, got_sc = idx.search_energy_batch_sketch(
+        Q, 8, candidates=idx.block_rows
+    )
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-6)
+
+
+def test_energy_sketch_refined_self_recall_and_unrefined_contract(
+    energy_index,
+):
+    """Energy mode is maximally tie-dense (every item in a sub-centroid
+    group shares λ EXACTLY), so the int8 tie-break can reorder the
+    unrefined top-k inside a tie group — the documented dense-tie
+    quantization regime (DESIGN.md). Contract: refined self-recall is
+    perfect; unrefined still ranks by the exact resident λ (ascending
+    λ-distance, and its λ-distances match the refined ones)."""
+    idx, data = energy_index
+    want = np.arange(0, 1200, 173)
+    r_ids, r_sc = idx.search_energy_batch_sketch(
+        data[want], 5, candidates=idx.block_rows
+    )
+    # Ground truth for energy semantics is the streamed exact scan (NOT
+    # self-recall: the query λ routes via the L2-nearest sub-centroid
+    # while item λ was assigned by λ-proximity, so self is not guaranteed
+    # first even exactly — reference semantics, energymaps.rs:628-674).
+    g_ids, g_sc = idx.search_energy_batch(data[want], 5)
+    np.testing.assert_array_equal(r_ids, g_ids)
+    ids, sc = idx.search_energy_batch_sketch(
+        data[want], 5, refine=False, candidates=idx.block_rows
+    )
+    # λ-part of the unrefined score is exact ⇒ ascending order holds and
+    # the λ-distance column matches the exact rescore to f32 rounding
+    # (the tie-break term is ≤ 2e-9 by construction).
+    assert np.all(np.diff(sc, axis=1) >= -1e-7)
+    np.testing.assert_allclose(sc, r_sc, atol=1e-5)
+
+
+def test_energy_sketch_single_query_wrapper(energy_index):
+    idx, data = energy_index
+    got = idx.search_energy_sketch(data[7], 5, candidates=idx.block_rows)
+    ref = idx.search_energy(data[7], 5)
+    assert [i for i, _ in got] == [i for i, _ in ref]
+
+
+def test_energy_sketch_on_eigen_store_raises(index):
+    idx = index
+    with pytest.raises(ValueError, match="energy-mode"):
+        idx.search_energy_batch_sketch(np.zeros((1, F), np.float32), 3)
