@@ -183,9 +183,16 @@ def cmd_search_streaming(args) -> None:
     si = StreamingIndex.load(args.store_dir)
     q = _load_matrix(args.query).astype(np.float32)
     queries = q[None, :] if q.ndim == 1 else q
+    sketch = getattr(args, "sketch", False)
     if si.sub_centroids is not None:      # energy-mode store
-        idx, sc = si.search_energy_batch(queries, args.k)
+        if sketch:
+            idx, sc = si.search_energy_batch_sketch(queries, args.k)
+        else:
+            idx, sc = si.search_energy_batch(queries, args.k)
         key = "distance"
+    elif sketch:
+        idx, sc = si.search_batch_sketch(queries, args.k, args.alpha)
+        key = "score"
     else:
         idx, sc = si.search_batch(queries, args.k, args.alpha)
         key = "score"
@@ -298,6 +305,12 @@ def main(argv=None) -> None:
     pss.add_argument("--query", required=True)
     pss.add_argument("--k", type=int, default=10)
     pss.add_argument("--alpha", type=float, default=0.7)
+    pss.add_argument(
+        "--sketch", action="store_true",
+        help="scan the device-resident int8 sketch (exact disk rescore) "
+             "instead of restreaming the corpus; works for blended AND "
+             "energy-mode stores",
+    )
     pss.set_defaults(fn=cmd_search_streaming)
 
     args = p.parse_args(argv)

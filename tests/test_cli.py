@@ -91,6 +91,13 @@ def test_cli_streaming_build_and_search(data_file, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out)
     assert res["results"][0][0]["index"] == 7
 
+    # --sketch routes through the resident int8 sketch + exact rescore;
+    # same top hit.
+    main(["search-streaming", str(store), "--query", str(q_path), "--k",
+          "5", "--sketch"])
+    res_sk = json.loads(capsys.readouterr().out)
+    assert res_sk["results"][0][0]["index"] == 7
+
 
 def test_cli_distributed_save_then_stream_search(data_file, tmp_path, capsys):
     """Full CLI loop: shard-write → build-distributed --save-store →
