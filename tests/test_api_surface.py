@@ -1,6 +1,8 @@
 """Direct coverage for public APIs only exercised indirectly elsewhere
 (found by a tests-reference sweep): ArrowItem/ArrowSpace accessors,
-EnergyParams presets, CentroidState regularization, SF-GRASS class API,
+EnergyParams presets, CentroidState regularization
+(surfface-core test_centroid.rs:147-180 classes), SF-GRASS class API
+(src_legacy test_sparsification.rs behaviors at class granularity),
 energy motif subgraphs, mesh helpers, profiling trace, backend probes.
 """
 

@@ -82,7 +82,9 @@ def test_motives_on_clique_dataset():
         assert m == sorted(m)
 
 
-# --- sparsification --------------------------------------------------------
+# --- sparsification (src_legacy/tests/test_sparsification.rs:4-113:
+# basic skip-below-degree, larger-graph ratio/min-one-edge, sparsified-vs-
+# unsparsified score preference) ---------------------------------------------
 
 
 def test_sparsifier_skips_sparse_graph():

@@ -4,7 +4,13 @@ Ports the reference per-stage suites: test_mst.rs (tree properties, trunk,
 DFS determinism), test_smoothing.rs (variance reduction, forward/backward
 consistency, trunk-aware), test_laplacian.rs / test_random.rs (L_sym
 spectral bounds), test_spectral.rs (Rayleigh on known eigenvector, Dirichlet
-uniform, zero-vector safety, full C→D integration).
+uniform, zero-vector safety, full C→D integration), test_preflight.rs
+(normalization trigger/skip, zero-variance detection, variance clamp,
+presets, magnitude stats, direction preservation — the
+test_preflight_* classes below). test_centroid.rs classes are split
+between the CentroidState fixtures here (moments, thickness weighting
+through MST) and tests/test_api_surface.py (regularize_variances,
+feature transpose).
 """
 
 import numpy as np
