@@ -71,6 +71,58 @@ def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alphas, a
     )(Q, q_lams, alphas)
 
 
+@jax.jit
+def _quantize_rows_device_jit(X):
+    """Per-row symmetric int8 quantization ON DEVICE: ``q8 = rint(x/scale)``
+    with ``scale = maxabs/127``; ``mult`` dequantizes a raw int8 dot
+    straight to cosine numerator/|x| (zero rows get mult 0 — the
+    guarded-cosine convention). Same math as the out-of-core sketch's
+    host-side ``index.streaming._quantize_rows``."""
+    maxabs = jnp.max(jnp.abs(X), axis=1)
+    norms = jnp.sqrt(jnp.sum(X * X, axis=1))
+    scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
+    q8 = jnp.rint(X / scale[:, None]).astype(jnp.int8)
+    mult = jnp.where(norms > 1e-12, scale / jnp.maximum(norms, 1e-12), 0.0)
+    return q8, mult.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "approx"))
+def _batched_search_int8_jit(
+    X8, mult, X, norms, lams, Q, raw, mn, rng, k, cand, alphas, approx
+):
+    """Two-stage in-memory search in ONE program: int8 corpus scan (a
+    quarter of the f32 HBM read; int8 rows ride the MXU as bf16 — exact
+    for values in [-127, 127]) → per-query top-``cand`` → on-device gather
+    of the f32 candidate rows → parity-grade exact rescore → top-``k``.
+    The same memory-hierarchy inversion as the out-of-core sketch
+    (DESIGN.md), but the "disk fetch" is an HBM gather, so the whole
+    refine stays in the dispatch. Deviation from the exact f32 scan is
+    pure candidate-stage recall, governed by ``cand``."""
+    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
+    dots = jnp.dot(
+        Q.astype(jnp.bfloat16), X8.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )                                                            # [B, N]
+    cos = jnp.clip(
+        dots * mult[None, :] / jnp.maximum(qn[:, None], 1e-12), -1.0, 1.0
+    )
+    scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
+    if approx and cand * 16 <= X.shape[0]:
+        _, idx = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(scores, cand)                     # [B, cand]
+    XU = X[idx]                                                  # [B, cand, F]
+    d2 = jnp.einsum(
+        "bf,bcf->bc", Q, XU, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    cos2 = search_ops._guarded_cosine(d2, norms[idx] * qn[:, None])
+    s2 = search_ops._blend(cos2, lams[idx], q_lams[:, None], alphas[:, None])
+    top, sel = jax.lax.top_k(s2, k)
+    return jnp.take_along_axis(idx, sel, axis=1), top
+
+
 def _alpha_vector(alpha, b_pad: int) -> jax.Array:
     """Scalar-or-[B] alpha → padded traced [b_pad] vector."""
     a = jnp.asarray(alpha, jnp.float32)
@@ -219,6 +271,10 @@ class ArrowSpace:
     ivf: Optional[object] = None
     # optional bf16 corpus copy for memory-bound scans (ops/search._scan_dots)
     _data_bf16: Optional[jax.Array] = None
+    # optional int8 corpus sketch for the two-stage exact-rescored scan
+    # (quantized="int8"): [N, F] int8 + per-row dequant-to-cosine multiplier
+    _data_i8: Optional[jax.Array] = None
+    _i8_mult: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -294,6 +350,8 @@ class ArrowSpace:
         self.data = jnp.zeros((0, self.nfeatures), jnp.float32)
         self._norms = None
         self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
         self.ivf = None
 
     def recompute_lambdas(self, gl: GraphLaplacian) -> None:
@@ -318,6 +376,8 @@ class ArrowSpace:
         self.data = self.data.at[i].set(v)
         self._norms = None
         self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
 
     def mul_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
         """Elementwise ``item[a] *= item[b]`` + λ recompute (core.rs:1045)."""
@@ -326,6 +386,8 @@ class ArrowSpace:
         self.data = self.data.at[a].set(self.data[a] * self.data[b])
         self._norms = None
         self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
         self.recompute_lambdas(gl)
 
     def scale_item(self, a: int, scalar: float, gl: GraphLaplacian) -> None:
@@ -335,6 +397,8 @@ class ArrowSpace:
         self.data = self.data.at[a].multiply(jnp.float32(scalar))
         self._norms = None
         self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
         self.recompute_lambdas(gl)
 
     # ------------------------------------------------------------------
@@ -522,6 +586,27 @@ class ArrowSpace:
             self.enable_quantized_scan()
         return self._data_bf16
 
+    def enable_int8_scan(self) -> None:
+        """Cache an int8 corpus sketch for the two-stage exact-rescored
+        scan (``search_batch(..., quantized="int8")``): a quarter of the
+        f32 HBM read for the scan stage, with the final ranking restored
+        by an on-device exact rescore of the candidate pool."""
+        self._data_i8, self._i8_mult = _quantize_rows_device_jit(self.data)
+
+    def _ensure_int8(self):
+        if self._data_i8 is None or (
+            self._data_i8.shape[0] != self.data.shape[0]
+        ):
+            self.enable_int8_scan()
+        return self._data_i8, self._i8_mult
+
+    def _int8_cand(self, k: int, candidates: Optional[int]) -> int:
+        """Candidate-pool width for the int8 rescore: pow-2 padded so the
+        serving batcher's varying k values share compiled programs."""
+        c = candidates if candidates is not None else max(4 * k, 32)
+        c = max(min(c, self.nitems), min(k, self.nitems))
+        return min(1 << (c - 1).bit_length(), self.nitems)
+
     def search_lambda_aware(
         self, query, query_lambda: float, k: int, alpha: float = 0.7,
         approx: bool = False, recall_target: float = 0.95,
@@ -543,7 +628,7 @@ class ArrowSpace:
     def search_batch(
         self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
         approx: bool = False, return_raw: bool = False,
-        quantized: bool = False,
+        quantized: bool | str = False, candidates: Optional[int] = None,
     ):
         """Batched query path: fused λ preparation for all queries (one
         taumode dispatch, or one nearest-sub-centroid matmul in energy
@@ -556,6 +641,13 @@ class ArrowSpace:
 
         This is the TPU-idiomatic serving path — one ``[B, F] × [F, N]``
         matmul amortizes the corpus read across the whole batch.
+
+        ``quantized``: ``False`` = exact f32 (parity-grade); ``True`` =
+        bf16 corpus scan (half the HBM read, ~0.4% dot error in the final
+        ranking); ``"int8"`` = two-stage int8 scan + exact on-device
+        rescore of the per-query top-``candidates`` (default
+        ``max(4k, 32)``) — a quarter of the scan read with the final
+        ranking exact on the candidate pool.
         """
         self._require_lambdas()
         Q = jnp.asarray(queries, jnp.float32)
@@ -585,10 +677,19 @@ class ArrowSpace:
                 )
             )(Qe)
             raw = q_lams
-            idx, sc = _batched_search_jit(
-                self._scan_corpus(quantized), self.norms, self.lambdas,
-                Q, q_lams, k, alphas, approx,
-            )
+            if quantized == "int8":
+                X8, i8m = self._ensure_int8()
+                idx, sc = _batched_search_int8_jit(
+                    X8, i8m, self.data, self.norms, self.lambdas, Q, q_lams,
+                    jnp.float32(0.0), jnp.float32(1.0),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
+            else:
+                idx, sc = _batched_search_jit(
+                    self._scan_corpus(quantized), self.norms, self.lambdas,
+                    Q, q_lams, k, alphas, approx,
+                )
         else:
             graph = self.graph_for_taumode(gl)
             Qw = Q
@@ -603,11 +704,23 @@ class ArrowSpace:
             )
             # Normalization folded into the search dispatch (no eager
             # sub/div/clip round-trips).
-            idx, sc = _batched_search_normalized_jit(
-                self._scan_corpus(quantized), self.norms, self.lambdas, Q, raw,
-                jnp.float32(self.min_lambdas), jnp.float32(self.range_lambdas),
-                k, alphas, approx,
-            )
+            if quantized == "int8":
+                X8, i8m = self._ensure_int8()
+                idx, sc = _batched_search_int8_jit(
+                    X8, i8m, self.data, self.norms, self.lambdas, Q, raw,
+                    jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
+            else:
+                idx, sc = _batched_search_normalized_jit(
+                    self._scan_corpus(quantized), self.norms, self.lambdas,
+                    Q, raw,
+                    jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas),
+                    k, alphas, approx,
+                )
         if return_raw:
             return np.asarray(idx)[:b], np.asarray(sc)[:b], np.asarray(raw)[:b]
         return np.asarray(idx)[:b], np.asarray(sc)[:b]

@@ -46,7 +46,9 @@ class _Pending:
     alpha: float
     approx: bool
     mode: str                      # "blend" | "energy"
-    quantized: bool = False        # bf16 corpus scan (blend mode only)
+    # False = exact f32; true = bf16 corpus scan; "int8" = int8 scan +
+    # exact on-device rescore (blend mode only)
+    quantized: bool | str = False
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: Optional[list] = None
     error: Optional[Exception] = None

@@ -402,3 +402,72 @@ def test_search_without_taumode_raises_clearly():
         aspace.search_linear_sorted(data[3], gl, 5)
     with pytest.raises(RuntimeError, match="lambdas not computed"):
         aspace.range_search(data[3], 0.5, 0.1)
+
+
+# int8 two-stage scan (int8 candidates + exact on-device rescore)
+def test_int8_scan_full_pool_matches_f32_exactly(built):
+    """With candidates=N the rescore sees every row, so the int8 path
+    must reproduce the exact f32 batch search bit-for-bit in ids and to
+    f32 tolerance in scores (the rescore IS the parity kernel)."""
+    aspace, gl, data = built
+    Q = data[[3, 17, 41, 66]]
+    ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
+    got_ids, got_sc = aspace.search_batch(
+        Q, gl, 5, quantized="int8", candidates=len(data)
+    )
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-5)
+
+
+def test_int8_scan_default_pool_self_top1_and_overlap(built):
+    aspace, gl, data = built
+    Q = data[:16]
+    got_ids, _ = aspace.search_batch(Q, gl, 5, quantized="int8")
+    assert np.all(got_ids[:, 0] == np.arange(16))
+    ref_ids, _ = aspace.search_batch(Q, gl, 5)
+    overlap = np.mean([
+        len(set(got_ids[i]) & set(ref_ids[i])) / 5.0 for i in range(16)
+    ])
+    assert overlap >= 0.9
+
+
+def test_int8_scan_scores_are_exact_on_candidates(built):
+    """Scores of returned rows come from the f32 rescore, so they equal
+    the f32 exact scores of those SAME rows (not int8 approximations)."""
+    aspace, gl, data = built
+    q = data[29]
+    got_ids, got_sc = aspace.search_batch(q, gl, 8, quantized="int8")
+    ql = aspace.prepare_query_item(q, gl)
+    exact = dict(aspace.search_lambda_aware(q, ql, len(data)))
+    for i, s in zip(got_ids[0], got_sc[0]):
+        assert s == pytest.approx(exact[int(i)], abs=1e-5)
+
+
+def test_int8_cache_invalidated_on_mutation(built):
+    aspace, gl, data = built
+    aspace._ensure_int8()
+    assert aspace._data_i8 is not None
+    aspace.set_item(5, np.asarray(data[5]) * 1.5)
+    assert aspace._data_i8 is None
+    aspace.recompute_lambdas(gl)
+    # Restore the fixture for later tests.
+    aspace.set_item(5, np.asarray(data[5]))
+    aspace.recompute_lambdas(gl)
+    aspace.build_lambdas_sorted()
+
+
+def test_int8_mixed_alpha_batch(built):
+    aspace, gl, data = built
+    Q = data[[2, 9, 33, 50]]
+    alphas = np.array([0.3, 0.9, 0.3, 0.9], np.float32)
+    mixed, _ = aspace.search_batch(
+        Q, gl, 5, alpha=alphas, quantized="int8", candidates=len(data)
+    )
+    a03, _ = aspace.search_batch(
+        Q, gl, 5, alpha=0.3, quantized="int8", candidates=len(data)
+    )
+    a09, _ = aspace.search_batch(
+        Q, gl, 5, alpha=0.9, quantized="int8", candidates=len(data)
+    )
+    np.testing.assert_array_equal(mixed[[0, 2]], a03[[0, 2]])
+    np.testing.assert_array_equal(mixed[[1, 3]], a09[[1, 3]])
