@@ -135,12 +135,15 @@ def _qps_protocol(
 
 
 def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
-                          approx=False, quantized=False):
+                          approx=False, quantized=False, int8=False):
     """Device-time measurement (VERDICT r2 #2): stream ``n_batches``
     DISTINCT pipelined dispatches with ONE trailing barrier. The tunnel
     round-trip is paid once and amortized 1/n_batches, so wall/n_batches
     converges to per-batch device time — the reproducible number the
-    transport-window protocol can't give. Returns (ms_per_batch, qps)."""
+    transport-window protocol can't give. Returns (ms_per_batch, qps).
+
+    ``int8=True`` measures the two-stage int8-scan + exact-rescore path
+    (core.py ``_batched_search_int8_jit``)."""
     import functools
 
     from matternet_rs_tpu.ops import search as search_ops
@@ -157,19 +160,38 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
             )
         )(qs, qls)
 
-    X_d = aspace._scan_corpus(quantized)
-    norms_d, lams_d = aspace.norms, aspace.lambdas
+    if int8:
+        from matternet_rs_tpu.core import _batched_search_int8_jit
+
+        X8_d, i8m_d = aspace._ensure_int8()
+        cand = aspace._int8_cand(K, None)
+        alphas = jnp.full((n_queries,), 0.7, jnp.float32)
+        zero, one = jnp.float32(0.0), jnp.float32(1.0)
+
+        def run(qb, qlb):
+            # qlb is already normalized λ → identity normalization.
+            return _batched_search_int8_jit(
+                X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
+                qb, qlb, zero, one, K, cand, alphas, approx,
+            )
+    else:
+        X_d = aspace._scan_corpus(quantized)
+        norms_d, lams_d = aspace.norms, aspace.lambdas
+
+        def run(qb, qlb):
+            return batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
+
     batches = []
     for _ in range(n_batches):
         ridx = rng.integers(0, N, n_queries)
         batches.append((jnp.asarray(data[ridx]), jnp.asarray(lam_np[ridx])))
     # Warm (compile + first-dispatch costs out of the measurement).
-    out = batched(X_d, norms_d, lams_d, *batches[0], K, approx)
+    out = run(*batches[0])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for qb, qlb in batches:
-        out = batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
+        out = run(qb, qlb)
     float(jnp.sum(out[1]))                    # single trailing barrier
     dt = time.perf_counter() - t0
     return (dt / n_batches) * 1e3, n_queries * n_batches / dt
@@ -623,17 +645,20 @@ def bench_1m(jax, jnp, extra):
     # effective HBM GB/s is meaningful (v5e peak ≈ 819 GB/s).
     try:
         dt = {}
-        for name, approx, quantized, bytes_per_batch in (
-            ("exact_f32", False, False, N * F * 4 + N * 8),
-            ("approx_bf16", True, True, N * F * 2 + N * 8),
+        for name, approx, quantized, int8, bytes_per_batch in (
+            ("exact_f32", False, False, False, N * F * 4 + N * 8),
+            ("approx_bf16", True, True, False, N * F * 2 + N * 8),
+            # int8 scan + exact rescore: the scan reads N·(F+8) bytes;
+            # the rescore gather (~cand·256 rows) is noise at this N.
+            ("int8_rescored", True, False, True, N * (F + 8)),
         ):
             ms1, qps1 = _device_time_protocol(
                 jax, jnp, aspace, data, n_batches=32,
-                approx=approx, quantized=quantized,
+                approx=approx, quantized=quantized, int8=int8,
             )
             ms2, qps2 = _device_time_protocol(
                 jax, jnp, aspace, data, n_batches=32,
-                approx=approx, quantized=quantized,
+                approx=approx, quantized=quantized, int8=int8,
             )
             ms = min(ms1, ms2)
             dt[name] = {
