@@ -28,8 +28,6 @@ semantics) to corpora beyond one device.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
