@@ -379,6 +379,19 @@ class ArrowSpace:
         self._data_i8 = None
         self._i8_mult = None
 
+    def superpose_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
+        """Elementwise ``item[a] += item[b]`` + λ recompute — the
+        reference's two-index ``add_items`` (core.rs:1010-1043; renamed
+        here because :meth:`add_items` is the incremental append API)."""
+        if not (0 <= a < self.nitems and 0 <= b < self.nitems):
+            raise ValueError(f"item indices out of bounds: a={a}, b={b}")
+        self.data = self.data.at[a].set(self.data[a] + self.data[b])
+        self._norms = None
+        self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
+        self.recompute_lambdas(gl)
+
     def mul_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
         """Elementwise ``item[a] *= item[b]`` + λ recompute (core.rs:1045)."""
         if not (0 <= a < self.nitems and 0 <= b < self.nitems):
