@@ -58,6 +58,19 @@ class Edge:
     thickness_v: float
     cost: float
 
+    def contains(self, node: int) -> bool:
+        """Edge endpoint membership (mst.rs Edge helper)."""
+        return node == self.u or node == self.v
+
+    def other(self, node: int):
+        """The opposite endpoint, or None if ``node`` is not on the edge
+        (mst.rs Edge helper)."""
+        if node == self.u:
+            return self.v
+        if node == self.v:
+            return self.u
+        return None
+
 
 @dataclasses.dataclass
 class MSTOutput:
