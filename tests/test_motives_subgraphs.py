@@ -352,3 +352,120 @@ def test_motives_eigen_vs_energy_consistency():
 
     # The clique families the two variants identify must overlap.
     assert majority_labels(motifs_en) & majority_labels(motifs_ei)
+
+
+# ---------------------------------------------------------------------------
+# Energy-subgraph suite over a real energy build
+# (src_legacy/subgraphs/tests/test_subg_motives.rs:65-400)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def energy_built_cliques():
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_cliques_multi
+
+    data = make_gaussian_cliques_multi(300, 0.3, 6, 24, seed=999).astype(
+        np.float32
+    )
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(999)
+        .with_lambda_graph(1.0, 8)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=30, radius=30.0)
+        .with_dims_reduction(True)
+        .with_sampling(None)
+        .with_expected_items(len(data))
+    )
+    aspace, gl_energy = b.build_energy(data)
+    return aspace, gl_energy
+
+
+def _energy_subgraphs(aspace, gl_energy, rayleigh_max=None, min_size=5):
+    cfg = sg.SubgraphConfig(
+        motives=mv.MotiveConfig(
+            top_l=18, min_triangles=1, min_clust=0.15, max_motif_size=30,
+            max_sets=60, jaccard_dedup=0.65,
+        ),
+        rayleigh_max=rayleigh_max,
+        min_size=min_size,
+    )
+    return sg.spot_subg_motives(gl_energy, aspace, cfg), cfg
+
+
+def test_spot_subgraphs_energy_basic(energy_built_cliques):
+    # test_subg_motives.rs:65-130 — shape/population invariants on every
+    # extracted energy subgraph.
+    aspace, gl_energy = energy_built_cliques
+    subgraphs, _ = _energy_subgraphs(aspace, gl_energy)
+    if not subgraphs:
+        pytest.skip("no subgraphs at this config (allowed by the reference)")
+    f_parent = gl_energy.init_data.shape[0]
+    for s in subgraphs:
+        f_dim, x_motif = s.laplacian.init_data.shape
+        assert f_dim == f_parent
+        assert s.laplacian.nnodes == x_motif, (
+            "nnodes must equal number of motif centroids"
+        )
+        assert len(s.node_indices) == x_motif
+        assert s.laplacian.matrix.shape == (f_dim, f_dim)
+        assert s.laplacian.nnz(tol=1e-12) > 0, "subgraph should have edges"
+        assert s.item_indices is not None, (
+            "energy subgraphs must carry item_indices"
+        )
+
+
+def test_spot_subgraphs_energy_with_item_mapping(energy_built_cliques):
+    # test_subg_motives.rs:133-209 — centroid indices within the parent
+    # graph's node range, item indices within the ArrowSpace range.
+    aspace, gl_energy = energy_built_cliques
+    subgraphs, _ = _energy_subgraphs(aspace, gl_energy, min_size=3)
+    if not subgraphs:
+        pytest.skip("no subgraphs at this config (allowed by the reference)")
+    n_parent = gl_energy.init_data.shape[1]
+    for s in subgraphs:
+        for node_idx in s.node_indices:
+            assert 0 <= node_idx < n_parent, (
+                f"centroid index {node_idx} out of range"
+            )
+        assert s.item_indices is not None
+        for item_idx in s.item_indices:
+            assert 0 <= item_idx < aspace.nitems, (
+                f"item index {item_idx} out of range"
+            )
+
+
+def test_subgraph_energy_rayleigh_filter(energy_built_cliques):
+    # test_subg_motives.rs:288-334 — a stricter Rayleigh cap never yields
+    # MORE subgraphs, and every survivor respects its cap.
+    aspace, gl_energy = energy_built_cliques
+    strict, _ = _energy_subgraphs(aspace, gl_energy, rayleigh_max=0.15)
+    relaxed, _ = _energy_subgraphs(aspace, gl_energy, rayleigh_max=0.5)
+    assert len(relaxed) >= len(strict), (
+        "relaxed Rayleigh filter should yield at least as many subgraphs"
+    )
+    for s in strict:
+        assert s.rayleigh is not None and s.rayleigh <= 0.15
+    for s in relaxed:
+        assert s.rayleigh is not None and s.rayleigh <= 0.5
+
+
+def test_subgraph_structure_clique_data(energy_built_cliques):
+    # test_subg_motives.rs:335-400 — clique-structured data yields
+    # subgraphs with >= 2 centroids, >= min_size items, and item count
+    # >= centroid count (many items per centroid).
+    aspace, gl_energy = energy_built_cliques
+    subgraphs, cfg = _energy_subgraphs(aspace, gl_energy, min_size=8)
+    if not subgraphs:
+        pytest.skip("no subgraphs with these strict parameters (allowed)")
+    for i, s in enumerate(subgraphs):
+        _, x_centroids = s.laplacian.init_data.shape
+        assert x_centroids >= 2, f"subgraph {i} needs >= 2 centroids"
+        assert s.item_indices is not None
+        assert len(s.item_indices) >= cfg.min_size, (
+            f"subgraph {i} should have at least min_size items"
+        )
+        assert len(s.item_indices) >= x_centroids, (
+            f"subgraph {i} should have at least as many items as centroids"
+        )
