@@ -469,3 +469,105 @@ def test_subgraph_structure_clique_data(energy_built_cliques):
         assert len(s.item_indices) >= x_centroids, (
             f"subgraph {i} should have at least as many items as centroids"
         )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-hierarchy classes over real builds
+# (src_legacy/subgraphs/tests/test_subg_centroids.rs:152-388)
+# ---------------------------------------------------------------------------
+
+
+def _built_centroid_graph(n, noise, seed, eps=1.0, k=10):
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_hd
+
+    data = make_gaussian_hd(n, noise).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_seed(seed)
+        .with_lambda_graph(eps, k, 2.0, None)
+        .with_sparsity_check(False)
+    )
+    aspace, gl = b.build(data)
+    return aspace, gl
+
+
+def test_centroid_subgraphs_min_centroids_cutoff():
+    # test_subg_centroids.rs:152-200 — min_centroids above the root size
+    # leaves only the root subgraph; deeper levels stay empty.
+    aspace, gl = _built_centroid_graph(60, 0.5, seed=7, k=6)
+    x0 = gl.init_data.shape[1]
+    params = sg.CentroidGraphParams(
+        eps=1.0, k=4, topk=4, min_centroids=x0 + 1, max_depth=3,
+        sparsity_check=False, seed=1,
+    )
+    subgraphs = sg.spot_subg_centroids(gl, aspace, params)
+    assert len(subgraphs) == 1, (
+        "only the root should survive when min_centroids > root size"
+    )
+    hierarchy = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert hierarchy.count_subgraphs() == 1
+    for depth in range(1, len(hierarchy.levels)):
+        assert not hierarchy.levels[depth], (
+            f"expected no nodes at depth {depth}"
+        )
+
+
+def test_recluster_centroids_reference_properties():
+    # test_subg_centroids.rs:203-229 — label range and output shapes.
+    cents = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [2.0, 2.0]],
+        np.float32,
+    )
+    labels, means = sg.recluster_centroids(cents, 3)
+    assert len(labels) == 5
+    k_eff, d = means.shape
+    assert k_eff == min(3, 5) and d == 2
+    assert all(0 <= int(c) < k_eff for c in labels)
+
+
+def test_centroid_subgraphs_two_levels():
+    # test_subg_centroids.rs:230-278 — a nested hierarchy materializes a
+    # non-empty level 1 with consistent per-subgraph shapes.
+    aspace, gl = _built_centroid_graph(120, 0.3, seed=99)
+    params = sg.CentroidGraphParams(
+        eps=1.0, k=4, topk=4, min_centroids=3, max_depth=2,
+        sparsity_check=False, seed=1234,
+    )
+    hierarchy = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert hierarchy.level(1), "expected non-empty level 1"
+    for s in hierarchy.all_subgraphs():
+        f_sg, x_sg = s.laplacian.init_data.shape
+        assert s.laplacian.nnodes == x_sg
+        assert f_sg > 0
+
+
+def test_centroid_subgraphs_three_levels():
+    # test_subg_centroids.rs:279-339 — three-deep recursion keeps the
+    # F×F matrix / [F, X] init-data / nnodes invariants at every node.
+    aspace, gl = _built_centroid_graph(200, 0.25, seed=123, k=12)
+    params = sg.CentroidGraphParams(
+        eps=1.0, k=3, topk=3, min_centroids=3, max_depth=3,
+        sparsity_check=False, seed=5,
+    )
+    hierarchy = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert hierarchy.level(0), "root level must be non-empty"
+    assert hierarchy.level(1), "level 1 should be non-empty"
+    for i, s in enumerate(hierarchy.all_subgraphs()):
+        f_sg, x_sg = s.laplacian.init_data.shape
+        assert x_sg > 0 and f_sg > 0
+        assert s.laplacian.nnodes == x_sg, f"subgraph {i} nnodes"
+        assert s.laplacian.matrix.shape == (f_sg, f_sg)
+
+
+def test_centroid_subgraphs_flat_vs_hierarchy():
+    # test_subg_centroids.rs:340-388 — flat and hierarchy APIs agree.
+    aspace, gl = _built_centroid_graph(100, 0.3, seed=555)
+    params = sg.CentroidGraphParams(
+        eps=1.0, k=4, topk=4, min_centroids=3, max_depth=2,
+        sparsity_check=False, seed=999,
+    )
+    flat = sg.spot_subg_centroids(gl, aspace, params)
+    hierarchy = sg.build_centroid_hierarchy(gl, aspace, params)
+    assert len(flat) == len(hierarchy.all_subgraphs())
+    assert len(flat) == hierarchy.count_subgraphs()
