@@ -379,6 +379,17 @@ class ArrowSpace:
         self._data_i8 = None
         self._i8_mult = None
 
+    def max_lambda_tie_group(self) -> int:
+        """Largest equal-λ run (f32): sizes the banded energy search's
+        ``candidates`` window — parity with the full scan needs the window
+        to cover the tie group straddling rank k (energy-mode λ is
+        quantized to sub-centroid values, so runs are ~N/n_subcentroids)."""
+        lam = np.asarray(self.lambdas, np.float32)
+        if lam.size == 0:
+            return 0
+        _, counts = np.unique(lam, return_counts=True)
+        return int(counts.max())
+
     def superpose_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
         """Elementwise ``item[a] += item[b]`` + λ recompute — the
         reference's two-index ``add_items`` (core.rs:1010-1043; renamed

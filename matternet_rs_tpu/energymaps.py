@@ -485,14 +485,66 @@ def _batched_energy_search_jit(X, norms, lambdas, sub_c, sc_lams, Q, Qe, k, appr
     return jax.vmap(one)(Q, q_lams)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cand"))
+def _batched_energy_banded_jit(
+    X, norms, s_lam, s_idx, sub_c, sc_lams, Q, Qe, k, cand
+):
+    """Banded two-stage energy search in ONE program.
+
+    The energy ranking's primary key is |Δλ| (energymaps.rs:628-674), and
+    items nearest a query λ form a CONTIGUOUS window of the sorted-λ order
+    — so stage 1 is ``searchsorted`` + a clamped ``2·cand`` window (exact
+    top-``cand`` by λ-distance: the globally nearest ``cand`` items all lie
+    within ``cand`` positions of the insertion point on either side).
+    Stage 2 gathers only the window rows for the exact scoring —
+    ``B·2·cand·F`` HBM traffic instead of the full ``[N, F]`` corpus read
+    the single-pass kernel pays per batch. Result parity with the full
+    scan holds whenever the window covers the equal-λ tie group straddling
+    rank ``k`` (energy-mode λ is quantized to sub-centroid values, so tie
+    groups are ~``N/n_subcentroids`` items — size ``cand`` accordingly;
+    :meth:`ArrowSpace.max_lambda_tie_group` reports the worst case)."""
+    d = (
+        jnp.sum(Qe * Qe, axis=-1, keepdims=True)
+        + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
+        - 2.0 * mm(Qe, sub_c.T)
+    )
+    q_lams = sc_lams[jnp.argmin(d, axis=1)]                  # [B]
+
+    n = s_lam.shape[0]
+    pos = jnp.searchsorted(s_lam, q_lams).astype(jnp.int32)  # [B]
+    start = jnp.clip(pos - cand, 0, n - 2 * cand)
+    win = start[:, None] + jnp.arange(2 * cand, dtype=jnp.int32)[None, :]
+    # Score the WHOLE window exactly (not a λ-only top-C of it): energy-mode
+    # λ is quantized to sub-centroid values, so equal-λ tie groups are large
+    # and a λ-only reduction would pick arbitrary tie members before the
+    # cosine tie-break can rank them.
+    ids = s_idx[win]                                         # [B, 2C]
+    lam_d = jnp.abs(q_lams[:, None] - s_lam[win])            # [B, 2C]
+
+    XU = X[ids]                                              # [B, 2C, F]
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))
+    dots = jnp.einsum(
+        "bf,bcf->bc", Q, XU, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    cosine = dots / (qn[:, None] * norms[ids] + 1e-9)
+    scores = lam_d + jnp.where(lam_d < 1e-9, (1.0 - cosine) * 1e-9, 0.0)
+    top, sel2 = jax.lax.top_k(-scores, k)
+    return jnp.take_along_axis(ids, sel2, axis=1), -top
+
+
 def search_energy_batch(
     aspace: ArrowSpace, queries, gl_energy: GraphLaplacian, k: int,
-    approx: bool = False,
+    approx: bool = False, candidates: int | str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched energy search: one fused dispatch prepares every query's λ
     (nearest-sub-centroid matmul) and runs the λ-distance top-k scan —
     the TPU-idiomatic serving path (amortizes the corpus read across the
     batch; the serial path pays a host round-trip per query).
+    ``candidates=C`` routes to the banded two-stage program (sorted-λ
+    ``searchsorted`` window → exact top-C by |Δλ| → gather-and-tie-break):
+    ~``N·F/(B·C·F)``× less HBM read than the full scan, exact under the
+    λ-tie boundary contract (see ``_batched_energy_banded_jit``).
     Returns ``(indices [B, k], distances [B, k])`` ascending."""
     if aspace.sub_centroids is None or aspace.subcentroid_lambdas is None:
         raise ValueError("not an energy-mode index (no sub-centroids)")
@@ -518,12 +570,45 @@ def search_energy_batch(
             f"sub-centroid dimension {aspace.sub_centroids.shape[-1]}"
         )
     kk = min(k, aspace.nitems)
+    if candidates is not None:
+        if candidates == "auto":
+            # Safe-by-default sizing: parity with the full scan needs the
+            # window to cover any equal-λ tie group straddling rank k.
+            cand = aspace.max_lambda_tie_group() + kk
+        else:
+            cand = max(int(candidates), kk)
+        if 2 * cand <= aspace.nitems:
+            s_lam, s_idx = _sorted_lambda_arrays(aspace)
+            idx, dist = _batched_energy_banded_jit(
+                aspace.data, aspace.item_norms, s_lam, s_idx,
+                aspace.sub_centroids,
+                jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
+                Q, Qe, kk, cand,
+            )
+            return np.asarray(idx)[:b], np.asarray(dist)[:b]
+        # Window would cover the whole corpus — the full scan is cheaper.
     idx, dist = _batched_energy_search_jit(
         aspace.data, aspace.item_norms, aspace.lambdas,
         aspace.sub_centroids, jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
         Q, Qe, kk, approx,
     )
     return np.asarray(idx)[:b], np.asarray(dist)[:b]
+
+
+def _sorted_lambda_arrays(aspace: ArrowSpace):
+    """Device ``(sorted λ [N], item index per position [N])`` for the banded
+    energy path, building the sorted index on first use."""
+    from matternet_rs_tpu.index.sorted import DeviceSortedLambdas
+
+    if aspace.lambdas_sorted is None:
+        aspace.build_lambdas_sorted()
+    sl = aspace.lambdas_sorted
+    if isinstance(sl, DeviceSortedLambdas):
+        return sl.sorted_lambdas_dev, sl.sorted_indices_dev
+    return (
+        jnp.asarray(sl.sorted_lambdas, jnp.float32),
+        jnp.asarray(sl.sorted_indices, jnp.int32),
+    )
 
 
 @jax.jit

@@ -69,10 +69,14 @@ class IndexService:
     """
 
     def __init__(self, aspace: ArrowSpace, gl: GraphLaplacian,
-                 batch_window_ms: float = 2.0, max_batch: int = 64):
+                 batch_window_ms: float = 2.0, max_batch: int = 64,
+                 energy_candidates=None):
         self.aspace = aspace
         self.gl = gl
         self._nfeatures = aspace.nfeatures
+        # Banded two-stage energy dispatch: int window, "auto", or None for
+        # the single-pass full scan (energymaps.search_energy_batch).
+        self.energy_candidates = energy_candidates
         self._init_batching(batch_window_ms, max_batch)
 
     def _init_batching(self, batch_window_ms: float, max_batch: int) -> None:
@@ -198,7 +202,8 @@ class IndexService:
                 from matternet_rs_tpu import energymaps
 
                 idx, dist = energymaps.search_energy_batch(
-                    self.aspace, Q, self.gl, k, approx=approx
+                    self.aspace, Q, self.gl, k, approx=approx,
+                    candidates=self.energy_candidates,
                 )
                 for p, row_i, row_d in zip(members, idx, dist):
                     p.result = [

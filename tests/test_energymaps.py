@@ -372,3 +372,130 @@ def test_energy_search_scores_finite_high_dim(built):
     res = em.search_energy(aspace, data[2], gl, k=8)
     assert len(res) == 8
     assert all(np.isfinite(d) for _, d in res)
+
+
+# ---------------------------------------------------------------------------
+# Banded two-stage energy batch search (searchsorted window on the sorted-λ
+# index → exact top-C by |Δλ| → gather + cosine tie-break). TPU-native
+# upgrade of energymaps.rs:628-674's scan: same ranking contract, a
+# B·C·F gather instead of the full [N, F] corpus read per batch.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_energy_index(n=4096, f=32, n_sub=64, seed=0):
+    """Energy-mode-shaped ArrowSpace with CONTROLLED λ tie groups
+    (~n/n_sub items per sub-centroid λ), bypassing the builder so the
+    banded window can be sized decisively."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.core import ArrowSpace
+
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(n, f)).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    sub_c = rng.normal(size=(n_sub, f)).astype(np.float32)
+    sc_lams = np.sort(rng.uniform(0.0, 1.0, n_sub)).astype(np.float32)
+    assign = rng.integers(0, n_sub, n)
+    aspace.sub_centroids = jnp.asarray(sub_c)
+    aspace.subcentroid_lambdas = jnp.asarray(sc_lams)
+    aspace.lambdas = jnp.asarray(sc_lams[assign])
+    aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
+    aspace.lam_min, aspace.lam_range = 0.0, 1.0
+    return aspace, data
+
+
+def test_energy_banded_matches_full_scan_controlled_ties():
+    # Kernel parity contract on controlled tie groups: window covers the
+    # largest equal-λ run, so banded == full scan item-for-item.
+    aspace, data = _synthetic_energy_index()
+    rng = np.random.default_rng(3)
+    Q = (
+        data[rng.integers(0, len(data), 16)]
+        + rng.normal(0, 0.05, (16, data.shape[1]))
+    ).astype(np.float32)
+    cand = aspace.max_lambda_tie_group() + 10
+    assert 2 * cand <= aspace.nitems, "tie groups must be small by design"
+    ref_idx, ref_d = em.search_energy_batch(aspace, Q, None, 10)
+    got_idx, got_d = em.search_energy_batch(
+        aspace, Q, None, 10, candidates=cand
+    )
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-6, atol=1e-9)
+
+
+def test_energy_banded_auto_is_always_parity(built):
+    # candidates="auto" sizes the window from max_lambda_tie_group() and
+    # falls back to the full scan when banding cannot cover it — parity
+    # holds unconditionally, including on this tie-dense real build.
+    aspace, gl, data = built
+    rng = np.random.default_rng(3)
+    Q = (
+        data[rng.integers(0, len(data), 8)]
+        + rng.normal(0, 0.05, (8, data.shape[1]))
+    ).astype(np.float32)
+    ref_idx, ref_d = em.search_energy_batch(aspace, Q, gl, 10)
+    got_idx, got_d = em.search_energy_batch(
+        aspace, Q, gl, 10, candidates="auto"
+    )
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-6, atol=1e-9)
+
+
+def test_energy_banded_auto_on_spread_corpus_engages_banding():
+    # On a spread corpus auto-sizing actually bands (2·cand << N) and
+    # stays exact.
+    aspace, data = _synthetic_energy_index(n=8192, n_sub=256, seed=4)
+    cand_auto = aspace.max_lambda_tie_group() + 10
+    assert 2 * cand_auto < aspace.nitems // 4, "banding should engage"
+    Q = data[:8]
+    ref_idx, ref_d = em.search_energy_batch(aspace, Q, None, 10)
+    got_idx, got_d = em.search_energy_batch(
+        aspace, Q, None, 10, candidates="auto"
+    )
+    np.testing.assert_array_equal(got_idx, ref_idx)
+
+
+def test_energy_banded_self_retrieval(built):
+    aspace, gl, data = built
+    idx, dist = em.search_energy_batch(
+        aspace, data[:8], gl, 5, candidates=32
+    )
+    # Self-queries: distances ascending, and the self item appears in the
+    # top hits (λ-distance 0 with cosine tie-break favouring itself).
+    assert np.all(np.diff(dist, axis=1) >= -1e-9)
+    for i in range(8):
+        assert i in idx[i], f"self item {i} missing from banded top-5"
+
+
+def test_energy_banded_extreme_lambda_queries(built):
+    # Window clamping at the sorted-λ boundaries: queries whose λ lands at
+    # the extremes still return k valid ascending results that match the
+    # full scan.
+    aspace, gl, data = built
+    lam = np.asarray(aspace.lambdas)
+    lo_q = data[int(np.argmin(lam))]
+    hi_q = data[int(np.argmax(lam))]
+    Q = np.stack([lo_q, hi_q])
+    ref_idx, ref_d = em.search_energy_batch(aspace, Q, gl, 7)
+    got_idx, got_d = em.search_energy_batch(aspace, Q, gl, 7, candidates=40)
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-6, atol=1e-9)
+
+
+def test_energy_banded_small_corpus_falls_back(built):
+    # 2·candidates > N routes to the full scan (identical results, no
+    # window underflow).
+    aspace, gl, data = built
+    ref_idx, ref_d = em.search_energy_batch(aspace, data[:4], gl, 5)
+    got_idx, got_d = em.search_energy_batch(
+        aspace, data[:4], gl, 5, candidates=aspace.nitems
+    )
+    np.testing.assert_array_equal(got_idx, ref_idx)
+
+
+def test_energy_banded_candidates_floor_at_k(built):
+    # candidates < k is bumped to k — still returns k results.
+    aspace, gl, data = built
+    idx, dist = em.search_energy_batch(aspace, data[:3], gl, 8, candidates=2)
+    assert idx.shape == (3, 8)
+    assert np.all(np.diff(dist, axis=1) >= -1e-9)

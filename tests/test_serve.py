@@ -519,3 +519,46 @@ def test_streaming_serve_energy_store_sketch(tmp_path):
     finally:
         srv.shutdown()
         svc.close()
+
+
+def test_energy_endpoint_banded_candidates(tmp_path_factory):
+    """IndexService(energy_candidates="auto") serves the banded two-stage
+    energy dispatch with full-scan parity (auto falls back when tie groups
+    are too large to band)."""
+    import concurrent.futures
+
+    from matternet_rs_tpu.serve import IndexService, serve as serve_fn
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(300, 16, seed=9).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=24, radius=25.0)
+        .with_dims_reduction(True)
+        .with_expected_items(len(data))
+    )
+    aspace, gl = b.build_energy(data)
+    ref = IndexService(aspace, gl)
+    banded = IndexService(aspace, gl, energy_candidates="auto")
+    srv_ref = serve_fn(ref, port=0, block=False)
+    srv_band = serve_fn(banded, port=0, block=False)
+    base_ref = f"http://127.0.0.1:{srv_ref.server_address[1]}"
+    base_band = f"http://127.0.0.1:{srv_band.server_address[1]}"
+    try:
+        def one(base, i):
+            return _post(base + "/search_energy",
+                         {"query": data[i].tolist(), "k": 5})
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            got_ref = list(ex.map(lambda i: one(base_ref, i), range(8)))
+            got_band = list(ex.map(lambda i: one(base_band, i), range(8)))
+        for (c1, d1), (c2, d2) in zip(got_ref, got_band):
+            assert c1 == 200 and c2 == 200
+            assert [r["index"] for r in d1["results"]] == [
+                r["index"] for r in d2["results"]
+            ]
+    finally:
+        srv_ref.shutdown()
+        srv_band.shutdown()
