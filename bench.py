@@ -418,6 +418,53 @@ def bench_energy(jax, jnp, N, F, extra):
     }
 
 
+def bench_energy_banded_1m(jax, jnp, extra):
+    """Banded vs full-scan energy search at 1M×128 on a spread synthetic
+    energy-shaped index (λ quantized to 2048 sub-centroid values — the
+    regime the banded window is built for). Measures the serving kernels
+    only: the index shape is what `build_energy` produces, constructed
+    directly so the comparison isn't gated on a 1M energy build."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.core import ArrowSpace
+
+    N, F, S = int(os.environ.get("BENCH_EB_N", 1_000_000)), 128, 2048
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(N, F)).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    sub_c = rng.normal(size=(S, F)).astype(np.float32)
+    sc_l = np.sort(rng.uniform(0.0, 1.0, S)).astype(np.float32)
+    assign = rng.integers(0, S, N)
+    aspace.sub_centroids = jnp.asarray(sub_c)
+    aspace.subcentroid_lambdas = jnp.asarray(sc_l)
+    aspace.lambdas = jnp.asarray(sc_l[assign])
+    aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
+
+    Q = data[rng.integers(0, N, 256)]
+    out = {"n_items": N, "n_subcentroids": S,
+           "max_lambda_tie_group": aspace.max_lambda_tie_group()}
+    ref_idx = got_idx = None
+    for tag, kwargs in (("full_scan", {}), ("banded_auto",
+                                            {"candidates": "auto"})):
+        idx, _ = em.search_energy_batch(aspace, Q, None, K, **kwargs)  # warm
+        if tag == "full_scan":
+            ref_idx = idx
+        else:
+            got_idx = idx
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            em.search_energy_batch(aspace, Q, None, K, **kwargs)
+        dt = (time.perf_counter() - t0) / reps
+        out[f"{tag}_qps_batch256"] = round(256 / dt, 1)
+        out[f"{tag}_ms_batch256"] = round(dt * 1e3, 2)
+    out["banded_matches_full_scan"] = bool(np.array_equal(ref_idx, got_idx))
+    out["banded_speedup"] = round(
+        out["banded_auto_qps_batch256"] / max(out["full_scan_qps_batch256"],
+                                              1e-9), 2,
+    )
+    extra["energy_banded_1m"] = out
+
+
 def bench_spectral_quality(jax, jnp, extra):
     """Spectral-embedding quality: LOBPCG vs dense eigensolver accuracy and
     neighbor-label preservation of the item-graph eigenmap embedding
@@ -1111,6 +1158,7 @@ def main():
         ("build100k", bench_build_throughput_100k, (jax, jnp, extra)),
         ("distparity", bench_distributed_parity, (jax, jnp, extra)),
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
+        ("energy_banded", bench_energy_banded_1m, (jax, jnp, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),
         ("blend", bench_blend_quality, (jax, jnp, extra)),
         ("largef", bench_largef, (jax, jnp, extra)),
