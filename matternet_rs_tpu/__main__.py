@@ -113,7 +113,15 @@ def cmd_serve(args) -> None:
             args.index_dir, sketch=not args.no_sketch, mesh=mesh
         )
     else:
-        service = IndexService.from_storage(args.index_dir, args.name)
+        ec = getattr(args, "energy_candidates", None)
+        if ec and ec != "auto":
+            ec = int(ec)
+        from matternet_rs_tpu.storage import parquet as pq
+
+        service = IndexService(
+            *pq.load_arrowspace(args.index_dir, args.name),
+            energy_candidates=ec or None,
+        )
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **service.info()}))
     serve(service, args.host, args.port)
@@ -254,6 +262,11 @@ def main(argv=None) -> None:
         "--mesh", type=int, default=0, metavar="D",
         help="with --streaming: shard the sketch over a D-device mesh "
              "(sketches bigger than one chip's HBM)",
+    )
+    pv.add_argument(
+        "--energy-candidates", default=None, metavar="C",
+        help="banded two-stage /search_energy dispatch: window size C or "
+             "'auto' (falls back to the full scan on tie-dense corpora)",
     )
     pv.set_defaults(fn=cmd_serve)
 
