@@ -457,7 +457,13 @@ def bench_energy_banded_1m(jax, jnp, extra):
         dt = (time.perf_counter() - t0) / reps
         out[f"{tag}_qps_batch256"] = round(256 / dt, 1)
         out[f"{tag}_ms_batch256"] = round(dt * 1e3, 2)
+    # Strict index equality can differ at exact cross-group |d-lambda| ties
+    # (top_k index-order vs window-order); overlap is the robust parity view.
     out["banded_matches_full_scan"] = bool(np.array_equal(ref_idx, got_idx))
+    out["banded_top10_overlap"] = round(float(np.mean([
+        len(set(ref_idx[i].tolist()) & set(got_idx[i].tolist())) / ref_idx.shape[1]
+        for i in range(ref_idx.shape[0])
+    ])), 4)
     out["banded_speedup"] = round(
         out["banded_auto_qps_batch256"] / max(out["full_scan_qps_batch256"],
                                               1e-9), 2,

@@ -104,6 +104,12 @@ def cmd_serve(args) -> None:
     )
 
     if getattr(args, "streaming", False):
+        if getattr(args, "energy_candidates", None):
+            raise SystemExit(
+                "--energy-candidates applies to stored (non-streaming) "
+                "indexes; the streaming sketch service has its own "
+                "candidate pool (see TUNING.md)"
+            )
         mesh = None
         if getattr(args, "mesh", 0):
             from matternet_rs_tpu.parallel import make_mesh
@@ -116,11 +122,8 @@ def cmd_serve(args) -> None:
         ec = getattr(args, "energy_candidates", None)
         if ec and ec != "auto":
             ec = int(ec)
-        from matternet_rs_tpu.storage import parquet as pq
-
-        service = IndexService(
-            *pq.load_arrowspace(args.index_dir, args.name),
-            energy_candidates=ec or None,
+        service = IndexService.from_storage(
+            args.index_dir, args.name, energy_candidates=ec or None
         )
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **service.info()}))

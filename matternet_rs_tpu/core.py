@@ -374,21 +374,39 @@ class ArrowSpace:
                 f"item values must be shape ({self.nfeatures},), got {v.shape}"
             )
         self.data = self.data.at[i].set(v)
-        self._norms = None
-        self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._invalidate_row_caches()
 
     def max_lambda_tie_group(self) -> int:
         """Largest equal-λ run (f32): sizes the banded energy search's
         ``candidates`` window — parity with the full scan needs the window
         to cover the tie group straddling rank k (energy-mode λ is
-        quantized to sub-centroid values, so runs are ~N/n_subcentroids)."""
+        quantized to sub-centroid values, so runs are ~N/n_subcentroids).
+        Cached per λ array (``candidates="auto"`` sits on the serving hot
+        path; λ arrays are replaced, never mutated in place)."""
+        self._require_lambdas()
+        cache = getattr(self, "_tie_group_cache", None)
+        if cache is not None and cache[0] == id(self.lambdas):
+            return cache[1]
         lam = np.asarray(self.lambdas, np.float32)
         if lam.size == 0:
-            return 0
-        _, counts = np.unique(lam, return_counts=True)
-        return int(counts.max())
+            out = 0
+        else:
+            _, counts = np.unique(lam, return_counts=True)
+            out = int(counts.max())
+        self._tie_group_cache = (id(self.lambdas), out)
+        return out
+
+    def _invalidate_row_caches(self) -> None:
+        """Drop every derived-from-``data`` cache after a row mutation and
+        refresh the energy-mode ``item_norms`` (search_energy's cosine
+        tie-break reads them; a stale norm mis-ranks the mutated item
+        inside its equal-λ group)."""
+        self._norms = None
+        self._data_bf16 = None
+        self._data_i8 = None
+        self._i8_mult = None
+        if self.item_norms is not None:
+            self.item_norms = jnp.sqrt(jnp.sum(self.data * self.data, axis=1))
 
     def superpose_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
         """Elementwise ``item[a] += item[b]`` + λ recompute — the
@@ -397,10 +415,7 @@ class ArrowSpace:
         if not (0 <= a < self.nitems and 0 <= b < self.nitems):
             raise ValueError(f"item indices out of bounds: a={a}, b={b}")
         self.data = self.data.at[a].set(self.data[a] + self.data[b])
-        self._norms = None
-        self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._invalidate_row_caches()
         self.recompute_lambdas(gl)
 
     def mul_items(self, a: int, b: int, gl: GraphLaplacian) -> None:
@@ -408,10 +423,7 @@ class ArrowSpace:
         if not (0 <= a < self.nitems and 0 <= b < self.nitems):
             raise ValueError(f"item indices out of bounds: a={a}, b={b}")
         self.data = self.data.at[a].set(self.data[a] * self.data[b])
-        self._norms = None
-        self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._invalidate_row_caches()
         self.recompute_lambdas(gl)
 
     def scale_item(self, a: int, scalar: float, gl: GraphLaplacian) -> None:
@@ -419,10 +431,7 @@ class ArrowSpace:
         if not 0 <= a < self.nitems:
             raise ValueError(f"item index out of bounds: a={a}")
         self.data = self.data.at[a].multiply(jnp.float32(scalar))
-        self._norms = None
-        self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._invalidate_row_caches()
         self.recompute_lambdas(gl)
 
     # ------------------------------------------------------------------

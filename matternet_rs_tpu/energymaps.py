@@ -502,7 +502,11 @@ def _batched_energy_banded_jit(
     scan holds whenever the window covers the equal-λ tie group straddling
     rank ``k`` (energy-mode λ is quantized to sub-centroid values, so tie
     groups are ~``N/n_subcentroids`` items — size ``cand`` accordingly;
-    :meth:`ArrowSpace.max_lambda_tie_group` reports the worst case)."""
+    :meth:`ArrowSpace.max_lambda_tie_group` reports the worst case). One
+    residual ordering nuance: when two DISTINCT λ values straddle the query
+    at exactly equal |Δλ| (an evenly-spaced λ grid), ``top_k`` breaks the
+    score tie by item index on the full scan but by window position here —
+    same distances, possibly different tied indices at the boundary."""
     d = (
         jnp.sum(Qe * Qe, axis=-1, keepdims=True)
         + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
@@ -597,7 +601,9 @@ def search_energy_batch(
 
 def _sorted_lambda_arrays(aspace: ArrowSpace):
     """Device ``(sorted λ [N], item index per position [N])`` for the banded
-    energy path, building the sorted index on first use."""
+    energy path, building the sorted index on first use. The host-backed
+    case caches its device copies per sorted-index object (serving hot
+    path: the arrays only change when the index is rebuilt)."""
     from matternet_rs_tpu.index.sorted import DeviceSortedLambdas
 
     if aspace.lambdas_sorted is None:
@@ -605,10 +611,13 @@ def _sorted_lambda_arrays(aspace: ArrowSpace):
     sl = aspace.lambdas_sorted
     if isinstance(sl, DeviceSortedLambdas):
         return sl.sorted_lambdas_dev, sl.sorted_indices_dev
-    return (
-        jnp.asarray(sl.sorted_lambdas, jnp.float32),
-        jnp.asarray(sl.sorted_indices, jnp.int32),
-    )
+    cache = getattr(aspace, "_banded_sorted_cache", None)
+    if cache is not None and cache[0] == id(sl):
+        return cache[1], cache[2]
+    s_lam = jnp.asarray(sl.sorted_lambdas, jnp.float32)
+    s_idx = jnp.asarray(sl.sorted_indices, jnp.int32)
+    aspace._banded_sorted_cache = (id(sl), s_lam, s_idx)
+    return s_lam, s_idx
 
 
 @jax.jit

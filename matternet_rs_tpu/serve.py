@@ -96,10 +96,10 @@ class IndexService:
         self._worker.start()
 
     @classmethod
-    def from_storage(cls, path, name: str = "index") -> "IndexService":
+    def from_storage(cls, path, name: str = "index", **kwargs) -> "IndexService":
         from matternet_rs_tpu.storage import parquet as pq
 
-        return cls(*pq.load_arrowspace(path, name))
+        return cls(*pq.load_arrowspace(path, name), **kwargs)
 
     def close(self) -> None:
         with self._cv:

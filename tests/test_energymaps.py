@@ -400,7 +400,9 @@ def _synthetic_energy_index(n=4096, f=32, n_sub=64, seed=0):
     aspace.subcentroid_lambdas = jnp.asarray(sc_lams)
     aspace.lambdas = jnp.asarray(sc_lams[assign])
     aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
-    aspace.lam_min, aspace.lam_range = 0.0, 1.0
+    aspace.min_lambdas, aspace.max_lambdas, aspace.range_lambdas = (
+        0.0, 1.0, 1.0
+    )
     return aspace, data
 
 
@@ -499,3 +501,25 @@ def test_energy_banded_candidates_floor_at_k(built):
     idx, dist = em.search_energy_batch(aspace, data[:3], gl, 8, candidates=2)
     assert idx.shape == (3, 8)
     assert np.all(np.diff(dist, axis=1) >= -1e-9)
+
+
+def test_mutation_refreshes_item_norms(built):
+    # Review regression: superpose_items doubled an item's magnitude but
+    # left the energy-mode item_norms cache stale, mis-ranking the item in
+    # its equal-λ tie group's cosine tie-break.
+    import copy
+
+    aspace, gl, data = built
+    sp = copy.deepcopy(aspace)
+    before = float(np.asarray(sp.item_norms)[3])
+    sp.superpose_items(3, 3, gl)        # item 3 doubles → norm doubles
+    after = float(np.asarray(sp.item_norms)[3])
+    assert after == pytest.approx(2.0 * before, rel=1e-5)
+
+
+def test_max_lambda_tie_group_requires_lambdas():
+    from matternet_rs_tpu.core import ArrowSpace
+
+    sp = ArrowSpace.from_items(np.ones((4, 3), np.float32))
+    with pytest.raises(RuntimeError, match="taumode|lambda"):
+        sp.max_lambda_tie_group()
