@@ -243,3 +243,42 @@ def test_random_distributed_energy_matches_serial(seed):
     scores = lam_dist + np.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
     order = np.lexsort((np.arange(n), scores.astype(np.float32)))[:k]
     assert [i for i, _ in dist_res] == order.tolist(), f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [2, 9, 31])
+def test_random_banded_energy_matches_full_scan(seed):
+    """Banded energy search distance parity under random corpora/λ grids:
+    distances must match the full scan exactly whenever the window covers
+    the tie groups (indices may differ only at exact cross-group |Δλ|
+    ties, so the invariant pins the distance vector)."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.core import ArrowSpace
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2000, 6000))
+    f = int(rng.choice([8, 32, 96]))
+    s = int(rng.integers(16, 200))
+    data = rng.normal(size=(n, f)).astype(np.float32)
+    aspace = ArrowSpace.from_items(data)
+    aspace.sub_centroids = jnp.asarray(
+        rng.normal(size=(s, f)).astype(np.float32)
+    )
+    sc_l = np.sort(rng.uniform(0, 1, s)).astype(np.float32)
+    assign = rng.integers(0, s, n)
+    aspace.subcentroid_lambdas = jnp.asarray(sc_l)
+    aspace.lambdas = jnp.asarray(sc_l[assign])
+    aspace.item_norms = jnp.sqrt(jnp.sum(aspace.data * aspace.data, axis=1))
+
+    Q = data[rng.integers(0, n, 8)]
+    ref_idx, ref_d = em.search_energy_batch(aspace, Q, None, 10)
+    got_idx, got_d = em.search_energy_batch(
+        aspace, Q, None, 10, candidates="auto"
+    )
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-6, atol=1e-10)
+    # Indices must agree away from exact score ties.
+    ties = np.isclose(ref_d[:, :-1], ref_d[:, 1:], rtol=0, atol=1e-12)
+    for b in range(ref_d.shape[0]):
+        if not ties[b].any():
+            np.testing.assert_array_equal(got_idx[b], ref_idx[b])
