@@ -25,6 +25,14 @@ def main():
     print("energy top-5 (ascending λ-distance):", res)
     idx, dist = energymaps.search_energy_batch(aspace, X[:4], gl, k=5)
     print("batched:", idx[:, 0].tolist())
+    # Banded serving: searchsorted window on the sorted-λ index instead of
+    # the full corpus read; "auto" sizes the window from the λ-tie
+    # structure and falls back to the full scan when banding can't pay.
+    bidx, bdist = energymaps.search_energy_batch(
+        aspace, X[:4], gl, k=5, candidates="auto"
+    )
+    print("banded :", bidx[:, 0].tolist(),
+          f"(max λ-tie group {aspace.max_lambda_tie_group()})")
     return res
 
 
