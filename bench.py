@@ -893,6 +893,11 @@ def bench_out_of_core_10m(jax, jnp, extra):
                 N * F * (2 if quant else 4) / dt / 1e9, 2
             )
             out[f"self_recall_at_10_{tag}"] = float(hits)
+        out["streamed_scan_note"] = (
+            "restreams the full on-disk corpus per batch; bounded by the "
+            "sandbox disk+tunnel floor (DESIGN.md), serving tier is the "
+            "resident_sketch below"
+        )
 
         # ---- resident-sketch search: int8 sketch scan + exact refine ----
         # The exact streamed scan above ships the whole corpus over the
