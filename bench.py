@@ -144,21 +144,9 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
 
     ``int8=True`` measures the two-stage int8-scan + exact-rescore path
     (core.py ``_batched_search_int8_jit``)."""
-    import functools
-
-    from matternet_rs_tpu.ops import search as search_ops
-
     N = data.shape[0]
     rng = np.random.default_rng(13)
     lam_np = np.asarray(aspace.lambdas)
-
-    @functools.partial(jax.jit, static_argnames=("k", "approx"))
-    def batched(X, norms, lams, qs, qls, k, approx):
-        return jax.vmap(
-            lambda q, ql: search_ops.search_lambda_aware(
-                X, norms, lams, q, ql, k, approx=approx
-            )
-        )(qs, qls)
 
     if int8:
         from matternet_rs_tpu.core import _batched_search_int8_jit
@@ -175,11 +163,20 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
                 qb, qlb, zero, one, K, cand, alphas, approx,
             )
     else:
+        # The PRODUCTION batched kernel (core._batched_search_jit): exact
+        # scans route through tile-max pruned selection above
+        # TILEMAX_MIN_N, approx through approx_max_k — the measurement is
+        # of the path serving actually dispatches.
+        from matternet_rs_tpu.core import _batched_search_jit
+
         X_d = aspace._scan_corpus(quantized)
         norms_d, lams_d = aspace.norms, aspace.lambdas
+        alphas = jnp.full((n_queries,), 0.7, jnp.float32)
 
         def run(qb, qlb):
-            return batched(X_d, norms_d, lams_d, qb, qlb, K, approx)
+            return _batched_search_jit(
+                X_d, norms_d, lams_d, qb, qlb, K, alphas, approx
+            )
 
     batches = []
     for _ in range(n_batches):

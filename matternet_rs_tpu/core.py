@@ -46,11 +46,19 @@ def _nearest_subcentroid_lambda_jit(sub_c, sc_lams, q):
     return sc_lams[jnp.argmin(d)]
 
 
+# Re-exported routing threshold (see ops/search.py for rationale).
+TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
+
+
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
 def _batched_search_jit(X, norms, lams, Q, q_lams, k, alphas, approx):
     """``alphas`` is a traced ``[B]`` vector — heterogeneous per-query
     blend weights share ONE compiled program (the serve batcher would
     otherwise fragment into a program per distinct alpha)."""
+    if not approx and X.shape[0] >= TILEMAX_MIN_N:
+        return search_ops.search_lambda_aware_tilemax(
+            X, norms, lams, Q, q_lams, k, alphas
+        )
     return jax.vmap(
         lambda q, ql, a: search_ops.search_lambda_aware(
             X, norms, lams, q, ql, k, a, approx=approx
@@ -64,6 +72,10 @@ def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alphas, a
     instead of four (sub/div/clip each cost a round-trip when eager on a
     remote-attached TPU). ``alphas`` is traced per-query (see above)."""
     q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    if not approx and X.shape[0] >= TILEMAX_MIN_N:
+        return search_ops.search_lambda_aware_tilemax(
+            X, norms, lams, Q, q_lams, k, alphas
+        )
     return jax.vmap(
         lambda q, ql, a: search_ops.search_lambda_aware(
             X, norms, lams, q, ql, k, a, approx=approx
@@ -110,6 +122,11 @@ def _batched_search_int8_jit(
     scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
     if approx and cand * 16 <= X.shape[0]:
         _, idx = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
+    elif X.shape[0] >= TILEMAX_MIN_N:
+        # Exact candidate selection at reduction cost (not sort cost) —
+        # tie substitutions at the pool boundary are absorbed by the
+        # exact rescore downstream, same as the approx branch's recall.
+        _, idx = search_ops.tilemax_topk(scores, cand)           # [B, cand]
     else:
         _, idx = jax.lax.top_k(scores, cand)                     # [B, cand]
     XU = X[idx]                                                  # [B, cand, F]

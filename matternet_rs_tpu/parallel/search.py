@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from matternet_rs_tpu.ops import taumode as tm
-from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
+from matternet_rs_tpu.ops.search import (
+    TILEMAX_MIN_N,
+    _blend,
+    _guarded_cosine,
+    tilemax_topk,
+)
 from matternet_rs_tpu.parallel.mesh import DATA_AXIS, flat_axis_index
 
 try:  # JAX ≥ 0.8
@@ -252,7 +257,12 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
         )
 
         kk = min(k, Xl.shape[0])
-        top, idx = jax.lax.top_k(scores, kk)                   # [B, kk]
+        if Xl.shape[0] >= TILEMAX_MIN_N:
+            # Exact selection at reduction cost on big shards (see
+            # ops/search.tilemax_topk); same (scores, indices) contract.
+            top, idx = tilemax_topk(scores, kk)                # [B, kk]
+        else:
+            top, idx = jax.lax.top_k(scores, kk)               # [B, kk]
         gidx = idx + row0
 
         all_s = jax.lax.all_gather(top, joint)                 # [D, B, kk]
