@@ -85,9 +85,15 @@ def main():
         bt = getattr(idx, "build_timings", None)
         if bt:
             out["build_timings"] = {k: round(v, 1) for k, v in bt.items()}
+        # Rate over rows ACTUALLY computed this run — after a crash-resume
+        # the λ pass skips finished rows, so N/build_s would overstate.
+        rows = (bt or {}).get("lambda_rows_computed", N)
+        lam_s = (bt or {}).get("lambda_pass_s", out["build_s"])
         out["lambda_pass_rows_per_sec"] = (
-            round(N / out["build_s"], 1) if out["build_s"] else None
+            round(rows / lam_s, 1) if lam_s else None
         )
+        if rows < N:
+            out["resume_skipped_rows"] = N - int(rows)
         mark(f"build done in {out['build_s']} s")
 
         # Device-resident sketch: the HBM-fit proof at 100M.
