@@ -76,21 +76,19 @@ def _qps_protocol(
 ):
     """Measured QPS with a DIFFERENT query batch per rep: the remote-TPU
     transport dedupes identical dispatches, so same-args timing loops lie."""
-    import functools
-
-    from matternet_rs_tpu.ops import search as search_ops
+    # The PRODUCTION batched kernel (core._batched_search_jit) — same
+    # routing (tilemax exact selection above TILEMAX_MIN_N, approx_max_k
+    # for approx) as the device-time protocol, so the artifact's QPS and
+    # device-time rows time the same kernel.
+    from matternet_rs_tpu.core import _batched_search_jit
 
     N = data.shape[0]
     rng = np.random.default_rng(7)
     lam_np = np.asarray(aspace.lambdas)
+    alphas = jnp.full((n_queries,), 0.7, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("k", "approx"))
     def batched(X, norms, lams, qs, qls, k, approx):
-        return jax.vmap(
-            lambda q, ql: search_ops.search_lambda_aware(
-                X, norms, lams, q, ql, k, approx=approx
-            )
-        )(qs, qls)
+        return _batched_search_jit(X, norms, lams, qs, qls, k, alphas, approx)
 
     X_d = aspace._scan_corpus(quantized)
     norms_d, lams_d = aspace.norms, aspace.lambdas

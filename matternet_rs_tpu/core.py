@@ -50,11 +50,11 @@ def _nearest_subcentroid_lambda_jit(sub_c, sc_lams, q):
 TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _batched_search_jit(X, norms, lams, Q, q_lams, k, alphas, approx):
-    """``alphas`` is a traced ``[B]`` vector — heterogeneous per-query
-    blend weights share ONE compiled program (the serve batcher would
-    otherwise fragment into a program per distinct alpha)."""
+def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
+    """Shared body of the batched-search jits: exact scans above
+    TILEMAX_MIN_N route through the tile-max pruned selection
+    (score-exact at reduction cost); otherwise the vmapped single-query
+    kernel (bit-identical to serial search, approx_max_k when asked)."""
     if not approx and X.shape[0] >= TILEMAX_MIN_N:
         return search_ops.search_lambda_aware_tilemax(
             X, norms, lams, Q, q_lams, k, alphas
@@ -64,6 +64,14 @@ def _batched_search_jit(X, norms, lams, Q, q_lams, k, alphas, approx):
             X, norms, lams, q, ql, k, a, approx=approx
         )
     )(Q, q_lams, alphas)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _batched_search_jit(X, norms, lams, Q, q_lams, k, alphas, approx):
+    """``alphas`` is a traced ``[B]`` vector — heterogeneous per-query
+    blend weights share ONE compiled program (the serve batcher would
+    otherwise fragment into a program per distinct alpha)."""
+    return _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
@@ -72,15 +80,7 @@ def _batched_search_normalized_jit(X, norms, lams, Q, raw, mn, rng, k, alphas, a
     instead of four (sub/div/clip each cost a round-trip when eager on a
     remote-attached TPU). ``alphas`` is traced per-query (see above)."""
     q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
-    if not approx and X.shape[0] >= TILEMAX_MIN_N:
-        return search_ops.search_lambda_aware_tilemax(
-            X, norms, lams, Q, q_lams, k, alphas
-        )
-    return jax.vmap(
-        lambda q, ql, a: search_ops.search_lambda_aware(
-            X, norms, lams, q, ql, k, a, approx=approx
-        )
-    )(Q, q_lams, alphas)
+    return _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx)
 
 
 @jax.jit

@@ -35,12 +35,7 @@ from matternet_rs_tpu.core import TAUDEFAULT, TauMode
 from matternet_rs_tpu.graph import GraphLaplacian, GraphParams
 from matternet_rs_tpu.ops import taumode as taumode_ops
 from matternet_rs_tpu.ops._mm import mm
-from matternet_rs_tpu.ops.search import (
-    TILEMAX_MIN_N,
-    _blend,
-    _guarded_cosine,
-    tilemax_topk,
-)
+from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
 from matternet_rs_tpu.storage import shards as shard_store
 
 INDEX_FILE = "index.json"
@@ -93,12 +88,12 @@ def _score_block_batch(X, lams, Q, q_lams, alpha, mn, rng, valid, k):
     cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
     lam_n = jnp.clip((lams - mn) / rng, 0.0, 1.0)
     scores = _blend(cos, lam_n[None, :], q_lams[:, None], alpha)
+    # Deliberately flat lax.top_k (NOT ops/search.tilemax_topk): the
+    # streamed exact scan is disk-IO-bound (~5-8 MB/s sandbox floor,
+    # DESIGN.md), so selection cost is invisible here, and flat top_k
+    # preserves the bit-identical ranking contract vs the in-memory
+    # exact scan that _merge_topk_jit and the parity suite pin.
     scores = jnp.where(jnp.arange(X.shape[0])[None, :] < valid, scores, -jnp.inf)
-    if X.shape[0] >= TILEMAX_MIN_N:
-        # Exact selection at reduction cost — streamed blocks are 262k
-        # rows, where flat top_k dominates the block's device time (see
-        # ops/search.tilemax_topk).
-        return tilemax_topk(scores, k)
     return jax.lax.top_k(scores, k)
 
 

@@ -162,6 +162,25 @@ def _scan_dots_batch(X: jax.Array, queries: jax.Array) -> jax.Array:
     return mm(queries, X.T)
 
 
+def _batched_scores(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    alphas: jax.Array,
+) -> jax.Array:
+    """Blended λ-aware score matrix ``[B, N]`` — THE batched scoring block
+    (guarded cosine + λ-proximity blend). ``alphas`` may be a scalar or a
+    per-query ``[B]`` vector."""
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
+    dots = _scan_dots_batch(X, queries)                          # [B, N]
+    cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
+    a = jnp.asarray(alphas, jnp.float32)
+    a2 = a if a.ndim == 0 else a[:, None]
+    return _blend(cos, lambdas[None, :], query_lambdas[:, None], a2)
+
+
 def tilemax_topk(
     scores: jax.Array, k: int, tile: int = 2048, margin: int = 4
 ) -> tuple[jax.Array, jax.Array]:
@@ -238,64 +257,9 @@ def search_lambda_aware_tilemax(
     serving traffic shares one program). Returns ``(indices [B, k],
     scores [B, k])``.
     """
-    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
-    dots = _scan_dots_batch(X, queries)                          # [B, N]
-    cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
-    a = jnp.asarray(alphas, jnp.float32)
-    a2 = a if a.ndim == 0 else a[:, None]
-    scores = _blend(cos, lambdas[None, :], query_lambdas[:, None], a2)
+    scores = _batched_scores(X, norms, lambdas, queries, query_lambdas, alphas)
     top, idx = tilemax_topk(scores, k, tile=tile)
     return idx, top
-
-
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
-def search_lambda_aware_batched(
-    X: jax.Array,
-    norms: jax.Array,
-    lambdas: jax.Array,
-    queries: jax.Array,
-    query_lambdas: jax.Array,
-    k: int,
-    alpha: float = 0.7,
-    tile: int = 8192,
-) -> tuple[jax.Array, jax.Array]:
-    """Batched λ-aware top-k with hierarchical (tiled) reduction — exact
-    (any global top-k member is a top-k member of its own tile).
-
-    Measured note (TPU v5e, 1M×128, 256 queries): XLA's flat ``lax.top_k``
-    beats this tiled formulation ~10× (the reshape + per-tile top_k +
-    ``take_along_axis`` gathers all materialize in HBM). Prefer
-    ``search_lambda_aware(..., approx=True)`` (``lax.approx_max_k``) for
-    throughput; this path remains for exactness at N beyond what a single
-    flat top_k can address, and as the building block for multi-pass
-    selection on hosts without approx_max_k support.
-
-    Returns ``(indices [B, k], scores [B, k])``.
-    """
-    n, f = X.shape
-    b = queries.shape[0]
-    kk = min(k, n)
-
-    qn = jnp.sqrt(jnp.sum(queries * queries, axis=1))             # [B]
-    dots = jnp.dot(
-        queries, X.T, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                                              # [B, N]
-    cos = _guarded_cosine(dots, norms[None, :] * qn[:, None])
-    scores = _blend(cos, lambdas[None, :], query_lambdas[:, None], alpha)
-
-    t = min(tile, n)
-    pad = (-n) % t
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-    nt = (n + pad) // t
-    tiled = scores.reshape(b, nt, t)
-    top_t, idx_t = jax.lax.top_k(tiled, min(kk, t))                # [B, nt, k]
-    base = (jnp.arange(nt) * t)[None, :, None]
-    gidx = (idx_t + base).reshape(b, -1)                           # [B, nt*k]
-    cand = top_t.reshape(b, -1)
-    top, sel = jax.lax.top_k(cand, kk)
-    return jnp.take_along_axis(gidx, sel, axis=1), top
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))

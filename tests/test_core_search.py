@@ -272,17 +272,18 @@ def test_search_k_nearest_by_lambda(built):
 
 
 def test_tiled_batched_search_exact_across_tiles():
-    """The hierarchical (tiled) batched top-k is EXACT at N spanning many
-    tiles — the claim round 1 left untested (VERDICT weak #7): equality
-    with a flat full-sort ground truth, including tile-boundary padding and
-    duplicate scores."""
+    """The tile-max pruned batched top-k (the production large-N exact
+    selection) is EXACT at N spanning many tiles: equality with a flat
+    full-sort ground truth, including tile-boundary padding and duplicate
+    scores (tie indices may substitute; scores must be the exact
+    multiset and the returned indices must score what they claim)."""
     import numpy as np
     import jax.numpy as jnp
 
     from matternet_rs_tpu.ops import search as search_ops
 
     rng = np.random.default_rng(0)
-    n, f, b, k, tile = 20_000 + 37, 24, 7, 10, 4096   # non-multiple of tile
+    n, f, b, k, tile = 20_000 + 37, 24, 7, 10, 1024   # non-multiple of tile
     X = rng.normal(size=(n, f)).astype(np.float32)
     X[500] = X[400]                                    # exact duplicate rows
     lambdas = rng.random(n).astype(np.float32)
@@ -291,9 +292,10 @@ def test_tiled_batched_search_exact_across_tiles():
     q_lams = rng.random(b).astype(np.float32)
 
     norms = np.linalg.norm(X, axis=1).astype(np.float32)
-    idx, sc = search_ops.search_lambda_aware_batched(
+    idx, sc = search_ops.search_lambda_aware_tilemax(
         jnp.asarray(X), jnp.asarray(norms), jnp.asarray(lambdas),
-        jnp.asarray(queries), jnp.asarray(q_lams), k, 0.7, tile=tile,
+        jnp.asarray(queries), jnp.asarray(q_lams), k,
+        jnp.float32(0.7), tile=tile,
     )
     idx, sc = np.asarray(idx), np.asarray(sc)
 
