@@ -210,31 +210,42 @@ def tilemax_topk(
     are re-sorted into id order before the gather so the final top-k
     breaks in-candidate ties by global index, like the flat kernel.
 
+    TPU measurement notes (v5e, 1M×128, 256 queries, the shapes behind
+    the constants here): the gather MUST move whole contiguous tiles
+    (``take_along_axis`` over the reshaped ``[B, nt, t]`` view) — a
+    flat-index gather of the same elements runs ~15 ns/element and is
+    slower than the flat top_k it replaces; a one-hot-matmul gather is
+    WRONG (``-inf × 0 = NaN``). Padding the score matrix materializes a
+    [B, N]-sized copy per batch, so the ragged tail is instead always
+    appended to the candidate set (its ≤ tile columns cost nothing).
+
     Returns ``(scores [B, k], indices [B, k])`` — ``lax.top_k`` order.
     """
     b, n = scores.shape
     kk = min(k, n)
     t = min(tile, n)
-    nt = -(-n // t)
-    c = min(nt, kk + margin)
-    if c * t >= n:
+    nt0 = n // t
+    c = min(nt0, kk + margin)
+    n0 = nt0 * t
+    if c * t + (n - n0) >= n:
         return jax.lax.top_k(scores, kk)
-    pad = nt * t - n
-    padded = (
-        jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        if pad else scores
-    )
-    tmax = padded.reshape(b, nt, t).max(axis=2)                  # [B, nt]
+    main = scores[:, :n0].reshape(b, nt0, t)   # view of the score buffer
+    tmax = main.max(axis=2)                                      # [B, nt0]
     _, sel = jax.lax.top_k(tmax, c)
     sel = jnp.sort(sel, axis=1)                                  # id-order ties
-    flat = (
-        sel[:, :, None] * t + jnp.arange(t)[None, None, :]
-    ).reshape(b, c * t)                                          # global ids
-    valid = flat < n
-    cand = jnp.take_along_axis(scores, jnp.minimum(flat, n - 1), axis=1)
-    cand = jnp.where(valid, cand, -jnp.inf)
+    cand = jnp.take_along_axis(
+        main, sel[:, :, None], axis=1
+    ).reshape(b, c * t)                        # contiguous tile slices
+    if n0 < n:
+        # The ragged tail is always a candidate — no score padding.
+        cand = jnp.concatenate([cand, scores[:, n0:]], axis=1)
     top, pos = jax.lax.top_k(cand, kk)
-    return top, jnp.take_along_axis(flat, pos, axis=1)
+    in_main = pos < c * t
+    tile_of = jnp.take_along_axis(
+        sel, jnp.minimum(pos, c * t - 1) // t, axis=1
+    )
+    gidx = jnp.where(in_main, tile_of * t + pos % t, n0 + pos - c * t)
+    return top, gidx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
