@@ -296,6 +296,7 @@ class StreamingIndex:
         sample_rows: int = 200_000,
         seed: int = 0,
         resume: bool = False,
+        emit_sketch: bool = False,
     ) -> "StreamingIndex":
         """Two streamed passes over the store: (1) strided row sample →
         incremental clustering → F×F graph; (2) raw λ for every row,
@@ -306,6 +307,14 @@ class StreamingIndex:
         ``resume=True`` picks up from the last whole block (a partial tail
         write is truncated) — at Deep1B scale the λ pass is hours of IO,
         and the reference has no resumable build at all.
+
+        ``emit_sketch=True`` writes ``sketch.bin``/``sketch_meta.npz``
+        DURING the λ pass (each block is already in host memory), so the
+        later :meth:`build_sketch` reads the 1-byte/elem sketch instead
+        of re-streaming the 4-byte corpus — on the IO-floor-bound sandbox
+        this removes an entire corpus pass (~20 min at 100M×96). Skipped
+        when resuming past block 0 (earlier blocks are not re-read; the
+        sketch pass in :meth:`sketch_host_buffers` covers that case).
         """
         import time as _time
 
@@ -389,6 +398,13 @@ class StreamingIndex:
         # round-trip overhead (the 7-matmul λ itself is sub-ms at
         # [262k, 96]), so overlapping roughly halves the pass.
         pending = None                         # in-flight device λ block
+        import os as _os
+
+        sk_tmp = directory / (SKETCH_FILE + ".tmp")
+        sk_tmp.unlink(missing_ok=True)         # stale tmp from a crash
+        emit = emit_sketch and done_rows == 0
+        sk_fh = open(sk_tmp, "wb") if emit else None
+        mults: list[np.ndarray] = []
         with open(lam_path, "ab") as fh:
 
             def _drain(dev) -> None:
@@ -406,12 +422,32 @@ class StreamingIndex:
                 dev = taumode_ops.taumode_lambdas_auto(
                     jnp.asarray(block), graph, taumode.mode, taumode.param
                 )
+                if sk_fh is not None:
+                    # Quantize while the λ dispatch runs on device — the
+                    # block is already in host memory, so the sketch
+                    # costs no extra corpus IO.
+                    q8, mult = _quantize_rows(np.asarray(block, np.float32))
+                    sk_fh.write(q8.tobytes())
+                    mults.append(mult)
                 if pending is not None:
                     _drain(pending)
                 pending = dev
                 offset += len(block)
             if pending is not None:
                 _drain(pending)
+        if sk_fh is not None:
+            sk_fh.close()
+            _os.replace(sk_tmp, directory / SKETCH_FILE)
+            m_tmp = directory / (SKETCH_META_FILE + ".tmp")
+            with m_tmp.open("wb") as mfh:
+                np.savez(
+                    mfh,
+                    mult=(
+                        np.concatenate(mults)
+                        if mults else np.zeros(0, np.float32)
+                    ),
+                )
+            _os.replace(m_tmp, directory / SKETCH_META_FILE)
         idx.min_lambdas = mn
         idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()

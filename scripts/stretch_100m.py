@@ -79,7 +79,7 @@ def main():
         t0 = time.perf_counter()
         idx = StreamingIndex.build_from_store(
             tmp, params, max_clusters=128, radius=25.0, block_rows=blk,
-            resume=True,
+            resume=True, emit_sketch=True,
         )
         out["build_s"] = round(time.perf_counter() - t0, 1)
         bt = getattr(idx, "build_timings", None)

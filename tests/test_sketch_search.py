@@ -291,3 +291,67 @@ def test_energy_sketch_on_eigen_store_raises(index):
     idx = index
     with pytest.raises(ValueError, match="energy-mode"):
         idx.search_energy_batch_sketch(np.zeros((1, F), np.float32), 3)
+
+
+# --------------------------------------------------------- emit_sketch fusion
+def test_emit_sketch_during_lambda_pass_matches_standalone(store, tmp_path):
+    """build_from_store(emit_sketch=True) writes sketch.bin/sketch_meta.npz
+    byte-identical to the standalone build_sketch pass, and the fused-path
+    index searches identically to one whose sketch was built separately."""
+    d, data = store
+    fused_dir = tmp_path / "fused_store"
+    shard_store.write_shards(data, fused_dir, rows_per_shard=1100)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    fused = StreamingIndex.build_from_store(
+        fused_dir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N, emit_sketch=True,
+    )
+    assert (fused_dir / SKETCH_FILE).exists()
+    assert (fused_dir / SKETCH_META_FILE).exists()
+
+    # Byte-identical to the standalone quantize pass (same _quantize_rows).
+    q8 = np.memmap(fused_dir / SKETCH_FILE, np.int8, "r", shape=(N, F))
+    want_q8, want_mult = _quantize_rows(data)
+    np.testing.assert_array_equal(np.asarray(q8), want_q8)
+    with np.load(fused_dir / SKETCH_META_FILE) as z:
+        np.testing.assert_array_equal(z["mult"], want_mult)
+
+    # build_sketch now loads from the emitted files (no corpus re-read)
+    # and searches exactly like a separately-sketched index.
+    sep = StreamingIndex.build_from_store(
+        fused_dir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N, resume=True,
+    )
+    rng = np.random.default_rng(3)
+    Q = data[rng.integers(0, N, 16)]
+    fi, fs = fused.search_batch_sketch(Q, K, candidates=N)
+    si, ss = sep.search_batch_sketch(Q, K, candidates=N)
+    np.testing.assert_array_equal(fi, si)
+    np.testing.assert_allclose(fs, ss, rtol=0, atol=0)
+
+
+def test_emit_sketch_skipped_on_resume_past_block0(store, tmp_path):
+    """Resuming past block 0 must NOT emit a sketch (earlier blocks are
+    never re-read, so the file would be incomplete)."""
+    d, data = store
+    rdir = tmp_path / "resume_store"
+    shard_store.write_shards(data, rdir, rows_per_shard=1100)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    full = StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N,
+    )
+    # Simulate a crash after 2 whole blocks: truncate the λ file.
+    lam_path = rdir / "lambdas.bin"
+    with open(lam_path, "r+b") as fh:
+        fh.truncate(2 * BLK * 4)
+    resumed = StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N, resume=True, emit_sketch=True,
+    )
+    assert not (rdir / SKETCH_FILE).exists()
+    assert resumed.build_timings["lambda_rows_computed"] == N - 2 * BLK
+    # λ file is complete and matches the uninterrupted build.
+    lam_full = np.memmap(rdir / "lambdas.bin", np.float32, "r", shape=(N,))
+    assert np.all(np.isfinite(np.asarray(lam_full)))
+    assert resumed.n_items == full.n_items
