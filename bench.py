@@ -796,13 +796,13 @@ def bench_out_of_core_10m(jax, jnp, extra):
         stream_call = [0]
         t_mark = [0.0, 0.0]
 
-        def dying_stream(directory, block_rows):
+        def dying_stream(directory, block_rows, start_row=0):
             # Call 1 is the pass-1 sampling stream — let it finish so the
             # graph checkpoint exists; the SECOND stream (the λ pass) dies
             # after `crash_after` blocks.
             stream_call[0] += 1
             t_mark[stream_call[0] - 1] = time.perf_counter()
-            inner = real_stream(directory, block_rows)
+            inner = real_stream(directory, block_rows, start_row=start_row)
             if stream_call[0] == 1:
                 return inner
 

@@ -415,10 +415,12 @@ class StreamingIndex:
                 fh.write(raw.tobytes())
                 fh.flush()
 
-            for block in shard_store.stream_blocks(directory, block_rows):
-                if offset + len(block) <= done_rows:
-                    offset += len(block)
-                    continue                   # already computed pre-crash
+            # Resume SEEKS past completed rows (done_rows is always a
+            # whole number of blocks) — their bytes are never read.
+            offset = done_rows
+            for block in shard_store.stream_blocks(
+                directory, block_rows, start_row=done_rows
+            ):
                 dev = taumode_ops.taumode_lambdas_auto(
                     jnp.asarray(block), graph, taumode.mode, taumode.param
                 )

@@ -76,7 +76,7 @@ def get_lib():
             lib.mrs_shard_reader_open.restype = ctypes.c_void_p
             lib.mrs_shard_reader_open.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
             lib.mrs_shard_reader_next.restype = ctypes.c_int64
             lib.mrs_shard_reader_next.argtypes = [
@@ -173,13 +173,20 @@ class ShardReader:
 
     Falls back to a pure-Python generator over ``np.memmap`` views when the
     native library is unavailable.
+
+    ``start_row`` starts the stream that many rows into the concatenated
+    shards — a SEEK, not a read: crash-resume skips completed blocks
+    without paying their disk IO (16 GB of re-reads at a 41%-done 100M×96
+    λ pass).
     """
 
-    def __init__(self, paths, block_rows: int, n_features: int):
+    def __init__(self, paths, block_rows: int, n_features: int,
+                 start_row: int = 0):
         self.paths = [str(p) for p in paths]
         self.block_rows = int(block_rows)
         self.f = int(n_features)
         self.row_bytes = self.f * 4
+        self.start_row = int(start_row)
         self._lib = get_lib()
         self._handle = None
         if self._lib is not None and getattr(self._lib, "_has_shard_reader", False):
@@ -187,16 +194,22 @@ class ShardReader:
                 *[p.encode() for p in self.paths]
             )
             self._handle = self._lib.mrs_shard_reader_open(
-                arr, len(self.paths), self.block_rows, self.row_bytes
+                arr, len(self.paths), self.block_rows, self.row_bytes,
+                self.start_row,
             )
         self._py_iter = None if self._handle else self._python_blocks()
 
     def _python_blocks(self):
         buf = np.empty((self.block_rows, self.f), np.float32)
         fill = 0
+        skip = self.start_row
         for p in self.paths:
             mm = np.memmap(p, dtype=np.float32).reshape(-1, self.f)
-            pos = 0
+            if skip >= len(mm):
+                skip -= len(mm)
+                continue
+            pos = skip
+            skip = 0
             while pos < len(mm):
                 take = min(self.block_rows - fill, len(mm) - pos)
                 buf[fill : fill + take] = mm[pos : pos + take]

@@ -90,15 +90,16 @@ def read_manifest(directory) -> dict:
     return json.loads((Path(directory) / MANIFEST).read_text())
 
 
-def stream_blocks(directory, block_rows: int):
+def stream_blocks(directory, block_rows: int, start_row: int = 0):
     """Iterate ``[block_rows, F]`` f32 blocks across all shards (native
-    read-ahead reader; Python memmap fallback)."""
+    read-ahead reader; Python memmap fallback). ``start_row`` seeks that
+    many rows into the stream without reading them (crash-resume)."""
     from matternet_rs_tpu.native import ShardReader
 
     directory = Path(directory)
     m = read_manifest(directory)
     paths = [directory / s["file"] for s in m["shards"]]
-    return ShardReader(paths, block_rows, m["n_features"])
+    return ShardReader(paths, block_rows, m["n_features"], start_row=start_row)
 
 
 def read_rows(directory, row_ids) -> np.ndarray:

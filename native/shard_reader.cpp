@@ -28,6 +28,7 @@ struct ShardReader {
     std::vector<std::string> paths;
     int64_t rows_per_block;
     int64_t row_bytes;
+    int64_t skip_rows = 0;   // rows to seek past before the first block
 
     // Producer state.
     std::thread producer;
@@ -44,6 +45,7 @@ struct ShardReader {
         std::vector<char> local(static_cast<size_t>(rows_per_block) * row_bytes);
         size_t file_idx = 0;
         FILE* f = nullptr;
+        int64_t skip_remaining = skip_rows;
         while (!stop.load()) {
             // Fill one block, spanning file boundaries.
             int64_t filled = 0;
@@ -53,6 +55,24 @@ struct ShardReader {
                     if (file_idx >= paths.size()) break;
                     f = std::fopen(paths[file_idx].c_str(), "rb");
                     if (f == nullptr) { fail = true; break; }
+                    if (skip_remaining > 0) {
+                        // Seek past completed rows (crash-resume): whole
+                        // files are skipped without reading a byte.
+                        std::fseek(f, 0, SEEK_END);
+                        int64_t rows_in = std::ftell(f) / row_bytes;
+                        if (rows_in <= skip_remaining) {
+                            skip_remaining -= rows_in;
+                            std::fclose(f);
+                            f = nullptr;
+                            ++file_idx;
+                            continue;
+                        }
+                        std::fseek(
+                            f,
+                            static_cast<long>(skip_remaining * row_bytes),
+                            SEEK_SET);
+                        skip_remaining = 0;
+                    }
                 }
                 size_t want = static_cast<size_t>(rows_per_block - filled) * row_bytes;
                 size_t got = std::fread(local.data() + filled * row_bytes, 1, want, f);
@@ -84,14 +104,18 @@ struct ShardReader {
 extern "C" {
 
 // Open a reader over `n_paths` raw binary files; blocks of
-// `rows_per_block` rows of `row_bytes` bytes each. Returns an opaque
-// handle (never null; check the first next() for errors).
+// `rows_per_block` rows of `row_bytes` bytes each, starting `start_row`
+// rows into the concatenated stream (0 = from the beginning; skipped
+// files are never read — crash-resume seeks, not re-reads). Returns an
+// opaque handle (never null; check the first next() for errors).
 void* mrs_shard_reader_open(const char** file_paths, int64_t n_paths,
-                            int64_t rows_per_block, int64_t row_bytes) {
+                            int64_t rows_per_block, int64_t row_bytes,
+                            int64_t start_row) {
     auto* r = new ShardReader();
     for (int64_t i = 0; i < n_paths; ++i) r->paths.emplace_back(file_paths[i]);
     r->rows_per_block = rows_per_block;
     r->row_bytes = row_bytes;
+    r->skip_rows = start_row;
     r->ready_buf.resize(static_cast<size_t>(rows_per_block) * row_bytes);
     r->producer = std::thread([r] { r->produce(); });
     return r;

@@ -167,3 +167,47 @@ def test_sharded_search_stress_20k():
         single = aspace.search_lambda_aware(q, q_lam, 10)
         dist = sharded.search(q, 10, query_lambda=q_lam)
         assert [i for i, _ in single] == [i for i, _ in dist]
+
+
+def test_sharded_batch_search_tilemax_routing_exact():
+    """Per-shard tilemax routing (shard rows ≥ TILEMAX_MIN_N): the
+    distributed batch search must stay exact vs the flat per-shard
+    selection — same (ids, scores) on tie-free data."""
+    from matternet_rs_tpu.parallel.search import make_sharded_search_batch
+
+    ndev = 2
+    n_local = search_ops.TILEMAX_MIN_N
+    n, f, b, k = ndev * n_local, 8, 4, 10
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((n, f)).astype(np.float32)
+    lams = rng.random(n).astype(np.float32)
+    Q = X[rng.integers(0, n, b)] + 0.01 * rng.standard_normal((b, f)).astype(
+        np.float32
+    )
+    q_lams = rng.random(b).astype(np.float32)
+
+    mesh = make_mesh(ndev)
+    Xs = shard_items(mesh, X)
+    norms = shard_items(mesh, np.linalg.norm(X, axis=1).astype(np.float32))
+    lams_s = shard_items(mesh, lams)
+    fn = make_sharded_search_batch(mesh, n, k)
+    gi, gs = fn(Xs, norms, lams_s, jnp.asarray(Q), jnp.asarray(q_lams),
+                jnp.float32(0.7))
+
+    # Serial ground truth through the same scoring block.
+    scores = np.asarray(
+        search_ops._batched_scores(
+            jnp.asarray(X), jnp.asarray(np.linalg.norm(X, axis=1)
+                                        .astype(np.float32)),
+            jnp.asarray(lams), jnp.asarray(Q), jnp.asarray(q_lams),
+            jnp.float32(0.7),
+        )
+    )
+    for qi in range(b):
+        order = np.argsort(-scores[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(gi)[qi], order)
+        # Per-shard matmuls accumulate in a different order than the
+        # whole-corpus ground-truth matmul — scores agree to f32 ulps.
+        np.testing.assert_allclose(
+            np.asarray(gs)[qi], scores[qi][order], rtol=0, atol=1e-6
+        )

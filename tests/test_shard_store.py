@@ -114,3 +114,25 @@ def test_store_with_padding_only_devices(tmp_path):
     got = np.asarray(Xs)
     np.testing.assert_array_equal(got[:10], X)
     assert np.all(got[10:] == 0.0)
+
+
+@pytest.mark.parametrize("start_row", [0, 1, 767, 768, 769, 2000, 5000])
+def test_stream_blocks_start_row_seeks(store, start_row):
+    """start_row streams exactly the suffix, in both the native reader and
+    the Python memmap fallback, across shard boundaries and unaligned
+    offsets — crash-resume must seek, not re-read."""
+    X, d, m = store
+    n = len(X)
+    if start_row >= n:
+        pytest.skip("start beyond fixture")
+    got = np.concatenate(list(ss.stream_blocks(d, 768, start_row=start_row)))
+    np.testing.assert_array_equal(got, X[start_row:])
+    paths = [d / s["file"] for s in m["shards"]]
+    py = native.ShardReader(paths, 768, X.shape[1], start_row=start_row)
+    py._handle, py._py_iter = None, py._python_blocks()  # force fallback
+    np.testing.assert_array_equal(np.concatenate(list(py)), X[start_row:])
+
+
+def test_stream_blocks_start_row_at_end_yields_nothing(store):
+    X, d, _ = store
+    assert list(ss.stream_blocks(d, 768, start_row=len(X))) == []
