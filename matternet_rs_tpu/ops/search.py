@@ -28,9 +28,13 @@ SEMANTIC_THRESHOLD = 0.9999
 # through :func:`tilemax_topk`: flat ``lax.top_k`` over [B, N] scores
 # costs ~10 ms per 256-query batch at N=1M on v5e — an order of magnitude
 # over the matmul that produced the scores — while tile-max selection is
-# score-exact at reduction cost. Below it the flat kernel's fixed
-# overheads win and it stays bit-identical to the single-query path.
-TILEMAX_MIN_N = 131_072
+# score-exact at reduction cost. Measured crossover sweep (v5e, 128-d,
+# 256-query batches, ms/batch flat vs tilemax): 65k 1.79/1.50 · 131k
+# 2.61/2.35 · 262k 4.35/3.19 · 524k 7.85/5.08 · 1M 15.25/10.85 — tilemax
+# wins from 65k up (below ~30k it degenerates to flat by construction).
+# Below the threshold the flat kernel stays bit-identical to the
+# single-query path, ties included.
+TILEMAX_MIN_N = 65_536
 
 
 def _scan_dots(X: jax.Array, query: jax.Array) -> jax.Array:
