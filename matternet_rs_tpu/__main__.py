@@ -177,7 +177,8 @@ def cmd_build_streaming(args) -> None:
     si = StreamingIndex.build_from_store(
         args.store_dir, params, max_clusters=args.max_clusters,
         radius=args.radius, block_rows=args.block_rows,
-        sample_rows=args.sample_rows,
+        sample_rows=args.sample_rows, resume=args.resume,
+        emit_sketch=args.emit_sketch,
     )
     print(json.dumps({
         "status": "built",
@@ -312,6 +313,17 @@ def main(argv=None) -> None:
     pbs.add_argument("--k", type=int, default=6)
     pbs.add_argument("--block-rows", type=int, default=131_072)
     pbs.add_argument("--sample-rows", type=int, default=200_000)
+    pbs.add_argument(
+        "--resume", action="store_true",
+        help="pick up an interrupted lambda pass from the last whole "
+             "block (seeks past completed rows without re-reading them)",
+    )
+    pbs.add_argument(
+        "--emit-sketch", action="store_true",
+        help="write sketch.bin/sketch_meta.npz during the lambda pass "
+             "(no extra corpus IO) so sketch serving warms from the "
+             "1-byte/elem file",
+    )
     pbs.set_defaults(fn=cmd_build_streaming)
 
     pss = sub.add_parser(

@@ -99,6 +99,31 @@ def test_cli_streaming_build_and_search(data_file, tmp_path, capsys):
     assert res_sk["results"][0][0]["index"] == 7
 
 
+def test_cli_streaming_build_emit_sketch(data_file, tmp_path, capsys):
+    """--emit-sketch writes the sketch files during the lambda pass;
+    --resume on a complete store is a no-op rebuild that still searches."""
+    data_path, q_path, _ = data_file
+    store = tmp_path / "store_es"
+    main(["shard-write", str(data_path), "--out", str(store),
+          "--rows-per-shard", "50"])
+    capsys.readouterr()
+    main(["build-streaming", str(store), "--max-clusters", "10",
+          "--radius", "4.0", "--block-rows", "64", "--sample-rows", "120",
+          "--emit-sketch"])
+    built = json.loads(capsys.readouterr().out)
+    assert built["status"] == "built"
+    assert (store / "sketch.bin").exists()
+    assert (store / "sketch_meta.npz").exists()
+
+    main(["build-streaming", str(store), "--max-clusters", "10",
+          "--radius", "4.0", "--block-rows", "64", "--sample-rows", "120",
+          "--resume"])
+    assert json.loads(capsys.readouterr().out)["status"] == "built"
+    main(["search-streaming", str(store), "--query", str(q_path), "--k",
+          "5", "--sketch"])
+    assert json.loads(capsys.readouterr().out)["results"][0][0]["index"] == 7
+
+
 def test_cli_distributed_save_then_stream_search(data_file, tmp_path, capsys):
     """Full CLI loop: shard-write → build-distributed --save-store →
     search-streaming on the saved index."""
