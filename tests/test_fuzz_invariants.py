@@ -282,3 +282,35 @@ def test_random_banded_energy_matches_full_scan(seed):
     for b in range(ref_d.shape[0]):
         if not ties[b].any():
             np.testing.assert_array_equal(got_idx[b], ref_idx[b])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_tilemax_tie_dense_score_multiset_exact(seed):
+    """Tilemax selection under ADVERSARIAL exact-score ties: quantized
+    random scores (few distinct values, massive tie groups straddling
+    every tile boundary). Contract (PARITY.md): the returned score
+    multiset equals flat top_k's exactly; returned indices are distinct,
+    in range, and really carry the scores they claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops.search import tilemax_topk
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5_000, 40_000))
+    k = int(rng.choice([1, 5, 10, 32]))
+    tile = int(rng.choice([256, 512, 1024]))
+    levels = int(rng.choice([2, 3, 17]))
+    scores_np = (
+        rng.integers(0, levels, (4, n)).astype(np.float32) / levels
+    )
+    scores = jnp.asarray(scores_np)
+    want_s, _ = jax.lax.top_k(scores, min(k, n))
+    got_s, got_i = tilemax_topk(scores, k, tile=tile)
+    got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+    np.testing.assert_array_equal(got_s, np.asarray(want_s))
+    for row in range(4):
+        ids = got_i[row]
+        assert len(set(ids.tolist())) == len(ids)
+        assert (0 <= ids).all() and (ids < n).all()
+        np.testing.assert_array_equal(scores_np[row][ids], got_s[row])
