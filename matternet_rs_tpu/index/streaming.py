@@ -390,7 +390,6 @@ class StreamingIndex:
             if gl.is_ell_backed or f > taumode_ops.SPARSE_F_THRESHOLD
             else gl.matrix
         )
-        offset = 0
         # One-block-deep pipeline: dispatch block i+1's upload+λ compute
         # (jax async dispatch) BEFORE materializing block i's result, so
         # the device works while the host pays the D2H + disk write. On
@@ -401,55 +400,61 @@ class StreamingIndex:
         import os as _os
 
         sk_tmp = directory / (SKETCH_FILE + ".tmp")
-        sk_tmp.unlink(missing_ok=True)         # stale tmp from a crash
+        m_tmp = directory / (SKETCH_META_FILE + ".tmp")
+        sk_tmp.unlink(missing_ok=True)         # stale tmps from a crash
+        m_tmp.unlink(missing_ok=True)
         emit = emit_sketch and done_rows == 0
         sk_fh = open(sk_tmp, "wb") if emit else None
-        mults: list[np.ndarray] = []
-        with open(lam_path, "ab") as fh:
+        # Preallocated (4 bytes/row — 400 MB at 100M): keeps the streamed
+        # pass constant-memory instead of accumulating a list + concat.
+        mult_all = np.zeros(n, np.float32) if emit else None
+        try:
+            with open(lam_path, "ab") as fh:
 
-            def _drain(dev) -> None:
-                nonlocal mn, mx
-                raw = np.asarray(dev, np.float32)
-                mn = min(mn, float(raw.min()))
-                mx = max(mx, float(raw.max()))
-                fh.write(raw.tobytes())
-                fh.flush()
+                def _drain(dev) -> None:
+                    nonlocal mn, mx
+                    raw = np.asarray(dev, np.float32)
+                    mn = min(mn, float(raw.min()))
+                    mx = max(mx, float(raw.max()))
+                    fh.write(raw.tobytes())
+                    fh.flush()
 
-            # Resume SEEKS past completed rows (done_rows is always a
-            # whole number of blocks) — their bytes are never read.
-            offset = done_rows
-            for block in shard_store.stream_blocks(
-                directory, block_rows, start_row=done_rows
-            ):
-                dev = taumode_ops.taumode_lambdas_auto(
-                    jnp.asarray(block), graph, taumode.mode, taumode.param
-                )
-                if sk_fh is not None:
-                    # Quantize while the λ dispatch runs on device — the
-                    # block is already in host memory, so the sketch
-                    # costs no extra corpus IO.
-                    q8, mult = _quantize_rows(np.asarray(block, np.float32))
-                    sk_fh.write(q8.tobytes())
-                    mults.append(mult)
+                # Resume SEEKS past completed rows (done_rows is always a
+                # whole number of blocks) — their bytes are never read.
+                offset = done_rows
+                for block in shard_store.stream_blocks(
+                    directory, block_rows, start_row=done_rows
+                ):
+                    dev = taumode_ops.taumode_lambdas_auto(
+                        jnp.asarray(block), graph, taumode.mode, taumode.param
+                    )
+                    if sk_fh is not None:
+                        # Quantize while the λ dispatch runs on device —
+                        # the block is already in host memory, so the
+                        # sketch costs no extra corpus IO.
+                        q8, mult = _quantize_rows(
+                            np.asarray(block, np.float32)
+                        )
+                        sk_fh.write(q8.tobytes())
+                        mult_all[offset:offset + len(block)] = mult
+                    if pending is not None:
+                        _drain(pending)
+                    pending = dev
+                    offset += len(block)
                 if pending is not None:
                     _drain(pending)
-                pending = dev
-                offset += len(block)
-            if pending is not None:
-                _drain(pending)
-        if sk_fh is not None:
-            sk_fh.close()
-            _os.replace(sk_tmp, directory / SKETCH_FILE)
-            m_tmp = directory / (SKETCH_META_FILE + ".tmp")
-            with m_tmp.open("wb") as mfh:
-                np.savez(
-                    mfh,
-                    mult=(
-                        np.concatenate(mults)
-                        if mults else np.zeros(0, np.float32)
-                    ),
-                )
-            _os.replace(m_tmp, directory / SKETCH_META_FILE)
+            if sk_fh is not None:
+                sk_fh.close()
+                sk_fh = None
+                _os.replace(sk_tmp, directory / SKETCH_FILE)
+                with m_tmp.open("wb") as mfh:
+                    np.savez(mfh, mult=mult_all)
+                _os.replace(m_tmp, directory / SKETCH_META_FILE)
+        finally:
+            if sk_fh is not None:              # λ pass raised mid-stream
+                sk_fh.close()
+                sk_tmp.unlink(missing_ok=True)
+            m_tmp.unlink(missing_ok=True)
         idx.min_lambdas = mn
         idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()

@@ -73,8 +73,13 @@ def get_lib():
         # rebuilt (no toolchain): keep the clustering fast path working and
         # let ShardReader fall back to the Python memmap reader.
         try:
-            lib.mrs_shard_reader_open.restype = ctypes.c_void_p
-            lib.mrs_shard_reader_open.argtypes = [
+            # The 5-arg opener has its own symbol name: a stale 4-arg .so
+            # (no toolchain to rebuild) then FAILS this lookup and we fall
+            # back to Python — instead of silently passing start_row into
+            # a function that ignores it (which would stream from row 0
+            # on a resume and corrupt the λ file).
+            lib.mrs_shard_reader_open_at.restype = ctypes.c_void_p
+            lib.mrs_shard_reader_open_at.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
@@ -193,7 +198,7 @@ class ShardReader:
             arr = (ctypes.c_char_p * len(self.paths))(
                 *[p.encode() for p in self.paths]
             )
-            self._handle = self._lib.mrs_shard_reader_open(
+            self._handle = self._lib.mrs_shard_reader_open_at(
                 arr, len(self.paths), self.block_rows, self.row_bytes,
                 self.start_row,
             )

@@ -58,8 +58,9 @@ struct ShardReader {
                     if (skip_remaining > 0) {
                         // Seek past completed rows (crash-resume): whole
                         // files are skipped without reading a byte.
-                        std::fseek(f, 0, SEEK_END);
-                        int64_t rows_in = std::ftell(f) / row_bytes;
+                        ::fseeko(f, 0, SEEK_END);
+                        int64_t rows_in =
+                            static_cast<int64_t>(::ftello(f)) / row_bytes;
                         if (rows_in <= skip_remaining) {
                             skip_remaining -= rows_in;
                             std::fclose(f);
@@ -67,9 +68,9 @@ struct ShardReader {
                             ++file_idx;
                             continue;
                         }
-                        std::fseek(
+                        ::fseeko(
                             f,
-                            static_cast<long>(skip_remaining * row_bytes),
+                            static_cast<off_t>(skip_remaining * row_bytes),
                             SEEK_SET);
                         skip_remaining = 0;
                     }
@@ -108,7 +109,7 @@ extern "C" {
 // rows into the concatenated stream (0 = from the beginning; skipped
 // files are never read — crash-resume seeks, not re-reads). Returns an
 // opaque handle (never null; check the first next() for errors).
-void* mrs_shard_reader_open(const char** file_paths, int64_t n_paths,
+void* mrs_shard_reader_open_at(const char** file_paths, int64_t n_paths,
                             int64_t rows_per_block, int64_t row_bytes,
                             int64_t start_row) {
     auto* r = new ShardReader();

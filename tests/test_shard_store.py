@@ -9,6 +9,21 @@ from matternet_rs_tpu.parallel.mesh import make_mesh
 from matternet_rs_tpu.storage import shards as ss
 
 
+def _py_reader(paths, block_rows, f, start_row=0):
+    """A ShardReader forced onto the Python memmap fallback WITHOUT first
+    spawning (and then leaking) the native read-ahead thread."""
+    r = native.ShardReader.__new__(native.ShardReader)
+    r.paths = [str(p) for p in paths]
+    r.block_rows = int(block_rows)
+    r.f = int(f)
+    r.row_bytes = r.f * 4
+    r.start_row = int(start_row)
+    r._lib = None
+    r._handle = None
+    r._py_iter = r._python_blocks()
+    return r
+
+
 @pytest.fixture(scope="module")
 def store(tmp_path_factory):
     rng = np.random.default_rng(0)
@@ -43,9 +58,7 @@ def test_native_reader_available_and_matches_python(store):
     nat = native.ShardReader(paths, 768, 24)
     assert nat._handle is not None, "native reader did not engage"
     nat_blocks = list(nat)
-    py = native.ShardReader(paths, 768, 24)
-    py._handle, py._py_iter = None, py._python_blocks()  # force fallback
-    py_blocks = list(py)
+    py_blocks = list(_py_reader(paths, 768, 24))
     assert len(nat_blocks) == len(py_blocks)
     for a, b in zip(nat_blocks, py_blocks):
         np.testing.assert_array_equal(a, b)
@@ -128,8 +141,7 @@ def test_stream_blocks_start_row_seeks(store, start_row):
     got = np.concatenate(list(ss.stream_blocks(d, 768, start_row=start_row)))
     np.testing.assert_array_equal(got, X[start_row:])
     paths = [d / s["file"] for s in m["shards"]]
-    py = native.ShardReader(paths, 768, X.shape[1], start_row=start_row)
-    py._handle, py._py_iter = None, py._python_blocks()  # force fallback
+    py = _py_reader(paths, 768, X.shape[1], start_row=start_row)
     np.testing.assert_array_equal(np.concatenate(list(py)), X[start_row:])
 
 
