@@ -373,7 +373,9 @@ class StreamingIndex:
         mn, mx = np.inf, -np.inf
         if resume and lam_path.exists():
             have = lam_path.stat().st_size // 4
-            done_rows = min((have // block_rows) * block_rows, n)
+            # A COMPLETE λ file resumes as a no-op (the ragged tail block
+            # is only partial-suspect when the file is short of n).
+            done_rows = n if have >= n else (have // block_rows) * block_rows
             if have * 4 != done_rows * 4:     # truncate a partial tail block
                 with open(lam_path, "r+b") as fh:
                     fh.truncate(done_rows * 4)
