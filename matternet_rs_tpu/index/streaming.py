@@ -253,6 +253,28 @@ def _quantize_rows(block: np.ndarray):
     return q8, mult.astype(np.float32)
 
 
+def _publish_sketch_files(directory: Path, sk_tmp: Path, mult: np.ndarray):
+    """Crash-safe publication of the sketch pair from a fully-written
+    int8 tmp file. The META file is the commit point and is REMOVED
+    before the new sketch lands, so a crash anywhere in the sequence
+    leaves either the complete old pair or a missing meta (readers then
+    rebuild) — never a new sketch paired with an old meta, which would
+    silently scan with wrong dequant multipliers. Not safe against two
+    concurrent writers on the same directory (last one wins)."""
+    import os
+
+    meta = directory / SKETCH_META_FILE
+    m_tmp = directory / (SKETCH_META_FILE + ".tmp")
+    try:
+        with m_tmp.open("wb") as mfh:
+            np.savez(mfh, mult=np.ascontiguousarray(mult, np.float32))
+        meta.unlink(missing_ok=True)       # clear the commit point first
+        os.replace(sk_tmp, directory / SKETCH_FILE)
+        os.replace(m_tmp, meta)
+    finally:
+        m_tmp.unlink(missing_ok=True)      # no-op when published
+
+
 @dataclasses.dataclass
 class StreamingIndex:
     directory: Path
@@ -364,19 +386,29 @@ class StreamingIndex:
             )
             # Order matters for crash-safety: drop the stale λ file BEFORE
             # the new checkpoint exists — a crash between the two must
-            # never leave a new meta pointing at old λ rows.
+            # never leave a new meta pointing at old λ rows. The stale
+            # sketch pair goes with it: a fresh build means the shard data
+            # may have changed, and a leftover sketch.bin would silently
+            # serve sketch searches from the OLD corpus.
             lam_path.unlink(missing_ok=True)
+            (directory / SKETCH_FILE).unlink(missing_ok=True)
+            (directory / SKETCH_META_FILE).unlink(missing_ok=True)
             idx._save_meta()              # checkpoint the graph pre-λ
 
         # Resume point: whole λ blocks already on disk.
         done_rows = 0
         mn, mx = np.inf, -np.inf
         if resume and lam_path.exists():
-            have = lam_path.stat().st_size // 4
+            have_bytes = lam_path.stat().st_size
+            have = have_bytes // 4
             # A COMPLETE λ file resumes as a no-op (the ragged tail block
             # is only partial-suspect when the file is short of n).
             done_rows = n if have >= n else (have // block_rows) * block_rows
-            if have * 4 != done_rows * 4:     # truncate a partial tail block
+            # Compare BYTES, not float counts: a torn write can leave 1-3
+            # trailing bytes past a block boundary, which a float-count
+            # comparison would miss — the resumed append would then shift
+            # every later λ row and silently corrupt all rankings.
+            if have_bytes != done_rows * 4:   # truncate a partial tail
                 with open(lam_path, "r+b") as fh:
                     fh.truncate(done_rows * 4)
             if done_rows:
@@ -399,13 +431,10 @@ class StreamingIndex:
         # round-trip overhead (the 7-matmul λ itself is sub-ms at
         # [262k, 96]), so overlapping roughly halves the pass.
         pending = None                         # in-flight device λ block
-        import os as _os
-
         sk_tmp = directory / (SKETCH_FILE + ".tmp")
-        m_tmp = directory / (SKETCH_META_FILE + ".tmp")
-        sk_tmp.unlink(missing_ok=True)         # stale tmps from a crash
-        m_tmp.unlink(missing_ok=True)
         emit = emit_sketch and done_rows == 0
+        if emit:
+            sk_tmp.unlink(missing_ok=True)     # stale tmp from a crash
         sk_fh = open(sk_tmp, "wb") if emit else None
         # Preallocated (4 bytes/row — 400 MB at 100M): keeps the streamed
         # pass constant-memory instead of accumulating a list + concat.
@@ -448,15 +477,12 @@ class StreamingIndex:
             if sk_fh is not None:
                 sk_fh.close()
                 sk_fh = None
-                _os.replace(sk_tmp, directory / SKETCH_FILE)
-                with m_tmp.open("wb") as mfh:
-                    np.savez(mfh, mult=mult_all)
-                _os.replace(m_tmp, directory / SKETCH_META_FILE)
+                _publish_sketch_files(directory, sk_tmp, mult_all)
         finally:
             if sk_fh is not None:              # λ pass raised mid-stream
                 sk_fh.close()
-                sk_tmp.unlink(missing_ok=True)
-            m_tmp.unlink(missing_ok=True)
+            if emit:
+                sk_tmp.unlink(missing_ok=True)  # no-op when published
         idx.min_lambdas = mn
         idx.range_lambdas = (mx - mn) if mx > mn else 1.0
         idx._save_meta()
@@ -784,8 +810,6 @@ class StreamingIndex:
         pass of :meth:`build_sketch` without the device upload. Used
         directly by the mesh-sharded sketch (``parallel/sketch.py``),
         which places each device's block slice itself."""
-        import os
-
         sk_path = self.directory / SKETCH_FILE
         meta_path = self.directory / SKETCH_META_FILE
         n, f, blk = self.n_items, self.n_features, self.block_rows
@@ -831,18 +855,13 @@ class StreamingIndex:
                 if fh is not None:
                     fh.close()
                     fh = None
-                    os.replace(tmp, sk_path)
-                    m_tmp = self.directory / (SKETCH_META_FILE + ".tmp")
-                    with m_tmp.open("wb") as mfh:
-                        np.savez(
-                            mfh,
-                            mult=multh.reshape(-1)[:n].copy(),
-                        )
-                    os.replace(m_tmp, meta_path)
+                    _publish_sketch_files(
+                        self.directory, tmp, multh.reshape(-1)[:n]
+                    )
             finally:
                 if fh is not None:
                     fh.close()
-                    tmp.unlink(missing_ok=True)
+                tmp.unlink(missing_ok=True)    # no-op when published
         return X8h, multh, lamh, validh
 
     def build_sketch(self, persist: bool = True, force: bool = False):

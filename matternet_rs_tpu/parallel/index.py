@@ -294,8 +294,9 @@ class ShardedArrowSpace:
         """Batched distributed search: fused query-λ preparation (one
         taumode dispatch against the replicated graph) + per-shard batch
         scoring + all-gather merge. Returns ``(indices [B, k],
-        scores [B, k])`` with global ids; exact vs serial :meth:`search`.
-        """
+        scores [B, k])`` with global ids; score-exact vs serial
+        :meth:`search` (ids too, except items tied EXACTLY at a shard's
+        k-th score when the shard routes tilemax — see PARITY.md)."""
         from matternet_rs_tpu.parallel.search import make_sharded_search_batch
 
         Q = jnp.asarray(queries, jnp.float32)

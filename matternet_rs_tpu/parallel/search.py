@@ -258,8 +258,13 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
 
         kk = min(k, Xl.shape[0])
         if Xl.shape[0] >= TILEMAX_MIN_N:
-            # Exact selection at reduction cost on big shards (see
-            # ops/search.tilemax_topk); same (scores, indices) contract.
+            # Score-exact selection at reduction cost on big shards (see
+            # ops/search.tilemax_topk). Tie caveat (PARITY.md): on items
+            # tied EXACTLY at a shard's kk-th score across a tile
+            # boundary, an equally-scored id may substitute for flat
+            # top_k's lowest-index pick — so returned ids on such ties
+            # can differ from the flat path (and across mesh shapes that
+            # straddle the routing threshold); scores are always exact.
             top, idx = tilemax_topk(scores, kk)                # [B, kk]
         else:
             top, idx = jax.lax.top_k(scores, kk)               # [B, kk]
