@@ -355,3 +355,50 @@ def test_emit_sketch_skipped_on_resume_past_block0(store, tmp_path):
     lam_full = np.memmap(rdir / "lambdas.bin", np.float32, "r", shape=(N,))
     assert np.all(np.isfinite(np.asarray(lam_full)))
     assert resumed.n_items == full.n_items
+
+
+def test_fresh_build_drops_stale_sketch(store, tmp_path):
+    """Rebuilding over (possibly changed) shard data must not leave a
+    sketch from the previous corpus: the pair is unlinked with
+    lambdas.bin on a fresh build and re-created only on request."""
+    d, data = store
+    rdir = tmp_path / "fresh_drop"
+    shard_store.write_shards(data, rdir, rows_per_shard=1100)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N, emit_sketch=True,
+    )
+    assert (rdir / SKETCH_FILE).exists()
+    # Fresh (non-resume) rebuild without emit: stale pair must vanish.
+    StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N,
+    )
+    assert not (rdir / SKETCH_FILE).exists()
+    assert not (rdir / SKETCH_META_FILE).exists()
+
+
+def test_resume_truncates_torn_write_past_block_boundary(store, tmp_path):
+    """A crash can tear a write 1-3 bytes past a whole-block boundary; a
+    float-count comparison would miss it and every later lambda row would
+    shift. Resume must truncate back to the block boundary and produce a
+    lambda file identical to the uninterrupted build."""
+    d, data = store
+    rdir = tmp_path / "torn"
+    shard_store.write_shards(data, rdir, rows_per_shard=1100)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N,
+    )
+    lam_clean = np.fromfile(rdir / "lambdas.bin", np.float32)
+    with open(rdir / "lambdas.bin", "r+b") as fh:
+        fh.truncate(2 * BLK * 4 + 2)           # torn: 2 bytes past block 2
+    resumed = StreamingIndex.build_from_store(
+        rdir, params, max_clusters=20, radius=20.0, block_rows=BLK,
+        sample_rows=N, resume=True,
+    )
+    assert resumed.build_timings["lambda_rows_computed"] == N - 2 * BLK
+    lam_resumed = np.fromfile(rdir / "lambdas.bin", np.float32)
+    np.testing.assert_array_equal(lam_resumed, lam_clean)
