@@ -463,6 +463,53 @@ def bench_energy_banded_1m(jax, jnp, extra):
         out["banded_auto_qps_batch256"] / max(out["full_scan_qps_batch256"],
                                               1e-9), 2,
     )
+
+    # Device-time comparison (the transport rows above inherit whichever
+    # congestion window the run lands in, which can bury the banded
+    # path's HBM-read advantage): pipelined DISTINCT batches straight
+    # into the underlying jits, one trailing barrier.
+    from matternet_rs_tpu.energymaps import (
+        _batched_energy_banded_jit,
+        _batched_energy_search_jit,
+        _sorted_lambda_arrays,
+    )
+
+    sc_dev = jnp.asarray(aspace.subcentroid_lambdas, jnp.float32)
+    s_lam, s_idx = _sorted_lambda_arrays(aspace)
+    cand = aspace.max_lambda_tie_group() + K
+    nb = 24
+    batches = [
+        jnp.asarray(data[rng.integers(0, N, 256)]) for _ in range(nb)
+    ]
+
+    def full_run(Qb):
+        return _batched_energy_search_jit(
+            aspace.data, aspace.item_norms, aspace.lambdas,
+            aspace.sub_centroids, sc_dev, Qb, Qb, K, False,
+        )
+
+    def band_run(Qb):
+        return _batched_energy_banded_jit(
+            aspace.data, aspace.item_norms, s_lam, s_idx,
+            aspace.sub_centroids, sc_dev, Qb, Qb, K, cand,
+        )
+
+    for tag, run in (("full_scan", full_run), ("banded_auto", band_run)):
+        o = run(batches[0])
+        jax.block_until_ready(o)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for Qb in batches:
+                o = run(Qb)
+            float(jnp.sum(o[1]))
+            best = min(best or 9e9, (time.perf_counter() - t0) / nb)
+        out[f"{tag}_device_ms_batch256"] = round(best * 1e3, 2)
+        out[f"{tag}_device_qps"] = round(256 / best, 1)
+    out["banded_device_speedup"] = round(
+        out["banded_auto_device_qps"] / max(out["full_scan_device_qps"],
+                                            1e-9), 2,
+    )
     extra["energy_banded_1m"] = out
 
 
