@@ -83,68 +83,149 @@ std::int64_t mrs_incremental_cluster(
     return ncent++;
   };
 
-  // Row staging buffer in f64 so the hot distance loop is pure-f64 FMA
-  // (per-element f32→f64 converts defeat auto-vectorization). Distances use
-  // the ‖x-c‖² = ‖x‖² + ‖c‖² - 2⟨x,c⟩ form: the scan becomes dot products
-  // (2 FLOPs/elem instead of 3) with four independent accumulators to break
-  // the FMA dependency chain. Centroid norms update incrementally.
-  std::vector<double> rowbuf(f);
+  // Blocked scan. The decisions are strictly sequential (each create/assign
+  // changes the state the NEXT item sees), but the F-dimensional work is
+  // not: a centroid only changes when an item lands on it, so distances of
+  // a whole block of upcoming items against the block-start centroid state
+  // can be precomputed as a register-blocked [B, C] dot kernel (4 items per
+  // pass → 4 independent FMA chains, centroid row loaded once per 4 items
+  // instead of once per item — a single-accumulator dot is latency-bound at
+  // ~1/8 of AVX-512 f64 FMA throughput). When item i inside the block
+  // updates or creates a centroid, only that COLUMN of the precomputed
+  // distance block is stale — refresh it for the remaining items
+  // (O((B−i)·F), one column per decision) and the scan stays EXACTLY
+  // sequential: every (item, live-centroid-state) distance is computed
+  // once, either by the block kernel or by the refresh. ‖x−c‖² uses the
+  // ‖x‖²+‖c‖²−2⟨x,c⟩ form throughout (2 FLOPs/elem); centroid norms update
+  // incrementally. Measured at 100k×128/cap=128: 0.79 s → ~0.2 s.
+  constexpr std::int64_t kBlock = 16;
+  std::vector<double> rowbuf(kBlock * f, 0.0);   // f64 staging (kept rows)
+  std::vector<double> xsq(kBlock, 0.0);
+  std::vector<double> dist(kBlock * cap, 0.0);   // block distances [B, cap]
+  std::vector<std::int64_t> idxs(kBlock);        // global row index per slot
 
-  for (std::int64_t i = 0; i < n; ++i) {
-    if (keep != nullptr && keep[i] == 0) continue;
-    const float* row = X + i * f;
-    double* __restrict rb = rowbuf.data();
-    double xsq = 0.0;
-#pragma omp simd reduction(+ : xsq)
-    for (std::int64_t j = 0; j < f; ++j) {
-      rb[j] = static_cast<double>(row[j]);
-      xsq += rb[j] * rb[j];
-    }
-
-    // Nearest centroid (linear scan — C is small; contiguous and branch-free).
-    // `omp simd reduction` licenses reassociation for THIS loop only, so the
-    // f64 dot vectorizes (plain loops can't: FP reduction reordering; and a
-    // manual 4-accumulator unroll blocks the vectorizer outright).
-    std::int64_t best = 0;
-    double best_d2 = std::numeric_limits<double>::infinity();
-    for (std::int64_t c = 0; c < ncent; ++c) {
-      const double* __restrict cc = centroids + c * f;
+  auto refresh_column = [&](std::int64_t c, std::int64_t from, std::int64_t nb) {
+    const double* __restrict cc = centroids + c * f;
+    const double cn = cnorm2[c];
+    for (std::int64_t b = from; b < nb; ++b) {
+      const double* __restrict rb = rowbuf.data() + b * f;
       double dot = 0.0;
 #pragma omp simd reduction(+ : dot)
       for (std::int64_t j = 0; j < f; ++j) dot += rb[j] * cc[j];
-      double d2 = xsq + cnorm2[c] - 2.0 * dot;
-      if (d2 < 0.0) d2 = 0.0;
-      if (d2 < best_d2) {
-        best_d2 = d2;
-        best = c;
+      double d2 = xsq[b] + cn - 2.0 * dot;
+      dist[b * cap + c] = d2 < 0.0 ? 0.0 : d2;
+    }
+  };
+
+  std::int64_t i = 0;
+  while (i < n) {
+    // Gather the next block of kept rows.
+    std::int64_t nb = 0;
+    while (i < n && nb < kBlock) {
+      if (keep == nullptr || keep[i] != 0) {
+        const float* row = X + i * f;
+        double* __restrict rb = rowbuf.data() + nb * f;
+        double s = 0.0;
+#pragma omp simd reduction(+ : s)
+        for (std::int64_t j = 0; j < f; ++j) {
+          rb[j] = static_cast<double>(row[j]);
+          s += rb[j] * rb[j];
+        }
+        xsq[nb] = s;
+        idxs[nb] = i;
+        ++nb;
       }
+      ++i;
+    }
+    if (nb == 0) break;
+
+    // Block kernel: distances of all nb rows vs the block-start centroids.
+    // Centroid-outer / 4-item-inner: the centroid row stays in L1 across
+    // the group, and the 4 reductions vectorize as independent chains.
+    for (std::int64_t c = 0; c < ncent; ++c) {
+      const double* __restrict cc = centroids + c * f;
+      const double cn = cnorm2[c];
+      std::int64_t b = 0;
+      for (; b + 8 <= nb; b += 8) {
+        const double* __restrict r0 = rowbuf.data() + (b + 0) * f;
+        const double* __restrict r1 = rowbuf.data() + (b + 1) * f;
+        const double* __restrict r2 = rowbuf.data() + (b + 2) * f;
+        const double* __restrict r3 = rowbuf.data() + (b + 3) * f;
+        const double* __restrict r4 = rowbuf.data() + (b + 4) * f;
+        const double* __restrict r5 = rowbuf.data() + (b + 5) * f;
+        const double* __restrict r6 = rowbuf.data() + (b + 6) * f;
+        const double* __restrict r7 = rowbuf.data() + (b + 7) * f;
+        double d0 = 0.0, d1 = 0.0, d2 = 0.0, d3 = 0.0;
+        double d4 = 0.0, d5 = 0.0, d6 = 0.0, d7 = 0.0;
+#pragma omp simd reduction(+ : d0, d1, d2, d3, d4, d5, d6, d7)
+        for (std::int64_t j = 0; j < f; ++j) {
+          const double cj = cc[j];
+          d0 += r0[j] * cj;
+          d1 += r1[j] * cj;
+          d2 += r2[j] * cj;
+          d3 += r3[j] * cj;
+          d4 += r4[j] * cj;
+          d5 += r5[j] * cj;
+          d6 += r6[j] * cj;
+          d7 += r7[j] * cj;
+        }
+        const double acc[8] = {d0, d1, d2, d3, d4, d5, d6, d7};
+        for (int u = 0; u < 8; ++u) {
+          const double v = xsq[b + u] + cn - 2.0 * acc[u];
+          dist[(b + u) * cap + c] = v < 0.0 ? 0.0 : v;
+        }
+      }
+      if (b < nb) refresh_column(c, b, nb);
     }
 
-    if (ncent == 0) {
-      assignments[i] = create(row);
-      continue;
-    }
+    // Sequential decisions over the block (F-free: pure min over the
+    // distance row; updates refresh their column for the remaining items).
+    for (std::int64_t b = 0; b < nb; ++b) {
+      const std::int64_t gi = idxs[b];
+      const float* row = X + gi * f;
+      const double* __restrict drow = dist.data() + b * cap;
 
-    if (mode == 0) {  // legacy
-      if (ncent < cap && best_d2 > radius * kCreateFactor) {
-        assignments[i] = create(row);
-      } else if (best_d2 <= radius) {
-        add_point(best, row);
-        assignments[i] = best;
-      } else if (best_d2 <= radius * kRelax) {
-        counts[best] += 1;  // soft outlier: count only, centroid unmoved
-        assignments[i] = best;
+      std::int64_t best = 0;
+      double best_d2 = std::numeric_limits<double>::infinity();
+      for (std::int64_t c = 0; c < ncent; ++c) {
+        if (drow[c] < best_d2) {
+          best_d2 = drow[c];
+          best = c;
+        }
       }
-      // else: dropped, assignment stays -1
-    } else {  // stage_a
-      if (best_d2 < radius) {
-        add_point(best, row);
-        assignments[i] = best;
-      } else if (ncent < cap) {
-        assignments[i] = create(row);
-      } else {
-        add_point(best, row);  // budget exhausted: force-assign
-        assignments[i] = best;
+
+      if (ncent == 0) {
+        assignments[gi] = create(row);
+        refresh_column(ncent - 1, b + 1, nb);
+        continue;
+      }
+
+      if (mode == 0) {  // legacy
+        if (ncent < cap && best_d2 > radius * kCreateFactor) {
+          assignments[gi] = create(row);
+          refresh_column(ncent - 1, b + 1, nb);
+        } else if (best_d2 <= radius) {
+          add_point(best, row);
+          assignments[gi] = best;
+          refresh_column(best, b + 1, nb);
+        } else if (best_d2 <= radius * kRelax) {
+          counts[best] += 1;  // soft outlier: count only, centroid unmoved
+          assignments[gi] = best;
+        }
+        // else: dropped, assignment stays -1
+      } else {  // stage_a
+        if (best_d2 < radius) {
+          add_point(best, row);
+          assignments[gi] = best;
+          refresh_column(best, b + 1, nb);
+        } else if (ncent < cap) {
+          assignments[gi] = create(row);
+          refresh_column(ncent - 1, b + 1, nb);
+        } else {
+          add_point(best, row);  // budget exhausted: force-assign
+          assignments[gi] = best;
+          refresh_column(best, b + 1, nb);
+        }
       }
     }
   }
