@@ -43,6 +43,32 @@ def test_native_welford_variance_sane():
     assert np.allclose(var, 0.25, atol=0.05)    # σ² = 0.25
 
 
+def test_native_blocked_scan_fuzz_matches_python_sequential():
+    """The native scan precomputes a block of item distances against the
+    block-start centroid state and refreshes stale columns after each
+    decision (native/clustering.cpp). That schedule must be EXACTLY
+    sequential: fuzz random shapes/caps/radii — including coordinate-
+    quantized data that manufactures near-ties at the radius thresholds —
+    and pin assignments item-for-item against the Python sequential
+    reference (itself decision-parity-tested vs src_legacy/clustering.rs
+    semantics)."""
+    rng = np.random.default_rng(123)
+    for _ in range(15):
+        n = int(rng.integers(50, 1200))
+        f = int(rng.integers(2, 160))
+        cap = int(rng.integers(2, 48))
+        X = rng.normal(scale=rng.uniform(0.1, 3.0), size=(n, f)).astype(np.float32)
+        if rng.random() < 0.3:
+            X = np.round(X, 1)          # quantized coords → exact-tie pressure
+        radius = float(rng.uniform(0.5, 3.0) * f * 0.1)
+        cents, asg, counts, _ = native.incremental_cluster(X, cap, radius, "legacy")
+        out = clus._incremental_sequential(X, cap, radius, None)
+        assert (asg == out.assignments).all()
+        assert len(cents) == len(out.centroids)
+        assert np.allclose(cents, out.centroids, atol=1e-5)
+        assert (counts == out.sizes).all()
+
+
 def test_native_keep_mask():
     data = make_gaussian_blob(400, 0.3).astype(np.float32)
     keep = np.zeros(400, np.uint8)
