@@ -1,0 +1,263 @@
+"""Fused λ-aware score + tile-max producer for tile-max pruned selection.
+
+Why this kernel exists (measured on v5e, 1M×128 corpus, 256-query
+batches — `scripts/` decomposition sweep, DESIGN.md "Fused score+tilemax
+producer"): the exact batched scan's 10.88 ms/batch decomposed as
+
+* 2.95 ms  — XLA matmul (HIGHEST) + blend, writing the [B, N] scores,
+* 4.85 ms  — re-READING those scores in (B, tile) blocks for the
+  per-tile max. This is a multi-segment strided DMA pattern and is
+  hard-capped at ~215 GB/s on this part regardless of segment size
+  (64 KB segments measured identical to 8 KB) or row-stride padding,
+  while contiguous reads run ~475 GB/s and (B, tile)-block WRITES
+  ~575 GB/s — the read path, not the write path, is the slow direction,
+* 3.1 ms   — candidate tile gather, ~0.35 ms — final small top_k.
+
+So the fix is to never re-read: stream corpus tiles (contiguous
+[tile, F] reads), compute the whole query batch's blended scores on the
+MXU, write each [B, tile] score block once (fast direction), and reduce
+the block's per-query maxima while the data is still VMEM-resident.
+The 4.85 ms tile-max pass disappears from the HBM budget entirely.
+
+Parity: the in-kernel ``dot_general`` at ``Precision.HIGHEST`` was
+measured BITWISE-identical to the XLA ``ops._mm.mm`` path on TPU, and
+the blend uses the exact formula of ``ops.search._batched_scores``
+(zero-norm-guarded cosine, ``α·cos + (1-α)·(1-min(|Δλ|,1))``) — a
+parity test pins the produced scores bit-for-bit against the XLA
+producer so the flat/tilemax/streamed bit-identity contracts survive.
+
+Reference behavior: ``/root/reference/src_legacy/core.rs:1156-1193``
+(λ-aware scan semantics); selection contract in ``ops/search.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Bitwise-parity envelope, measured on v5e (scripts sweep): the in-kernel
+# HIGHEST dot matches XLA's `mm` bit-for-bit for F ≤ 128 (one lane-tile
+# contraction) and B ≥ 2 (XLA switches to a differently-accumulated
+# matvec at B=1). F > 128 splits the contraction across lane tiles and
+# Mosaic's accumulation order differs from XLA's at the last ulp (left-
+# to-right 128-chunk summation was probed and does NOT reproduce it), so
+# wider corpora keep the XLA producer — a perf fallback, not a
+# correctness one.
+MAX_FUSED_F = 128
+MIN_FUSED_B = 2
+MAX_FUSED_B = 1024
+
+
+# Sub-tile maxima per corpus block: selection granularity is decoupled
+# from the DMA/matmul granularity. Finer sub-tiles shrink the candidate
+# gather 8x (the next-largest cost after the producer) at no extra HBM
+# traffic — the maxima come off VMEM-resident data — and SUBS=8 makes
+# each grid step own exactly one (8, B) output block, no masking.
+SUBS = 8
+
+
+def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref,
+            s_ref, tm_ref):
+    # [B, T] dots on the MXU — HIGHEST is bitwise == ops._mm.mm on TPU.
+    dots = jax.lax.dot_general(
+        q_ref[:], x_ref[:], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    # Exact _batched_scores formula (ops/search.py) on VMEM-resident data.
+    denom = qn_ref[:] * nrm_ref[:]                               # [B,1]*[1,T]
+    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
+    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_ref[:] - ql_ref[:]), 1.0)
+    al = al_ref[:]                                               # [B, 1]
+    s = al * cos + (1.0 - al) * lam_sim
+    s_ref[:] = s
+
+    # Per-query sub-tile maxima while resident, one row per sub-tile
+    # (dynamic sublane writes aren't a thing in Mosaic, so build the
+    # (SUBS, B) block with iota masks).
+    ts = s.shape[1] // SUBS
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUBS, s.shape[0]), 0)
+    acc = jnp.zeros((SUBS, s.shape[0]), jnp.float32)
+    for g in range(SUBS):
+        m = s[:, g * ts:(g + 1) * ts].max(axis=1)                # [B]
+        acc = jnp.where(row == g, m[None, :], acc)
+    tm_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def scores_and_tilemax(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    alphas: jax.Array,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Blended score matrix for the first ``(N // tile) * tile`` corpus rows
+    plus per-SUB-tile maxima, in ONE corpus pass.
+
+    Returns ``(scores [B, n0], submax [B, nt0 * SUBS])`` with
+    ``nt0 = N // tile``, ``n0 = nt0 * tile``; sub-tile ``j`` covers score
+    columns ``[j * tile/SUBS, (j+1) * tile/SUBS)``. The ragged tail's
+    scores are NOT computed here — the tile-max selection always includes
+    the tail in the candidate set, so the caller scores it separately (a
+    ≤ tile-column XLA pass).
+
+    ``alphas`` must be a ``[B]`` vector (the serve contract); scalars are
+    broadcast by the caller.
+    """
+    n, f = X.shape
+    b = queries.shape[0]
+    nt0 = n // tile
+    n0 = nt0 * tile
+
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
+    a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+
+    scores, tmax_t = pl.pallas_call(
+        _kernel,
+        grid=(nt0,),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            # each grid step owns exactly one (SUBS, B) sub-maxima block
+            pl.BlockSpec((SUBS, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n0), jnp.float32),
+            jax.ShapeDtypeStruct((nt0 * SUBS, b), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=None if interpret else pl.CostEstimate(
+            flops=2 * b * n0 * f,
+            bytes_accessed=(n0 * f + b * f + b * n0) * 4,
+            transcendentals=0,
+        ),
+    )(
+        X,
+        norms[None, :],
+        lambdas[None, :],
+        queries,
+        qn[:, None],
+        query_lambdas[:, None],
+        a[:, None],
+    )
+    return scores, tmax_t.T
+
+
+# --------------------------------------------------------------------------
+# Candidate sub-tile gather
+# --------------------------------------------------------------------------
+# XLA's take_along_axis over the [B, ns, ts] score view is per-slice
+# latency-bound (~0.9 µs per (query, slot) slice → 3.2-3.6 ms for 256
+# queries × 14 slots, regardless of slice width). This kernel instead
+# issues all GQ·c copies of a query GROUP in one grid step (112 DMAs in
+# flight amortize the issue/latency cost): measured 0.56 ms for the same
+# gather. HBM slices must be 8-row aligned, so each copy moves the
+# group's whole 8-row band and a masked sublane-sum (exact: 0·x + 1·x)
+# extracts each query's row — 8× overfetch of a 3.7 MB gather is noise
+# next to the latency win.
+
+GATHER_GQ = 8           # queries per grid step (= sublane alignment)
+MAX_GATHER_C = 32       # unrolled DMA count per step is GQ*c; cap compile
+
+
+def _gather_kernel_factory(gq: int, c: int, ts: int):
+    def kernel(sel_ref, s_hbm, o_ref, scratch, sems):
+        g = pl.program_id(0)
+        copies = []
+        for q in range(gq):
+            for i in range(c):
+                j = sel_ref[g * gq + q, i]
+                cp = pltpu.make_async_copy(
+                    s_hbm.at[pl.ds(g * gq, gq), pl.ds(j * ts, ts)],
+                    scratch.at[q * c + i],
+                    sems.at[q * c + i],
+                )
+                cp.start()
+                copies.append(cp)
+        for cp in copies:
+            cp.wait()
+        rows = []
+        for q in range(gq):
+            row_mask = jax.lax.broadcasted_iota(jnp.int32, (gq, ts), 0) == q
+            parts = []
+            for i in range(c):
+                blk = scratch[q * c + i]                      # (gq, ts)
+                parts.append(
+                    jnp.where(row_mask, blk, 0.0).sum(axis=0, keepdims=True)
+                )
+            rows.append(jnp.concatenate(parts, axis=1))       # (1, c*ts)
+        o_ref[:] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def gather_subtiles(
+    scores: jax.Array, sel: jax.Array, ts: int, interpret: bool = False
+) -> jax.Array:
+    """Gather each query's selected sub-tiles from ``scores [B, n0]`` into
+    a contiguous candidate row: returns ``[B, c * ts]`` where
+    ``cand[b, i*ts + a] == scores[b, sel[b, i]*ts + a]``. Requires
+    ``B % GATHER_GQ == 0`` (see :func:`gather_supported`)."""
+    b = scores.shape[0]
+    c = sel.shape[1]
+    gq = GATHER_GQ
+    return pl.pallas_call(
+        _gather_kernel_factory(gq, c, ts),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // gq,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((gq, c * ts), lambda g, sel_ref: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((gq * c, gq, ts), jnp.float32),
+                pltpu.SemaphoreType.DMA((gq * c,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c * ts), jnp.float32),
+        interpret=interpret,
+    )(sel, scores)
+
+
+def gather_supported(b: int, c: int) -> bool:
+    """Whether the DMA gather applies (alignment + compile-size caps);
+    otherwise the caller keeps the XLA take_along_axis gather."""
+    return b % GATHER_GQ == 0 and b >= GATHER_GQ and c <= MAX_GATHER_C
+
+
+def fused_supported(n: int, f: int, b: int, dtype, tile: int) -> bool:
+    """Whether the fused producer applies: f32 corpus, at least one full
+    tile, shapes inside the measured bitwise-parity envelope (see module
+    constants), and a real TPU backend (interpret-mode CPU runs route
+    through the XLA producer instead)."""
+    if dtype != jnp.float32 or n < tile or f > MAX_FUSED_F:
+        return False
+    if b < MIN_FUSED_B or b > MAX_FUSED_B:
+        return False
+    if tile % (SUBS * 128) != 0:        # sub-tiles must stay lane-aligned
+        return False
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except RuntimeError:
+        return False
+    return "tpu" in platform or "axon" in platform

@@ -235,14 +235,39 @@ def tilemax_topk(
         return jax.lax.top_k(scores, kk)
     main = scores[:, :n0].reshape(b, nt0, t)   # view of the score buffer
     tmax = main.max(axis=2)                                      # [B, nt0]
+    tail = scores[:, n0:] if n0 < n else None
+    return _tilemax_select(main, tmax, tail, n, kk, margin)
+
+
+def _tilemax_select(
+    main: jax.Array,
+    tmax: jax.Array,
+    tail: jax.Array | None,
+    n: int,
+    kk: int,
+    margin: int,
+    gather=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Selection core of :func:`tilemax_topk`, shared with the fused
+    Pallas producer path (which supplies ``tmax`` from the score kernel
+    instead of re-reading the score buffer). ``main [B, nt0, t]`` is the
+    full-tile score view, ``tail [B, n - nt0*t]`` the ragged remainder
+    (always a candidate). ``gather(sel) -> [B, c*t]`` overrides the
+    XLA candidate gather (the fused path's DMA kernel)."""
+    b, nt0, t = main.shape
+    n0 = nt0 * t
+    c = min(nt0, kk + margin)
     _, sel = jax.lax.top_k(tmax, c)
     sel = jnp.sort(sel, axis=1)                                  # id-order ties
-    cand = jnp.take_along_axis(
-        main, sel[:, :, None], axis=1
-    ).reshape(b, c * t)                        # contiguous tile slices
-    if n0 < n:
+    if gather is not None:
+        cand = gather(sel)                     # [B, c*t] contiguous
+    else:
+        cand = jnp.take_along_axis(
+            main, sel[:, :, None], axis=1
+        ).reshape(b, c * t)                    # contiguous tile slices
+    if tail is not None:
         # The ragged tail is always a candidate — no score padding.
-        cand = jnp.concatenate([cand, scores[:, n0:]], axis=1)
+        cand = jnp.concatenate([cand, tail], axis=1)
     top, pos = jax.lax.top_k(cand, kk)
     in_main = pos < c * t
     tile_of = jnp.take_along_axis(
@@ -271,7 +296,52 @@ def search_lambda_aware_tilemax(
     ``alphas`` may be a scalar or a traced ``[B]`` vector (heterogeneous
     serving traffic shares one program). Returns ``(indices [B, k],
     scores [B, k])``.
+
+    On TPU with an f32 corpus the scores and tile maxima come from ONE
+    fused Pallas pass (ops/pallas/tilemax_fused.py): the XLA producer +
+    separate tile-max reduce re-reads the [B, N] score matrix through a
+    ~215 GB/s strided-DMA wall, which was 45% of the exact 1M-batch time.
+    Scores are bitwise-identical between the two producers (pinned by
+    test), so routing is a pure perf decision.
     """
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    b, n = queries.shape[0], X.shape[0]
+    kk = min(k, n)
+    t = min(tile, n)
+    nt0 = n // t
+    n0 = nt0 * t
+    degenerate = min(nt0, kk + 4) * t + (n - n0) >= n
+    if not degenerate and tmf.fused_supported(n, X.shape[1], b, X.dtype, t):
+        smain, submax = tmf.scores_and_tilemax(
+            X, norms, lambdas, queries, query_lambdas,
+            jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,)), tile=t,
+        )
+        tail = (
+            _batched_scores(
+                X[n0:], norms[n0:], lambdas[n0:], queries, query_lambdas, alphas
+            )
+            if n0 < n
+            else None
+        )
+        # Selection runs at SUB-tile granularity (tile/SUBS columns): the
+        # kernel's maxima are free off VMEM-resident data and the finer
+        # partition shrinks the candidate gather by SUBS x. The exactness
+        # argument is partition-agnostic (tilemax_topk docstring). The
+        # gather itself uses the grouped-DMA kernel when aligned (6x
+        # faster than XLA's per-slice gather at 256 queries).
+        ts = t // tmf.SUBS
+        ns = nt0 * tmf.SUBS
+        c = min(ns, kk + 4)
+        gather = (
+            (lambda sel: tmf.gather_subtiles(smain, sel, ts))
+            if tmf.gather_supported(b, c)
+            else None
+        )
+        top, idx = _tilemax_select(
+            smain.reshape(b, ns, ts), submax, tail, n, kk, 4, gather=gather
+        )
+        return idx, top
     scores = _batched_scores(X, norms, lambdas, queries, query_lambdas, alphas)
     top, idx = tilemax_topk(scores, k, tile=tile)
     return idx, top

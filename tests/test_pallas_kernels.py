@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from matternet_rs_tpu.graph import GraphParams
@@ -114,3 +115,96 @@ def test_fused_search_exact_interpret():
     for b in range(B):
         assert set(np.asarray(idx_p)[b].tolist()) == set(gt[b].tolist())
         assert len(set(np.asarray(idx_p)[b].tolist())) == K
+
+
+# ---------------------------------------------------------------------------
+# Fused score+tilemax producer (ops/pallas/tilemax_fused.py)
+# ---------------------------------------------------------------------------
+
+def _fused_fixture(n, f, b, seed=7):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.standard_normal((n, f), dtype=np.float32))
+    X = X.at[3].set(0.0)                       # exercises the guarded cosine
+    norms = jnp.sqrt(jnp.sum(X * X, axis=1))
+    lams = jnp.asarray(rng.random(n, dtype=np.float32))
+    Q = jnp.asarray(rng.standard_normal((b, f), dtype=np.float32))
+    ql = jnp.asarray(rng.random(b, dtype=np.float32))
+    al = jnp.asarray(rng.uniform(0.3, 0.9, b).astype(np.float32))
+    return X, norms, lams, Q, ql, al
+
+
+@pytest.mark.parametrize("n,f,b,tile", [(9000, 64, 16, 2048), (4099, 32, 8, 4096)])
+def test_scores_and_tilemax_matches_batched_scores(n, f, b, tile):
+    """Interpret-mode producer == the XLA _batched_scores formula, and the
+    sub-tile maxima == reshaped reductions of those scores. (On real TPU the
+    match is bitwise inside the fused_supported envelope — pinned by the
+    device validation sweep recorded in DESIGN.md.)"""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b)
+    smain, submax = tmf.scores_and_tilemax(
+        X, norms, lams, Q, ql, al, tile=tile, interpret=True
+    )
+    nt0 = n // tile
+    n0 = nt0 * tile
+    ts = tile // tmf.SUBS
+    sref = np.asarray(so._batched_scores(X, norms, lams, Q, ql, al))[:, :n0]
+    assert np.allclose(np.asarray(smain), sref, atol=1e-6, rtol=1e-6)
+    tm_ref = sref.reshape(b, nt0 * tmf.SUBS, ts).max(axis=2)
+    assert np.allclose(np.asarray(submax), tm_ref, atol=1e-6, rtol=1e-6)
+
+
+def test_gather_subtiles_matches_take_along_axis():
+    rng = np.random.default_rng(11)
+    b, ns, ts = 16, 40, 128
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    S = jnp.asarray(rng.standard_normal((b, ns * ts), dtype=np.float32))
+    sel = jnp.sort(
+        jnp.asarray(rng.integers(0, ns, size=(b, 6), dtype=np.int32)), axis=1
+    )
+    got = tmf.gather_subtiles(S, sel, ts, interpret=True)
+    ref = jnp.take_along_axis(
+        S.reshape(b, ns, ts), sel[:, :, None], axis=1
+    ).reshape(b, 6 * ts)
+    assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_fused_tilemax_full_path_interpret_matches_flat():
+    """End-to-end: fused producer + DMA gather + selection == flat top_k
+    (random data — away from exact ties)."""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    n, f, b, tile, k = 9000, 64, 16, 2048, 5
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=3)
+    nt0 = n // tile
+    n0 = nt0 * tile
+    ts = tile // tmf.SUBS
+    ns = nt0 * tmf.SUBS
+    smain, submax = tmf.scores_and_tilemax(
+        X, norms, lams, Q, ql, al, tile=tile, interpret=True
+    )
+    sref = so._batched_scores(X, norms, lams, Q, ql, al)
+    tail = sref[:, n0:]
+    top, idx = so._tilemax_select(
+        smain.reshape(b, ns, ts), submax, tail, n, k, 4,
+        gather=lambda sel: tmf.gather_subtiles(smain, sel, ts, interpret=True),
+    )
+    ft, fi = jax.lax.top_k(sref, k)
+    assert np.allclose(np.asarray(top), np.asarray(ft), atol=1e-6)
+    assert (np.asarray(idx) == np.asarray(fi)).all()
+
+
+def test_fused_supported_gating_envelope():
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    # F > 128 and B == 1 are outside the measured bitwise envelope
+    assert not tmf.fused_supported(100000, 256, 64, jnp.float32, 2048)
+    assert not tmf.fused_supported(100000, 128, 1, jnp.float32, 2048)
+    assert not tmf.fused_supported(100000, 128, 64, jnp.bfloat16, 2048)
+    assert not tmf.fused_supported(1000, 128, 64, jnp.float32, 2048)
+    assert not tmf.gather_supported(12, 14)    # B not 8-aligned
+    assert not tmf.gather_supported(256, 200)  # c beyond compile cap
+    assert tmf.gather_supported(256, 14)
