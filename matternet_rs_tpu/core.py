@@ -53,9 +53,19 @@ TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
 def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
     """Shared body of the batched-search jits: exact scans above
     TILEMAX_MIN_N route through the tile-max pruned selection
-    (score-exact at reduction cost); otherwise the vmapped single-query
-    kernel (bit-identical to serial search, approx_max_k when asked)."""
-    if not approx and X.shape[0] >= TILEMAX_MIN_N:
+    (score-exact at reduction cost) — from FUSED_TILEMAX_MIN_N when the
+    fused Pallas producer applies (lower measured crossover); otherwise
+    the vmapped single-query kernel (bit-identical to serial search,
+    approx_max_k when asked)."""
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as _tmf
+
+    n = X.shape[0]
+    tilemax_n = (
+        search_ops.FUSED_TILEMAX_MIN_N
+        if _tmf.fused_supported(n, X.shape[1], Q.shape[0], X.dtype, 2048)
+        else TILEMAX_MIN_N
+    )
+    if not approx and n >= tilemax_n:
         return search_ops.search_lambda_aware_tilemax(
             X, norms, lams, Q, q_lams, k, alphas
         )

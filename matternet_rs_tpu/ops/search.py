@@ -36,6 +36,14 @@ SEMANTIC_THRESHOLD = 0.9999
 # single-query path, ties included.
 TILEMAX_MIN_N = 65_536
 
+# With the FUSED producer (ops/pallas/tilemax_fused.py) the crossover
+# moves down: measured flat vs fused ms/batch (v5e, 128-d, 256q, k=10):
+# 16k 0.67/0.72 · 32k 0.84/0.72 · 65k 1.15/0.77 · 131k 2.17/0.93 ·
+# 262k 3.95/1.33. Exact batched scans route through the fused path from
+# 32k up WHEN fused_supported holds; the XLA tilemax keeps the original
+# 65k threshold (it loses to flat below that).
+FUSED_TILEMAX_MIN_N = 32_768
+
 
 def _scan_dots(X: jax.Array, query: jax.Array) -> jax.Array:
     """Corpus·query dots, specialized on the corpus dtype at trace time.
