@@ -60,8 +60,9 @@ MAX_FUSED_B = 1024
 SUBS = 8
 
 
-def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref,
+def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref, mf_ref,
             s_ref, tm_ref):
+    i = pl.program_id(0)
     # [B, T] dots on the MXU — HIGHEST is bitwise == ops._mm.mm on TPU.
     dots = jax.lax.dot_general(
         q_ref[:], x_ref[:], (((1,), (1,)), ((), ())),
@@ -74,6 +75,11 @@ def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref,
     lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_ref[:] - ql_ref[:]), 1.0)
     al = al_ref[:]                                               # [B, 1]
     s = al * cos + (1.0 - al) * lam_sim
+    # Padded-row mask (the sharded path's rows past n_items): -inf from
+    # local row ``mask_from``. The default mask_from = n0 never fires and
+    # leaves scores bitwise-untouched.
+    col = i * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col >= mf_ref[0, 0], -jnp.inf, s)
     s_ref[:] = s
 
     # Per-query sub-tile maxima while resident, one row per sub-tile
@@ -98,9 +104,14 @@ def scores_and_tilemax(
     alphas: jax.Array,
     tile: int = 2048,
     interpret: bool = False,
+    mask_from: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Blended score matrix for the first ``(N // tile) * tile`` corpus rows
     plus per-SUB-tile maxima, in ONE corpus pass.
+
+    ``mask_from`` (traced int32 scalar, optional): scores for local rows
+    ≥ mask_from become -inf — the sharded path's padded-row mask, applied
+    in-kernel so the score buffer is never re-touched. Default never fires.
 
     Returns ``(scores [B, n0], submax [B, nt0 * SUBS])`` with
     ``nt0 = N // tile``, ``n0 = nt0 * tile``; sub-tile ``j`` covers score
@@ -119,6 +130,7 @@ def scores_and_tilemax(
 
     qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
     a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+    mf = jnp.asarray(n0 if mask_from is None else mask_from, jnp.int32)
 
     scores, tmax_t = pl.pallas_call(
         _kernel,
@@ -131,6 +143,7 @@ def scores_and_tilemax(
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -158,6 +171,7 @@ def scores_and_tilemax(
         qn[:, None],
         query_lambdas[:, None],
         a[:, None],
+        mf.reshape(1, 1),
     )
     return scores, tmax_t.T
 

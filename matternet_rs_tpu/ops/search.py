@@ -321,38 +321,71 @@ def search_lambda_aware_tilemax(
     n0 = nt0 * t
     degenerate = min(nt0, kk + 4) * t + (n - n0) >= n
     if not degenerate and tmf.fused_supported(n, X.shape[1], b, X.dtype, t):
-        smain, submax = tmf.scores_and_tilemax(
-            X, norms, lambdas, queries, query_lambdas,
-            jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,)), tile=t,
-        )
-        tail = (
-            _batched_scores(
-                X[n0:], norms[n0:], lambdas[n0:], queries, query_lambdas, alphas
-            )
-            if n0 < n
-            else None
-        )
-        # Selection runs at SUB-tile granularity (tile/SUBS columns): the
-        # kernel's maxima are free off VMEM-resident data and the finer
-        # partition shrinks the candidate gather by SUBS x. The exactness
-        # argument is partition-agnostic (tilemax_topk docstring). The
-        # gather itself uses the grouped-DMA kernel when aligned (6x
-        # faster than XLA's per-slice gather at 256 queries).
-        ts = t // tmf.SUBS
-        ns = nt0 * tmf.SUBS
-        c = min(ns, kk + 4)
-        gather = (
-            (lambda sel: tmf.gather_subtiles(smain, sel, ts))
-            if tmf.gather_supported(b, c)
-            else None
-        )
-        top, idx = _tilemax_select(
-            smain.reshape(b, ns, ts), submax, tail, n, kk, 4, gather=gather
+        top, idx = fused_tilemax(
+            X, norms, lambdas, queries, query_lambdas, kk, alphas, t
         )
         return idx, top
     scores = _batched_scores(X, norms, lambdas, queries, query_lambdas, alphas)
     top, idx = tilemax_topk(scores, k, tile=tile)
     return idx, top
+
+
+def fused_tilemax(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    kk: int,
+    alphas: jax.Array,
+    t: int = 2048,
+    mask_from: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-producer tile-max top-k body: one Pallas pass for scores +
+    sub-tile maxima, grouped-DMA candidate gather, shared selection core.
+    Selection runs at SUB-tile granularity (tile/SUBS columns): the
+    kernel's maxima are free off VMEM-resident data and the finer
+    partition shrinks the candidate gather by SUBS x; the exactness
+    argument is partition-agnostic (tilemax_topk docstring).
+
+    ``mask_from`` (traced int32 scalar): rows ≥ mask_from score -inf —
+    the sharded path's padded-row mask (parallel/search.py), applied
+    in-kernel and to the ragged tail. Caller must have checked
+    ``tilemax_fused.fused_supported`` and non-degeneracy.
+    Returns ``(top [B, kk], idx [B, kk])``.
+    """
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    b, n = queries.shape[0], X.shape[0]
+    nt0 = n // t
+    n0 = nt0 * t
+    smain, submax = tmf.scores_and_tilemax(
+        X, norms, lambdas, queries, query_lambdas,
+        jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,)), tile=t,
+        mask_from=mask_from,
+    )
+    if n0 < n:
+        tail = _batched_scores(
+            X[n0:], norms[n0:], lambdas[n0:], queries, query_lambdas, alphas
+        )
+        if mask_from is not None:
+            tail = jnp.where(
+                jnp.arange(n0, n, dtype=jnp.int32)[None, :] >= mask_from,
+                -jnp.inf, tail,
+            )
+    else:
+        tail = None
+    ts = t // tmf.SUBS
+    ns = nt0 * tmf.SUBS
+    c = min(ns, kk + 4)
+    gather = (
+        (lambda sel: tmf.gather_subtiles(smain, sel, ts))
+        if tmf.gather_supported(b, c)
+        else None
+    )
+    return _tilemax_select(
+        smain.reshape(b, ns, ts), submax, tail, n, kk, 4, gather=gather
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))

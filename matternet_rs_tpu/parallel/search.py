@@ -242,32 +242,56 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
     joint = axes if len(axes) > 1 else axes[0]
 
     def local_fn(Xl, nl, ll, Q, QL, alpha):
-        qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                 # [B]
-        dots = jnp.dot(
-            Q, Xl.T, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                                       # [B, n_local]
-        cos = _guarded_cosine(dots, nl[None, :] * qn[:, None])
-        scores = _blend(cos, ll[None, :], QL[:, None], alpha)
-        row0 = flat_axis_index(joint) * Xl.shape[0]
-        # Padded rows masked by global id (real zero rows stay rankable).
-        scores = jnp.where(
-            (row0 + jnp.arange(Xl.shape[0]))[None, :] < n_items,
-            scores, -jnp.inf,
+        from matternet_rs_tpu.ops.pallas import tilemax_fused as _tmf
+        from matternet_rs_tpu.ops.search import (
+            FUSED_TILEMAX_MIN_N, fused_tilemax,
         )
 
-        kk = min(k, Xl.shape[0])
-        if Xl.shape[0] >= TILEMAX_MIN_N:
-            # Score-exact selection at reduction cost on big shards (see
-            # ops/search.tilemax_topk). Tie caveat (PARITY.md): on items
-            # tied EXACTLY at a shard's kk-th score across a tile
-            # boundary, an equally-scored id may substitute for flat
-            # top_k's lowest-index pick — so returned ids on such ties
-            # can differ from the flat path (and across mesh shapes that
-            # straddle the routing threshold); scores are always exact.
-            top, idx = tilemax_topk(scores, kk)                # [B, kk]
+        n_local = Xl.shape[0]
+        kk = min(k, n_local)
+        row0 = flat_axis_index(joint) * n_local
+        use_fused = (
+            n_local >= FUSED_TILEMAX_MIN_N
+            and min(n_local // 2048, kk + 4) * 2048 + n_local % 2048 < n_local
+            and _tmf.fused_supported(
+                n_local, Xl.shape[1], Q.shape[0], Xl.dtype, 2048
+            )
+        )
+        if use_fused:
+            # Same fused producer + grouped-DMA gather as the single-device
+            # exact scan (3.6x measured there); the padded-row mask (global
+            # id >= n_items) is applied in-kernel via mask_from. Tie caveat
+            # as below.
+            mask_from = jnp.clip(
+                jnp.int32(n_items) - jnp.int32(row0), 0, n_local
+            )
+            top, idx = fused_tilemax(
+                Xl, nl, ll, Q, QL, kk, alpha, mask_from=mask_from
+            )
         else:
-            top, idx = jax.lax.top_k(scores, kk)               # [B, kk]
+            qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))             # [B]
+            dots = jnp.dot(
+                Q, Xl.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                                   # [B, n_local]
+            cos = _guarded_cosine(dots, nl[None, :] * qn[:, None])
+            scores = _blend(cos, ll[None, :], QL[:, None], alpha)
+            # Padded rows masked by global id (real zero rows stay rankable).
+            scores = jnp.where(
+                (row0 + jnp.arange(n_local))[None, :] < n_items,
+                scores, -jnp.inf,
+            )
+            if n_local >= TILEMAX_MIN_N:
+                # Score-exact selection at reduction cost on big shards (see
+                # ops/search.tilemax_topk). Tie caveat (PARITY.md): on items
+                # tied EXACTLY at a shard's kk-th score across a tile
+                # boundary, an equally-scored id may substitute for flat
+                # top_k's lowest-index pick — so returned ids on such ties
+                # can differ from the flat path (and across mesh shapes that
+                # straddle the routing threshold); scores are always exact.
+                top, idx = tilemax_topk(scores, kk)            # [B, kk]
+            else:
+                top, idx = jax.lax.top_k(scores, kk)           # [B, kk]
         gidx = idx + row0
 
         all_s = jax.lax.all_gather(top, joint)                 # [D, B, kk]

@@ -208,3 +208,61 @@ def test_fused_supported_gating_envelope():
     assert not tmf.gather_supported(12, 14)    # B not 8-aligned
     assert not tmf.gather_supported(256, 200)  # c beyond compile cap
     assert tmf.gather_supported(256, 14)
+
+
+def test_scores_and_tilemax_mask_from():
+    """mask_from turns rows >= it (and the masked tail) to -inf — the
+    sharded path's padded-row mask; default leaves scores untouched."""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    n, f, b, tile = 9000, 64, 16, 2048
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=5)
+    nt0 = n // tile
+    n0 = nt0 * tile
+    mf = jnp.int32(5000)
+    smain, submax = tmf.scores_and_tilemax(
+        X, norms, lams, Q, ql, al, tile=tile, interpret=True, mask_from=mf
+    )
+    sref = np.asarray(so._batched_scores(X, norms, lams, Q, ql, al))[:, :n0]
+    sm = np.asarray(smain)
+    assert np.isneginf(sm[:, 5000:]).all()
+    assert np.allclose(sm[:, :5000], sref[:, :5000], atol=1e-6, rtol=1e-6)
+    ts = tile // tmf.SUBS
+    tm = np.asarray(submax).reshape(b, nt0 * tmf.SUBS)
+    masked = sref.copy()
+    masked[:, 5000:] = -np.inf
+    tm_ref = masked.reshape(b, nt0 * tmf.SUBS, ts).max(axis=2)
+    finite = np.isfinite(tm_ref)
+    assert (np.isneginf(tm) == np.isneginf(tm_ref)).all()
+    assert np.allclose(tm[finite], tm_ref[finite], atol=1e-6, rtol=1e-6)
+
+
+def test_fused_tilemax_masked_full_path():
+    """fused_tilemax with mask_from never returns masked rows and matches
+    flat top_k over the masked scores."""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    n, f, b, k = 9000, 64, 16, 5
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=13)
+    mf = jnp.int32(7001)
+
+    # interpret-mode kernels: monkeypatch-free — call the body directly
+    import functools
+    orig_sat = tmf.scores_and_tilemax
+    orig_gather = tmf.gather_subtiles
+    tmf.scores_and_tilemax = functools.partial(orig_sat, interpret=True)
+    tmf.gather_subtiles = functools.partial(orig_gather, interpret=True)
+    try:
+        top, idx = so.fused_tilemax(X, norms, lams, Q, ql, k, al, mask_from=mf)
+    finally:
+        tmf.scores_and_tilemax = orig_sat
+        tmf.gather_subtiles = orig_gather
+
+    sref = np.array(so._batched_scores(X, norms, lams, Q, ql, al))
+    sref[:, 7001:] = -np.inf
+    ft, fi = jax.lax.top_k(jnp.asarray(sref), k)
+    assert np.allclose(np.asarray(top), np.asarray(ft), atol=1e-6)
+    assert (np.asarray(idx) == np.asarray(fi)).all()
+    assert (np.asarray(idx) < 7001).all()
