@@ -54,15 +54,16 @@ def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
     """Shared body of the batched-search jits: exact scans above
     TILEMAX_MIN_N route through the tile-max pruned selection
     (score-exact at reduction cost) — from FUSED_TILEMAX_MIN_N when the
-    fused Pallas producer applies (lower measured crossover); otherwise
+    FULL fused pipeline applies (producer + grouped-DMA gather +
+    non-degenerate selection, `ops/search.fused_fast_path`); otherwise
     the vmapped single-query kernel (bit-identical to serial search,
     approx_max_k when asked)."""
-    from matternet_rs_tpu.ops.pallas import tilemax_fused as _tmf
-
     n = X.shape[0]
     tilemax_n = (
         search_ops.FUSED_TILEMAX_MIN_N
-        if _tmf.fused_supported(n, X.shape[1], Q.shape[0], X.dtype, 2048)
+        if search_ops.fused_fast_path(
+            n, X.shape[1], Q.shape[0], X.dtype, min(k, n)
+        )
         else TILEMAX_MIN_N
     )
     if not approx and n >= tilemax_n:

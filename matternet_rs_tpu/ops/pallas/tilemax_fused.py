@@ -69,12 +69,13 @@ def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref, mf_ref,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    # Exact _batched_scores formula (ops/search.py) on VMEM-resident data.
-    denom = qn_ref[:] * nrm_ref[:]                               # [B,1]*[1,T]
-    cos = jnp.where(denom > 1e-12, dots / jnp.maximum(denom, 1e-12), 0.0)
-    lam_sim = 1.0 - jnp.minimum(jnp.abs(lam_ref[:] - ql_ref[:]), 1.0)
-    al = al_ref[:]                                               # [B, 1]
-    s = al * cos + (1.0 - al) * lam_sim
+    # THE canonical scoring helpers (ops/search.py) traced into the kernel
+    # on VMEM-resident data — the bitwise-parity contract with
+    # _batched_scores depends on these staying the same functions.
+    from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
+
+    cos = _guarded_cosine(dots, qn_ref[:] * nrm_ref[:])          # [B,1]*[1,T]
+    s = _blend(cos, lam_ref[:], ql_ref[:], al_ref[:])            # al: [B, 1]
     # Padded-row mask (the sharded path's rows past n_items): -inf from
     # local row ``mask_from``. The default mask_from = n0 never fires and
     # leaves scores bitwise-untouched.

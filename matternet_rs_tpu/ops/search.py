@@ -40,9 +40,43 @@ TILEMAX_MIN_N = 65_536
 # moves down: measured flat vs fused ms/batch (v5e, 128-d, 256q, k=10):
 # 16k 0.67/0.72 · 32k 0.84/0.72 · 65k 1.15/0.77 · 131k 2.17/0.93 ·
 # 262k 3.95/1.33. Exact batched scans route through the fused path from
-# 32k up WHEN fused_supported holds; the XLA tilemax keeps the original
-# 65k threshold (it loses to flat below that).
+# 32k up WHEN the FULL fused pipeline applies (:func:`fused_fast_path` —
+# producer envelope AND grouped-DMA gather AND non-degenerate selection;
+# with only the XLA per-slice gather, flat still wins in this band); the
+# XLA tilemax keeps the original 65k threshold.
 FUSED_TILEMAX_MIN_N = 32_768
+
+# Default per-tile width for the tile-max family; every routing predicate
+# must evaluate the same tile it executes with.
+DEFAULT_TILE = 2048
+
+
+def _tilemax_degenerate(n: int, kk: int, t: int, margin: int = 4) -> bool:
+    """True when the candidate set would cover the whole corpus — the
+    tile-max machinery buys nothing and callers keep the flat kernel."""
+    nt0 = n // t
+    return min(nt0, kk + margin) * t + (n - nt0 * t) >= n
+
+
+def fused_fast_path(
+    n: int, f: int, b: int, dtype, kk: int, tile: int = DEFAULT_TILE
+) -> bool:
+    """Whether the FULL fused pipeline applies (producer envelope +
+    grouped-DMA gather + non-degenerate selection). This is the predicate
+    for routing exact batched scans at the lowered FUSED_TILEMAX_MIN_N
+    threshold: with the XLA per-slice gather instead of the DMA gather,
+    the fused path loses to flat below TILEMAX_MIN_N (the gather is
+    ~0.9 µs × B·c slices regardless of slice width). Above TILEMAX_MIN_N
+    the fused producer is worth routing whenever ``fused_supported`` alone
+    holds — the XLA-gather fallback still beats the XLA tilemax there."""
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    if _tilemax_degenerate(n, kk, tile):
+        return False
+    if not tmf.fused_supported(n, f, b, dtype, tile):
+        return False
+    ns = (n // tile) * tmf.SUBS
+    return tmf.gather_supported(b, min(ns, kk + 4))
 
 
 def _scan_dots(X: jax.Array, query: jax.Array) -> jax.Array:
@@ -194,7 +228,7 @@ def _batched_scores(
 
 
 def tilemax_topk(
-    scores: jax.Array, k: int, tile: int = 2048, margin: int = 4
+    scores: jax.Array, k: int, tile: int = DEFAULT_TILE, margin: int = 4
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k over ``scores [B, N]`` via tile-max pruned selection.
 
@@ -294,7 +328,7 @@ def search_lambda_aware_tilemax(
     query_lambdas: jax.Array,
     k: int,
     alphas: jax.Array,
-    tile: int = 2048,
+    tile: int = DEFAULT_TILE,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched λ-aware top-k with tile-max pruned selection (see
     :func:`tilemax_topk`). Score computation is the standard blended scan
@@ -317,10 +351,9 @@ def search_lambda_aware_tilemax(
     b, n = queries.shape[0], X.shape[0]
     kk = min(k, n)
     t = min(tile, n)
-    nt0 = n // t
-    n0 = nt0 * t
-    degenerate = min(nt0, kk + 4) * t + (n - n0) >= n
-    if not degenerate and tmf.fused_supported(n, X.shape[1], b, X.dtype, t):
+    if not _tilemax_degenerate(n, kk, t) and tmf.fused_supported(
+        n, X.shape[1], b, X.dtype, t
+    ):
         top, idx = fused_tilemax(
             X, norms, lambdas, queries, query_lambdas, kk, alphas, t
         )
@@ -338,7 +371,7 @@ def fused_tilemax(
     query_lambdas: jax.Array,
     kk: int,
     alphas: jax.Array,
-    t: int = 2048,
+    t: int = DEFAULT_TILE,
     mask_from: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-producer tile-max top-k body: one Pallas pass for scores +

@@ -244,18 +244,27 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
     def local_fn(Xl, nl, ll, Q, QL, alpha):
         from matternet_rs_tpu.ops.pallas import tilemax_fused as _tmf
         from matternet_rs_tpu.ops.search import (
-            FUSED_TILEMAX_MIN_N, fused_tilemax,
+            DEFAULT_TILE, FUSED_TILEMAX_MIN_N, _tilemax_degenerate,
+            fused_fast_path, fused_tilemax,
         )
 
         n_local = Xl.shape[0]
+        b = Q.shape[0]
         kk = min(k, n_local)
         row0 = flat_axis_index(joint) * n_local
+        # Same two-level routing as core._routed_batched_search: above
+        # TILEMAX_MIN_N the fused producer is worth it whenever its
+        # envelope holds (XLA-gather fallback still beats XLA tilemax);
+        # in the lowered band the FULL pipeline must apply.
         use_fused = (
-            n_local >= FUSED_TILEMAX_MIN_N
-            and min(n_local // 2048, kk + 4) * 2048 + n_local % 2048 < n_local
+            n_local >= TILEMAX_MIN_N
+            and not _tilemax_degenerate(n_local, kk, DEFAULT_TILE)
             and _tmf.fused_supported(
-                n_local, Xl.shape[1], Q.shape[0], Xl.dtype, 2048
+                n_local, Xl.shape[1], b, Xl.dtype, DEFAULT_TILE
             )
+        ) or (
+            n_local >= FUSED_TILEMAX_MIN_N
+            and fused_fast_path(n_local, Xl.shape[1], b, Xl.dtype, kk)
         )
         if use_fused:
             # Same fused producer + grouped-DMA gather as the single-device
