@@ -19,12 +19,17 @@ MXU, write each [B, tile] score block once (fast direction), and reduce
 the block's per-query maxima while the data is still VMEM-resident.
 The 4.85 ms tile-max pass disappears from the HBM budget entirely.
 
-Parity: the in-kernel ``dot_general`` at ``Precision.HIGHEST`` was
-measured BITWISE-identical to the XLA ``ops._mm.mm`` path on TPU, and
-the blend uses the exact formula of ``ops.search._batched_scores``
-(zero-norm-guarded cosine, ``α·cos + (1-α)·(1-min(|Δλ|,1))``) — a
-parity test pins the produced scores bit-for-bit against the XLA
-producer so the flat/tilemax/streamed bit-identity contracts survive.
+Parity: for F ≤ 128 the in-kernel ``dot_general`` at
+``Precision.HIGHEST`` was measured BITWISE-identical to the XLA
+``ops._mm.mm`` path on TPU, and the blend uses the exact formula of
+``ops.search._batched_scores`` (zero-norm-guarded cosine,
+``α·cos + (1-α)·(1-min(|Δλ|,1))``) — a parity test pins the produced
+scores bit-for-bit against the XLA producer so the flat/tilemax/streamed
+bit-identity contracts survive. For 128 < F ≤ MAX_FUSED_F_WIDE the
+producer runs in SELF-CONSISTENT mode (see the constants block below):
+scores sit within f32 accumulation-reorder distance of the XLA
+producer's and the caller returns the kernel's own scores, so the
+selection is exact with respect to the scores it returns.
 
 Reference behavior: ``/root/reference/src_legacy/core.rs:1156-1193``
 (λ-aware scan semantics); selection contract in ``ops/search.py``.
@@ -43,13 +48,32 @@ from jax.experimental.pallas import tpu as pltpu
 # HIGHEST dot matches XLA's `mm` bit-for-bit for F ≤ 128 (one lane-tile
 # contraction) and B ≥ 2 (XLA switches to a differently-accumulated
 # matvec at B=1). F > 128 splits the contraction across lane tiles and
-# Mosaic's accumulation order differs from XLA's at the last ulp (left-
-# to-right 128-chunk summation was probed and does NOT reproduce it), so
-# wider corpora keep the XLA producer — a perf fallback, not a
-# correctness one.
+# NO probed in-kernel formulation reproduces XLA's accumulation (direct
+# wide-K HIGHEST, left-to-right / right-to-left / pairwise-tree 128-chunk
+# f32 summation, and the explicit 3-pass bf16 hi/lo decomposition were
+# all measured on-chip — scripts/probe_fused_f*.py — and every one
+# diverges; the wide-K Mosaic lowering is not even within plain-f32
+# reorder distance of XLA's).
+#
+# So for MAX_FUSED_F < F ≤ MAX_FUSED_F_WIDE the fused producer runs in
+# SELF-CONSISTENT mode instead: the kernel accumulates 128-wide HIGHEST
+# chunk dots left-to-right in f32 (each chunk bitwise == XLA's chunk
+# matmul), and the caller uses the kernel's scores for BOTH selection
+# and the returned values — the result is exactly "top-k of the scores
+# this program computes", while those scores sit within f32
+# accumulation-reorder distance (~1e-6 rel) of the XLA producer's.
+# Ranking can differ from the flat/single-query kernels only among items
+# whose blended scores tie within that error — the same near-tie class
+# the tilemax tie-substitution contract already names. F ≤ MAX_FUSED_F
+# keeps the bitwise guarantee: a single chunk IS the old kernel.
 MAX_FUSED_F = 128
+MAX_FUSED_F_WIDE = 2048
 MIN_FUSED_B = 2
 MAX_FUSED_B = 1024
+
+# K-chunk width for the wide-F self-consistent mode (one lane tile — the
+# bitwise unit of the parity envelope).
+K_CHUNK = 128
 
 
 # Sub-tile maxima per corpus block: selection granularity is decoupled
@@ -60,15 +84,30 @@ MAX_FUSED_B = 1024
 SUBS = 8
 
 
-def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref, mf_ref,
-            s_ref, tm_ref):
-    i = pl.program_id(0)
-    # [B, T] dots on the MXU — HIGHEST is bitwise == ops._mm.mm on TPU.
-    dots = jax.lax.dot_general(
-        q_ref[:], x_ref[:], (((1,), (1,)), ((), ())),
+def _chunk_dot(q, x):
+    """[B, T] chunk dot on the MXU — HIGHEST is bitwise == ops._mm.mm on
+    TPU for K ≤ 128 (one lane tile)."""
+    return jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref, mf_ref,
+            s_ref, tm_ref):
+    i = pl.program_id(0)
+    f = q_ref.shape[1]
+    if f <= K_CHUNK:
+        # Bitwise envelope: one lane-tile contraction == XLA's mm.
+        dots = _chunk_dot(q_ref[:], x_ref[:])
+    else:
+        # Wide-F self-consistent mode: left-to-right f32 accumulation of
+        # bitwise-exact 128-chunks (see module constants for the contract).
+        dots = _chunk_dot(q_ref[:, :K_CHUNK], x_ref[:, :K_CHUNK])
+        for lo in range(K_CHUNK, f, K_CHUNK):
+            hi = min(lo + K_CHUNK, f)
+            dots = dots + _chunk_dot(q_ref[:, lo:hi], x_ref[:, lo:hi])
     # THE canonical scoring helpers (ops/search.py) traced into the kernel
     # on VMEM-resident data — the bitwise-parity contract with
     # _batched_scores depends on these staying the same functions.
@@ -262,14 +301,19 @@ def gather_supported(b: int, c: int) -> bool:
 
 def fused_supported(n: int, f: int, b: int, dtype, tile: int) -> bool:
     """Whether the fused producer applies: f32 corpus, at least one full
-    tile, shapes inside the measured bitwise-parity envelope (see module
-    constants), and a real TPU backend (interpret-mode CPU runs route
-    through the XLA producer instead)."""
-    if dtype != jnp.float32 or n < tile or f > MAX_FUSED_F:
+    tile, shapes inside the supported envelope (bitwise for F ≤
+    MAX_FUSED_F, self-consistent chunked-K for F ≤ MAX_FUSED_F_WIDE — see
+    module constants), and a real TPU backend (interpret-mode CPU runs
+    route through the XLA producer instead)."""
+    if dtype != jnp.float32 or n < tile or f > MAX_FUSED_F_WIDE:
         return False
     if b < MIN_FUSED_B or b > MAX_FUSED_B:
         return False
     if tile % (SUBS * 128) != 0:        # sub-tiles must stay lane-aligned
+        return False
+    # Wide-F VMEM gate: the per-step blocks (corpus tile, query block,
+    # score block, double-buffered) must fit the kernel's VMEM budget.
+    if (tile * f + b * f + b * tile) * 4 * 2 > 90 * 1024 * 1024:
         return False
     try:
         platform = jax.devices()[0].platform.lower()

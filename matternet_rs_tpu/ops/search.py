@@ -343,8 +343,11 @@ def search_lambda_aware_tilemax(
     fused Pallas pass (ops/pallas/tilemax_fused.py): the XLA producer +
     separate tile-max reduce re-reads the [B, N] score matrix through a
     ~215 GB/s strided-DMA wall, which was 45% of the exact 1M-batch time.
-    Scores are bitwise-identical between the two producers (pinned by
-    test), so routing is a pure perf decision.
+    For F ≤ 128 the two producers are bitwise-identical (pinned by test),
+    so routing is a pure perf decision; for wider F the fused producer is
+    self-consistent — selection and returned scores come from the same
+    kernel, within f32 accumulation-reorder distance (~1e-6 rel) of the
+    XLA producer (tilemax_fused.py constants block for the contract).
     """
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
@@ -386,6 +389,11 @@ def fused_tilemax(
     in-kernel and to the ragged tail. Caller must have checked
     ``tilemax_fused.fused_supported`` and non-degeneracy.
     Returns ``(top [B, kk], idx [B, kk])``.
+
+    Wide-F note (128 < F, the self-consistent producer mode): the ragged
+    tail (< tile rows) is scored by the XLA producer while the main body
+    comes from the kernel, so main-vs-tail comparisons carry the same
+    f32 accumulation-reorder near-tie caveat as the producer itself.
     """
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 

@@ -200,14 +200,48 @@ def test_fused_tilemax_full_path_interpret_matches_flat():
 def test_fused_supported_gating_envelope():
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
-    # F > 128 and B == 1 are outside the measured bitwise envelope
-    assert not tmf.fused_supported(100000, 256, 64, jnp.float32, 2048)
+    # B == 1 / bf16 / sub-tile corpora are outside the envelope
     assert not tmf.fused_supported(100000, 128, 1, jnp.float32, 2048)
     assert not tmf.fused_supported(100000, 128, 64, jnp.bfloat16, 2048)
     assert not tmf.fused_supported(1000, 128, 64, jnp.float32, 2048)
+    # Wide-F self-consistent mode extends the envelope to
+    # MAX_FUSED_F_WIDE, gated by the per-step VMEM budget.
+    assert not tmf.fused_supported(
+        100000, tmf.MAX_FUSED_F_WIDE + 1, 64, jnp.float32, 2048
+    )
+    assert not tmf.fused_supported(     # tile*f + b*f + b*tile blocks too big
+        100000, 2048, tmf.MAX_FUSED_B, jnp.float32, 4096
+    )
+    assert tmf.fused_supported(100000, 2048, 64, jnp.float32, 2048) == (
+        "tpu" in jax.devices()[0].platform.lower()
+        or "axon" in jax.devices()[0].platform.lower()
+    )
     assert not tmf.gather_supported(12, 14)    # B not 8-aligned
     assert not tmf.gather_supported(256, 200)  # c beyond compile cap
     assert tmf.gather_supported(256, 14)
+
+
+@pytest.mark.parametrize("f", [256, 300, 1536])
+def test_scores_and_tilemax_wide_f_self_consistent(f):
+    """Wide-F (chunked-K) producer: scores within f32 accumulation-reorder
+    distance of the XLA producer, sub-tile maxima exactly the reductions
+    of the KERNEL's own scores (the self-consistency contract)."""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    n, b, tile = 5000, 8, 2048
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=f)
+    smain, submax = tmf.scores_and_tilemax(
+        X, norms, lams, Q, ql, al, tile=tile, interpret=True
+    )
+    nt0 = n // tile
+    n0 = nt0 * tile
+    ts = tile // tmf.SUBS
+    sref = np.asarray(so._batched_scores(X, norms, lams, Q, ql, al))[:, :n0]
+    sm = np.asarray(smain)
+    assert np.allclose(sm, sref, atol=1e-5, rtol=1e-5)
+    tm_ref = sm.reshape(b, nt0 * tmf.SUBS, ts).max(axis=2)
+    assert (np.asarray(submax) == tm_ref).all()
 
 
 def test_scores_and_tilemax_mask_from():
