@@ -300,3 +300,36 @@ def test_fused_tilemax_masked_full_path():
     assert np.allclose(np.asarray(top), np.asarray(ft), atol=1e-6)
     assert (np.asarray(idx) == np.asarray(fi)).all()
     assert (np.asarray(idx) < 7001).all()
+
+
+def test_fused_tilemax_masked_wide_f():
+    """Wide-F (chunked-K) producer × mask_from: the sharded path's
+    padded-row mask composes with the self-consistent mode — masked rows
+    never returned, selection matches flat top_k over the masked scores
+    at f32 accumulation tolerance."""
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    n, f, b, k = 9000, 300, 16, 5
+    X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=21)
+    mf = jnp.int32(6500)
+
+    import functools
+    orig_sat = tmf.scores_and_tilemax
+    orig_gather = tmf.gather_subtiles
+    tmf.scores_and_tilemax = functools.partial(orig_sat, interpret=True)
+    tmf.gather_subtiles = functools.partial(orig_gather, interpret=True)
+    try:
+        top, idx = so.fused_tilemax(X, norms, lams, Q, ql, k, al, mask_from=mf)
+    finally:
+        tmf.scores_and_tilemax = orig_sat
+        tmf.gather_subtiles = orig_gather
+
+    sref = np.array(so._batched_scores(X, norms, lams, Q, ql, al))
+    sref[:, 6500:] = -np.inf
+    ft, fi = jax.lax.top_k(jnp.asarray(sref), k)
+    assert np.allclose(np.asarray(top), np.asarray(ft), atol=1e-5, rtol=1e-5)
+    assert (np.asarray(idx) < 6500).all()
+    # index agreement away from near-ties: scores in this fixture are
+    # spread, so the self-consistent reorder error cannot flip ranks
+    assert (np.asarray(idx) == np.asarray(fi)).all()
