@@ -53,11 +53,13 @@ TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
 def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
     """Shared body of the batched-search jits: exact scans above
     TILEMAX_MIN_N route through the tile-max pruned selection
-    (score-exact at reduction cost) — from FUSED_TILEMAX_MIN_N when the
-    FULL fused pipeline applies (producer + grouped-DMA gather +
-    non-degenerate selection, `ops/search.fused_fast_path`); otherwise
-    the vmapped single-query kernel (bit-identical to serial search,
-    approx_max_k when asked)."""
+    (score-exact at reduction cost; at 128 < F ≤ 2048 on TPU the fused
+    producer's SELF-CONSISTENT scores apply — ~1e-6-rel of the flat
+    kernel's, near-tie index substitution only, see PARITY.md) — from
+    FUSED_TILEMAX_MIN_N when the FULL fused pipeline applies (producer +
+    grouped-DMA gather + non-degenerate selection,
+    `ops/search.fused_fast_path`); otherwise the vmapped single-query
+    kernel (bit-identical to serial search, approx_max_k when asked)."""
     n = X.shape[0]
     tilemax_n = (
         search_ops.FUSED_TILEMAX_MIN_N

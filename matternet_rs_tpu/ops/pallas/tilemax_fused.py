@@ -311,9 +311,15 @@ def fused_supported(n: int, f: int, b: int, dtype, tile: int) -> bool:
         return False
     if tile % (SUBS * 128) != 0:        # sub-tiles must stay lane-aligned
         return False
-    # Wide-F VMEM gate: the per-step blocks (corpus tile, query block,
-    # score block, double-buffered) must fit the kernel's VMEM budget.
-    if (tile * f + b * f + b * tile) * 4 * 2 > 90 * 1024 * 1024:
+    # Wide-F VMEM gate: per-step residency is the double-buffered corpus
+    # tile (2·tile·f), the query block (b·f), and ~4 [b, tile] f32 planes
+    # (score out double-buffered + the kernel's dots/blend temporaries —
+    # Mosaic keeps at least the dot accumulator and one elementwise
+    # temporary live alongside the two out buffers). 90 MB of the
+    # 100 MB vmem_limit_bytes leaves headroom for the sub-maxima block
+    # and semaphores. Validated on-chip at the widest admitted shape
+    # (B=1024, F=2048, tile=2048 — estimate 76 MB, compiles and matches).
+    if (2 * tile * f + b * f + 4 * b * tile) * 4 > 90 * 1024 * 1024:
         return False
     try:
         platform = jax.devices()[0].platform.lower()

@@ -332,8 +332,13 @@ def search_lambda_aware_tilemax(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched λ-aware top-k with tile-max pruned selection (see
     :func:`tilemax_topk`). Score computation is the standard blended scan
-    (core.rs:1156-1193 semantics); only the selection differs from
-    ``search_lambda_aware`` — the result is score-exact.
+    (core.rs:1156-1193 semantics). For F ≤ 128 (and every non-fused
+    route) the scores are bitwise the flat kernel's and only the
+    selection differs; for 128 < F ≤ 2048 on TPU the fused producer's
+    self-consistent scores apply — exact top-k of the scores returned,
+    within ~1e-6 rel of the flat kernel's, index substitution possible
+    only on near-ties inside that error (see the routing paragraph
+    below and PARITY.md).
 
     ``alphas`` may be a scalar or a traced ``[B]`` vector (heterogeneous
     serving traffic shares one program). Returns ``(indices [B, k],

@@ -272,27 +272,36 @@ def test_scores_and_tilemax_mask_from():
     assert np.allclose(tm[finite], tm_ref[finite], atol=1e-6, rtol=1e-6)
 
 
-def test_fused_tilemax_masked_full_path():
-    """fused_tilemax with mask_from never returns masked rows and matches
-    flat top_k over the masked scores."""
+def _run_fused_tilemax_interpret(monkeypatch, X, norms, lams, Q, ql, k, al,
+                                 mask_from):
+    """Drive ops.search.fused_tilemax with the Pallas kernels forced into
+    interpret mode (tests run on CPU)."""
+    import functools
+
     from matternet_rs_tpu.ops import search as so
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
+    monkeypatch.setattr(
+        tmf, "scores_and_tilemax",
+        functools.partial(tmf.scores_and_tilemax, interpret=True),
+    )
+    monkeypatch.setattr(
+        tmf, "gather_subtiles",
+        functools.partial(tmf.gather_subtiles, interpret=True),
+    )
+    return so.fused_tilemax(X, norms, lams, Q, ql, k, al, mask_from=mask_from)
+
+
+def test_fused_tilemax_masked_full_path(monkeypatch):
+    """fused_tilemax with mask_from never returns masked rows and matches
+    flat top_k over the masked scores."""
+    from matternet_rs_tpu.ops import search as so
+
     n, f, b, k = 9000, 64, 16, 5
     X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=13)
-    mf = jnp.int32(7001)
-
-    # interpret-mode kernels: monkeypatch-free — call the body directly
-    import functools
-    orig_sat = tmf.scores_and_tilemax
-    orig_gather = tmf.gather_subtiles
-    tmf.scores_and_tilemax = functools.partial(orig_sat, interpret=True)
-    tmf.gather_subtiles = functools.partial(orig_gather, interpret=True)
-    try:
-        top, idx = so.fused_tilemax(X, norms, lams, Q, ql, k, al, mask_from=mf)
-    finally:
-        tmf.scores_and_tilemax = orig_sat
-        tmf.gather_subtiles = orig_gather
+    top, idx = _run_fused_tilemax_interpret(
+        monkeypatch, X, norms, lams, Q, ql, k, al, jnp.int32(7001)
+    )
 
     sref = np.array(so._batched_scores(X, norms, lams, Q, ql, al))
     sref[:, 7001:] = -np.inf
@@ -302,28 +311,18 @@ def test_fused_tilemax_masked_full_path():
     assert (np.asarray(idx) < 7001).all()
 
 
-def test_fused_tilemax_masked_wide_f():
+def test_fused_tilemax_masked_wide_f(monkeypatch):
     """Wide-F (chunked-K) producer × mask_from: the sharded path's
     padded-row mask composes with the self-consistent mode — masked rows
     never returned, selection matches flat top_k over the masked scores
     at f32 accumulation tolerance."""
     from matternet_rs_tpu.ops import search as so
-    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
     n, f, b, k = 9000, 300, 16, 5
     X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=21)
-    mf = jnp.int32(6500)
-
-    import functools
-    orig_sat = tmf.scores_and_tilemax
-    orig_gather = tmf.gather_subtiles
-    tmf.scores_and_tilemax = functools.partial(orig_sat, interpret=True)
-    tmf.gather_subtiles = functools.partial(orig_gather, interpret=True)
-    try:
-        top, idx = so.fused_tilemax(X, norms, lams, Q, ql, k, al, mask_from=mf)
-    finally:
-        tmf.scores_and_tilemax = orig_sat
-        tmf.gather_subtiles = orig_gather
+    top, idx = _run_fused_tilemax_interpret(
+        monkeypatch, X, norms, lams, Q, ql, k, al, jnp.int32(6500)
+    )
 
     sref = np.array(so._batched_scores(X, norms, lams, Q, ql, al))
     sref[:, 6500:] = -np.inf
