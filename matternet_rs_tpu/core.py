@@ -711,6 +711,17 @@ class ArrowSpace:
         rescore of the per-query top-``candidates`` (default
         ``max(4k, 32)``) — a quarter of the scan read with the final
         ranking exact on the candidate pool.
+
+        Perf note for ``"int8"``: pair it with ``approx=True`` (the
+        measured 2.4 ms/256q configuration at 1M×128 — candidate stage
+        via ``approx_max_k`` at recall 0.95, absorbed by the exact
+        rescore). With ``approx=False`` the candidate stage selects the
+        top-``candidates`` pool EXACTLY, and exact selection at
+        cand≈40 costs more than the entire fused exact-f32 scan (the
+        1M scan is compute-bound, so int8's read savings cannot pay for
+        it — measured same-window: int8+exact-cand ~3× the exact scan's
+        ms). Exactness-first workloads should use ``quantized=False``
+        directly; ``"int8"`` earns its keep as the throughput tier.
         """
         self._require_lambdas()
         Q = jnp.asarray(queries, jnp.float32)

@@ -66,10 +66,17 @@ class IndexService:
     matmul amortizes the corpus read across the whole batch instead of the
     round-1 design of serializing every query behind a lock
     (VERDICT weak #4 / next-step #7).
+
+    ``max_batch`` defaults to 256: the 1M×128 scan is compute-bound and
+    its device QPS keeps scaling with batch (measured same-window:
+    exact 52k→86k, bf16+approx 66k→142k QPS from B=256→1024), so under
+    sustained load a bigger cap is strictly more throughput; sparse
+    traffic still dispatches after ``batch_window_ms``, so idle-period
+    latency is unchanged.
     """
 
     def __init__(self, aspace: ArrowSpace, gl: GraphLaplacian,
-                 batch_window_ms: float = 2.0, max_batch: int = 64,
+                 batch_window_ms: float = 2.0, max_batch: int = 256,
                  energy_candidates=None):
         self.aspace = aspace
         self.gl = gl
@@ -290,7 +297,7 @@ class StreamingIndexService(IndexService):
     """
 
     def __init__(self, index, batch_window_ms: float = 2.0,
-                 max_batch: int = 64, sketch: bool = True,
+                 max_batch: int = 256, sketch: bool = True,
                  candidates: Optional[int] = None, mesh=None):
         self.index = index
         self.use_sketch = sketch
