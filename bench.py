@@ -448,12 +448,18 @@ def bench_energy_banded_1m(jax, jnp, extra):
     out = {"n_items": N, "n_subcentroids": S,
            "max_lambda_tie_group": aspace.max_lambda_tie_group()}
     ref_idx = got_idx = None
-    for tag, kwargs in (("full_scan", {}), ("banded_auto",
-                                            {"candidates": "auto"})):
+    # banded_auto at B=256 now STREAMS (the break-even routing: B·2C >
+    # N/10 — energymaps.search_energy_batch), so the row asserts auto is
+    # never slower than the full scan; banded_forced measures the banded
+    # kernel itself at the same batch for the record.
+    forced = aspace.max_lambda_tie_group() + K
+    for tag, kwargs in (("full_scan", {}),
+                        ("banded_auto", {"candidates": "auto"}),
+                        ("banded_forced", {"candidates": forced})):
         idx, _ = em.search_energy_batch(aspace, Q, None, K, **kwargs)  # warm
         if tag == "full_scan":
             ref_idx = idx
-        else:
+        elif tag == "banded_auto":
             got_idx = idx
         reps = 5
         t0 = time.perf_counter()
@@ -462,6 +468,20 @@ def bench_energy_banded_1m(jax, jnp, extra):
         dt = (time.perf_counter() - t0) / reps
         out[f"{tag}_qps_batch256"] = round(256 / dt, 1)
         out[f"{tag}_ms_batch256"] = round(dt * 1e3, 2)
+    # The banding WIN case: small batches, where the gathered window is
+    # a tiny fraction of the corpus (B=8 · 2C ≈ 9k rows vs N=1M) — auto
+    # routes banded there and the full-scan read is avoided per batch.
+    Q8 = data[rng.integers(0, N, 8)]
+    for tag, kwargs in (("full_scan_b8", {}),
+                        ("banded_auto_b8", {"candidates": "auto"})):
+        em.search_energy_batch(aspace, Q8, None, K, **kwargs)  # warm
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            em.search_energy_batch(aspace, Q8, None, K, **kwargs)
+        dt = (time.perf_counter() - t0) / reps
+        out[f"{tag}_qps"] = round(8 / dt, 1)
+        out[f"{tag}_ms"] = round(dt * 1e3, 2)
     # Strict index equality can differ at exact cross-group |d-lambda| ties
     # (top_k index-order vs window-order); overlap is the robust parity view.
     out["banded_matches_full_scan"] = bool(np.array_equal(ref_idx, got_idx))
@@ -504,7 +524,7 @@ def bench_energy_banded_1m(jax, jnp, extra):
             aspace.sub_centroids, sc_dev, Qb, Qb, K, cand,
         )
 
-    for tag, run in (("full_scan", full_run), ("banded_auto", band_run)):
+    for tag, run in (("full_scan", full_run), ("banded_forced", band_run)):
         o = run(batches[0])
         jax.block_until_ready(o)
         best = None
@@ -516,9 +536,9 @@ def bench_energy_banded_1m(jax, jnp, extra):
             best = min(best or 9e9, (time.perf_counter() - t0) / nb)
         out[f"{tag}_device_ms_batch256"] = round(best * 1e3, 2)
         out[f"{tag}_device_qps"] = round(256 / best, 1)
-    out["banded_device_speedup"] = round(
-        out["banded_auto_device_qps"] / max(out["full_scan_device_qps"],
-                                            1e-9), 2,
+    out["banded_device_speedup_at_b256"] = round(
+        out["banded_forced_device_qps"] / max(out["full_scan_device_qps"],
+                                              1e-9), 2,
     )
     extra["energy_banded_1m"] = out
 

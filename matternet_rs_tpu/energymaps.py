@@ -579,6 +579,16 @@ def search_energy_batch(
             # Safe-by-default sizing: parity with the full scan needs the
             # window to cover any equal-λ tie group straddling rank k.
             cand = aspace.max_lambda_tie_group() + kk
+            # Measured break-even (TUNING "banded energy", bench
+            # `energy_banded_1m`): the banded program GATHERS B·2C rows
+            # (latency-bound reads) while the full scan STREAMS N rows,
+            # so banding only pays when the window share is small —
+            # at B=256, C=572, N=1M the window covers ~29 % of the
+            # corpus in gathered reads and loses 0.81× on device. Auto
+            # bands only when B·2C ≤ N/10; an explicit integer
+            # ``candidates`` is always honored.
+            if 2 * cand * b_pad > aspace.nitems // 10:
+                cand = aspace.nitems          # routes to the full scan
         else:
             cand = max(int(candidates), kk)
         if 2 * cand <= aspace.nitems:

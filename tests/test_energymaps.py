@@ -495,6 +495,30 @@ def test_energy_banded_small_corpus_falls_back(built):
     np.testing.assert_array_equal(got_idx, ref_idx)
 
 
+def test_energy_banded_auto_break_even_routing(monkeypatch):
+    """candidates='auto' bands only when B·2C ≤ N/10 (the measured
+    break-even — gathered window reads lose to the streamed full scan
+    beyond that share); an explicit integer window is always honored."""
+    aspace, data = _synthetic_energy_index(n=8192, n_sub=256, seed=4)
+    calls = {"banded": 0}
+    orig = em._batched_energy_banded_jit
+
+    def counting(*a, **kw):
+        calls["banded"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(em, "_batched_energy_banded_jit", counting)
+    # Small batch (B=4, window share 448/8192 ≈ 5 % ≤ 10 %): must band.
+    em.search_energy_batch(aspace, data[:4], None, 10, candidates="auto")
+    assert calls["banded"] == 1
+    # Large batch (pads to 256): B·2C > N/10 — auto must stream instead.
+    em.search_energy_batch(aspace, data[:200], None, 10, candidates="auto")
+    assert calls["banded"] == 1
+    # Explicit window at the same large batch is honored (user override).
+    em.search_energy_batch(aspace, data[:200], None, 10, candidates=64)
+    assert calls["banded"] == 2
+
+
 def test_energy_banded_candidates_floor_at_k(built):
     # candidates < k is bumped to k — still returns k results.
     aspace, gl, data = built
