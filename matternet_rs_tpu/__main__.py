@@ -116,14 +116,16 @@ def cmd_serve(args) -> None:
 
             mesh = make_mesh(args.mesh)
         service = StreamingIndexService.from_store(
-            args.index_dir, sketch=not args.no_sketch, mesh=mesh
+            args.index_dir, sketch=not args.no_sketch, mesh=mesh,
+            batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         )
     else:
         ec = getattr(args, "energy_candidates", None)
         if ec and ec != "auto":
             ec = int(ec)
         service = IndexService.from_storage(
-            args.index_dir, args.name, energy_candidates=ec or None
+            args.index_dir, args.name, energy_candidates=ec or None,
+            batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         )
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **service.info()}))
@@ -270,7 +272,19 @@ def main(argv=None) -> None:
     pv.add_argument(
         "--energy-candidates", default=None, metavar="C",
         help="banded two-stage /search_energy dispatch: window size C or "
-             "'auto' (falls back to the full scan on tie-dense corpora)",
+             "'auto' (falls back to the full scan on tie-dense corpora "
+             "or when the windows would gather >N/10 rows per batch)",
+    )
+    pv.add_argument(
+        "--max-batch", type=int, default=256, metavar="B",
+        help="micro-batcher dispatch cap (default 256; raise to 1024 for "
+             "throughput-dominated loads — device QPS keeps scaling with "
+             "batch on the compute-bound scan, see TUNING.md)",
+    )
+    pv.add_argument(
+        "--batch-window-ms", type=float, default=2.0, metavar="MS",
+        help="micro-batcher collection window (latency floor under "
+             "sparse traffic)",
     )
     pv.set_defaults(fn=cmd_serve)
 
