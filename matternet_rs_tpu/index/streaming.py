@@ -163,11 +163,15 @@ def scan_sketch_blocks(
         # after), so its tiny recall cost folds into the `candidates`
         # knob; exact top_k only when kk is a large fraction of the block
         # (approx shines when kk ≪ blk, and tests that demand exactness
-        # use candidates = block size).
-        if kk * 16 <= blk:
-            sc, idx = jax.lax.approx_max_k(scores, kk, recall_target=0.95)
+        # use candidates = block size). The per-block width is capped at
+        # the block (top_k(k > dim) raises); the kk-wide carry still
+        # accumulates kk > blk results across blocks — a block can
+        # contribute at most blk of the global top anyway.
+        kb = min(kk, blk)
+        if kb * 16 <= blk:
+            sc, idx = jax.lax.approx_max_k(scores, kb, recall_target=0.95)
         else:
-            sc, idx = jax.lax.top_k(scores, kk)
+            sc, idx = jax.lax.top_k(scores, kb)
         cat_s = jnp.concatenate([best_s, sc], axis=1)
         cat_i = jnp.concatenate(
             [best_i, jnp.where(sc > -jnp.inf, idx.astype(jnp.int32) + offset, -1)],
@@ -804,20 +808,29 @@ class StreamingIndex:
     # storage/shards.read_rows) for an exact f32 rescore. No reference
     # counterpart (its search is all in-memory, src_legacy/core.rs).
     # ----------------------------------------------------------------
-    def sketch_host_buffers(self, persist: bool = True, force: bool = False):
+    def sketch_host_buffers(self, persist: bool = True, force: bool = False,
+                            nb_pad: int | None = None):
         """Assemble the stacked sketch HOST buffers ``(X8 [nb, blk, F]
         int8, mult [nb, blk], lam [nb, blk], valid [nb])`` — the quantize
         pass of :meth:`build_sketch` without the device upload. Used
         directly by the mesh-sharded sketch (``parallel/sketch.py``),
-        which places each device's block slice itself."""
+        which places each device's block slice itself.
+
+        ``nb_pad``: allocate (and return) that many blocks instead of the
+        natural count — trailing blocks stay zero with ``valid = 0``. The
+        sharded caller needs the block count divisible by the device
+        count, and padding at allocation time avoids a second full-sketch
+        copy (``np.concatenate`` would double peak host RAM — 2× 104 GB
+        at the 1B×96 target this tier exists for)."""
         sk_path = self.directory / SKETCH_FILE
         meta_path = self.directory / SKETCH_META_FILE
         n, f, blk = self.n_items, self.n_features, self.block_rows
         nb = (n + blk - 1) // blk
-        X8h = np.zeros((nb, blk, f), np.int8)
-        multh = np.zeros((nb, blk), np.float32)
-        lamh = np.zeros((nb, blk), np.float32)
-        validh = np.zeros(nb, np.int32)
+        nb_alloc = max(nb, nb_pad or 0)
+        X8h = np.zeros((nb_alloc, blk, f), np.int8)
+        multh = np.zeros((nb_alloc, blk), np.float32)
+        lamh = np.zeros((nb_alloc, blk), np.float32)
+        validh = np.zeros(nb_alloc, np.int32)
 
         def _fill(i, q8, mult, lam, valid):
             X8h[i, :valid] = q8[:valid]
@@ -973,6 +986,12 @@ class StreamingIndex:
         parity-grade kernel, return ``(ids [B, kk] int64, scores)``.
         Shared by the single-chip and mesh-sharded sketch paths."""
         uids, XU, lamU, u = self._fetch_union(np.asarray(ids), kk)
+        if u == 0:
+            # No valid candidates at all (every id -1): all-miss rows —
+            # np.where would eagerly index the empty uids array otherwise.
+            b = np.asarray(Q).shape[0]
+            return (np.full((b, kk), -1, np.int64),
+                    np.full((b, kk), -np.inf, np.float32))
         sc, sel = _refine_exact_topk(
             jnp.asarray(XU), jnp.asarray(lamU), Q, q_lams, al, mn, rng,
             jnp.int32(u), kk=kk,
@@ -1047,6 +1066,12 @@ class StreamingIndex:
         ascending-|Δλ| rescore of the fetched union); shared by the
         single-chip and mesh-sharded sketch paths."""
         uids, XU, lamU, u = self._fetch_union(np.asarray(ids), kk)
+        if u == 0:
+            # All-miss rows (see refine_candidates) — ascending-distance
+            # convention uses +inf sentinels.
+            b = np.asarray(Q).shape[0]
+            return (np.full((b, kk), -1, np.int64),
+                    np.full((b, kk), np.inf, np.float32))
         sc, sel = _refine_energy_topk(
             jnp.asarray(XU), jnp.asarray(lamU), Q, q_lams, mn, rng,
             jnp.int32(u), kk=kk,

@@ -104,23 +104,15 @@ class ShardedSketch:
         self.index = index
         self.mesh = mesh
         d = int(mesh.devices.size)
-        X8h, multh, lamh, validh = index.sketch_host_buffers()
-        nb = X8h.shape[0]
-        pad = (-nb) % d
-        if pad:
-            # Zero blocks: valid=0 ⇒ every row masks to -inf, and the
-            # running offset does not advance across them.
-            X8h = np.concatenate(
-                [X8h, np.zeros((pad,) + X8h.shape[1:], np.int8)]
-            )
-            multh = np.concatenate(
-                [multh, np.zeros((pad, multh.shape[1]), np.float32)]
-            )
-            lamh = np.concatenate(
-                [lamh, np.zeros((pad, lamh.shape[1]), np.float32)]
-            )
-            validh = np.concatenate([validh, np.zeros(pad, np.int32)])
-        nb_pad = nb + pad
+        # Pad the block count to a device multiple AT ALLOCATION TIME
+        # (zero blocks: valid=0 ⇒ every row masks to -inf and the running
+        # offset does not advance across them). A post-hoc concatenate
+        # would materialize a second full sketch copy — 2× peak host RAM
+        # at the 1B×96 / 104 GB target this tier exists for.
+        n, blk = index.n_items, index.block_rows
+        nb = (n + blk - 1) // blk
+        nb_pad = nb + ((-nb) % d)
+        X8h, multh, lamh, validh = index.sketch_host_buffers(nb_pad=nb_pad)
         self.blocks_per_device = nb_pad // d
         # Global row base of each device = items in all earlier blocks.
         starts = np.concatenate(
@@ -133,9 +125,11 @@ class ShardedSketch:
         sh3 = NamedSharding(mesh, P(joint, None, None))
         sh2 = NamedSharding(mesh, P(joint, None))
         sh1 = NamedSharding(mesh, P(joint))
-        # device_put with a sharding ships each device exactly its slice;
-        # at real scale the host buffers come from the memmapped
-        # sketch.bin, so nothing device-sized materializes in RAM twice.
+        # device_put with a sharding ships each device exactly its slice.
+        # The host still holds ONE dense copy of the sketch (built from
+        # the persisted sketch.bin when present, streamed+quantized
+        # otherwise) — the pad-at-allocation above keeps it at exactly
+        # one copy.
         self._shards = (
             jax.device_put(X8h, sh3),
             jax.device_put(multh, sh2),

@@ -203,44 +203,12 @@ class IndexService:
 
     def _dispatch(self, mode: str, k: int, approx: bool,
                   quantized: bool, members: list[_Pending]) -> None:
+        """Shared dispatch shell: run the subclass's batch, then telemetry;
+        on ANY failure deliver the error to every still-waiting member
+        (``_run_batch`` is the only part that differs between the
+        in-memory and streaming services)."""
         try:
-            Q = np.stack([p.query for p in members])
-            if mode == "energy":
-                from matternet_rs_tpu import energymaps
-
-                idx, dist = energymaps.search_energy_batch(
-                    self.aspace, Q, self.gl, k, approx=approx,
-                    candidates=self.energy_candidates,
-                )
-                for p, row_i, row_d in zip(members, idx, dist):
-                    p.result = [
-                        {"index": int(i), "distance": float(d)}
-                        for i, d in zip(row_i, row_d)
-                    ]
-                    p.done.set()
-            else:
-                alphas = np.asarray([p.alpha for p in members], np.float32)
-                idx, sc, raw = self.aspace.search_batch(
-                    Q, self.gl, k, alphas, approx=approx, return_raw=True,
-                    quantized=quantized,
-                )
-                # The undecidable check applies to EIGEN-mode raw λ only:
-                # in energy mode `raw` is the nearest sub-centroid's
-                # normalized λ, where exactly 0.0 is a legitimate value
-                # (the minimum-λ sub-centroid).
-                energy_index = self.aspace.sub_centroids is not None
-                for p, row_i, row_s, r in zip(members, idx, sc, raw):
-                    if not energy_index and abs(float(r)) <= 1e-12:
-                        p.error = UndecidableQueryError(
-                            "query raw λ is 0.0 (out of context for the "
-                            "dataset — check the builder's eps)"
-                        )
-                    else:
-                        p.result = [
-                            {"index": int(i), "score": float(s)}
-                            for i, s in zip(row_i, row_s)
-                        ]
-                    p.done.set()
+            self._run_batch(mode, k, approx, quantized, members)
             with self._cv:
                 self.n_queries += len(members)
                 self.n_batches += 1
@@ -250,6 +218,46 @@ class IndexService:
                 if not p.done.is_set():
                     p.error = exc
                     p.done.set()
+
+    def _run_batch(self, mode: str, k: int, approx: bool,
+                   quantized: bool, members: list[_Pending]) -> None:
+        Q = np.stack([p.query for p in members])
+        if mode == "energy":
+            from matternet_rs_tpu import energymaps
+
+            idx, dist = energymaps.search_energy_batch(
+                self.aspace, Q, self.gl, k, approx=approx,
+                candidates=self.energy_candidates,
+            )
+            for p, row_i, row_d in zip(members, idx, dist):
+                p.result = [
+                    {"index": int(i), "distance": float(d)}
+                    for i, d in zip(row_i, row_d)
+                ]
+                p.done.set()
+        else:
+            alphas = np.asarray([p.alpha for p in members], np.float32)
+            idx, sc, raw = self.aspace.search_batch(
+                Q, self.gl, k, alphas, approx=approx, return_raw=True,
+                quantized=quantized,
+            )
+            # The undecidable check applies to EIGEN-mode raw λ only:
+            # in energy mode `raw` is the nearest sub-centroid's
+            # normalized λ, where exactly 0.0 is a legitimate value
+            # (the minimum-λ sub-centroid).
+            energy_index = self.aspace.sub_centroids is not None
+            for p, row_i, row_s, r in zip(members, idx, sc, raw):
+                if not energy_index and abs(float(r)) <= 1e-12:
+                    p.error = UndecidableQueryError(
+                        "query raw λ is 0.0 (out of context for the "
+                        "dataset — check the builder's eps)"
+                    )
+                else:
+                    p.result = [
+                        {"index": int(i), "score": float(s)}
+                        for i, s in zip(row_i, row_s)
+                    ]
+                p.done.set()
 
     # ------------------------------------------------------------------
     # public API
@@ -271,16 +279,24 @@ class IndexService:
         return q
 
     def search(self, query, k: int = 10, alpha: float = 0.7,
-               approx: bool = False, quantized: bool = False) -> list[dict]:
+               approx: bool = False, quantized: bool | str = False
+               ) -> list[dict]:
         q = self._validate(query)
+        # quantized is tri-state (False / True / "int8"); a bool() coercion
+        # here would silently serve "int8" requests with the bf16 scan.
+        qz = "int8" if quantized == "int8" else bool(quantized)
         return self._submit(
             _Pending(q, int(k), float(alpha), bool(approx), "blend",
-                     quantized=bool(quantized))
+                     quantized=qz)
         )
 
-    def search_energy(self, query, k: int = 10) -> list[dict]:
+    def search_energy(self, query, k: int = 10,
+                      approx: bool = False) -> list[dict]:
+        """``approx`` maps to the dispatch's energy approx path
+        (IndexService: approx_max_k selection; StreamingIndexService:
+        sketch-only, no disk rescore)."""
         q = self._validate(query)
-        return self._submit(_Pending(q, int(k), 0.0, False, "energy"))
+        return self._submit(_Pending(q, int(k), 0.0, bool(approx), "energy"))
 
 
 class StreamingIndexService(IndexService):
@@ -333,58 +349,48 @@ class StreamingIndexService(IndexService):
             "streaming": True,
             "sketch": self.use_sketch,
             "mesh_devices": self.mesh_devices,
-            "energy_mode": False,
+            "energy_mode": self.index.sub_centroids is not None,
             "queries_served": self.n_queries,
             "batches_dispatched": self.n_batches,
             **self.metrics(),
         }
 
-    def _dispatch(self, mode: str, k: int, approx: bool,
-                  quantized: bool, members: list[_Pending]) -> None:
-        try:
-            Q = np.stack([p.query for p in members])
-            if mode == "energy":
-                if self.use_sketch:
-                    # Resident-sketch energy scan (λ exact-resident; no
-                    # corpus restream); approx=True skips the disk rescore.
-                    idx, dist = self._energy_search(
-                        Q, k, candidates=self.candidates,
-                        refine=not approx,
-                    )
-                else:
-                    idx, dist = self.index.search_energy_batch(Q, k)
-                for p, row_i, row_d in zip(members, idx, dist):
-                    p.result = [
-                        {"index": int(i), "distance": float(d)}
-                        for i, d in zip(row_i, row_d) if i >= 0
-                    ]
-                    p.done.set()
+    def _run_batch(self, mode: str, k: int, approx: bool,
+                   quantized: bool, members: list[_Pending]) -> None:
+        Q = np.stack([p.query for p in members])
+        if mode == "energy":
+            if self.use_sketch:
+                # Resident-sketch energy scan (λ exact-resident; no
+                # corpus restream); approx=True skips the disk rescore.
+                idx, dist = self._energy_search(
+                    Q, k, candidates=self.candidates,
+                    refine=not approx,
+                )
             else:
-                alphas = np.asarray([p.alpha for p in members], np.float32)
-                if self.use_sketch:
-                    idx, sc = self._sketch_search(
-                        Q, k, alphas, candidates=self.candidates,
-                        refine=not approx,
-                    )
-                else:
-                    idx, sc = self.index.search_batch(
-                        Q, k, alphas, quantized=quantized
-                    )
-                for p, row_i, row_s in zip(members, idx, sc):
-                    p.result = [
-                        {"index": int(i), "score": float(s)}
-                        for i, s in zip(row_i, row_s) if i >= 0
-                    ]
-                    p.done.set()
-            with self._cv:
-                self.n_queries += len(members)
-                self.n_batches += 1
-                self._record_latency(members)
-        except Exception as exc:  # noqa: BLE001 — deliver to every waiter
-            for p in members:
-                if not p.done.is_set():
-                    p.error = exc
-                    p.done.set()
+                idx, dist = self.index.search_energy_batch(Q, k)
+            for p, row_i, row_d in zip(members, idx, dist):
+                p.result = [
+                    {"index": int(i), "distance": float(d)}
+                    for i, d in zip(row_i, row_d) if i >= 0
+                ]
+                p.done.set()
+        else:
+            alphas = np.asarray([p.alpha for p in members], np.float32)
+            if self.use_sketch:
+                idx, sc = self._sketch_search(
+                    Q, k, alphas, candidates=self.candidates,
+                    refine=not approx,
+                )
+            else:
+                idx, sc = self.index.search_batch(
+                    Q, k, alphas, quantized=quantized
+                )
+            for p, row_i, row_s in zip(members, idx, sc):
+                p.result = [
+                    {"index": int(i), "score": float(s)}
+                    for i, s in zip(row_i, row_s) if i >= 0
+                ]
+                p.done.set()
 
 
 def make_handler(service: IndexService):
@@ -424,16 +430,25 @@ def make_handler(service: IndexService):
                 k = int(doc.get("k", 10))
             except (TypeError, ValueError):
                 return self._reply(400, {"error": "'k' must be an integer"})
+            try:
+                alpha = float(doc.get("alpha", 0.7))
+            except (TypeError, ValueError):
+                return self._reply(400, {"error": "'alpha' must be a number"})
+            qz = doc.get("quantized", False)
+            if qz != "int8":          # tri-state: False / True / "int8"
+                qz = bool(qz)
 
             try:
                 if self.path == "/search":
                     results = service.search(
-                        query, k, float(doc.get("alpha", 0.7)),
+                        query, k, alpha,
                         bool(doc.get("approx", False)),
-                        bool(doc.get("quantized", False)),
+                        qz,
                     )
                 elif self.path == "/search_energy":
-                    results = service.search_energy(query, k)
+                    results = service.search_energy(
+                        query, k, approx=bool(doc.get("approx", False))
+                    )
                 else:
                     return self._reply(404, {"error": f"unknown path {self.path}"})
             except UndecidableQueryError as exc:

@@ -422,14 +422,22 @@ def test_streaming_serve_mixed_alpha_batches(streaming_server):
     q0, b0 = service.n_queries, service.n_batches
     n = 16
     alphas = [0.5 + 0.03 * i for i in range(n)]
+    # Widen the collection window for this test: with the default 2 ms,
+    # a loaded machine can stagger the 16 HTTP threads enough that each
+    # request dispatches alone, which would flake the batching assertion.
+    win0 = service.batch_window_s
+    service.batch_window_s = 0.25
 
     def one(i):
         return _post(base + "/search", {
             "query": data[i].tolist(), "k": 3, "alpha": alphas[i],
         })
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
-        results = list(ex.map(one, range(n)))
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+            results = list(ex.map(one, range(n)))
+    finally:
+        service.batch_window_s = win0
     for i, (code, doc) in enumerate(results):
         assert code == 200
         assert doc["results"][0]["index"] == i
@@ -562,3 +570,108 @@ def test_energy_endpoint_banded_candidates(tmp_path_factory):
     finally:
         srv_ref.shutdown()
         srv_band.shutdown()
+
+
+def test_int8_quantized_reaches_dispatch(server):
+    """quantized='int8' must survive the service/HTTP layers as the
+    STRING (a bool() coercion silently serves the bf16 scan instead —
+    review finding): monkeypatch-free probe via the recorded kwarg."""
+    import matternet_rs_tpu.serve as sv
+
+    base, data = server
+    seen = []
+
+    # reach into the live service object through the handler's closure:
+    # rebuild a tiny service instead - simpler and hermetic.
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    d2 = make_gaussian_blob(80, 0.4).astype(np.float32)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5)
+         .with_sparsity_check(False).with_seed(11))
+    aspace, gl = b.build(d2)
+    svc = sv.IndexService(aspace, gl)
+    orig = aspace.search_batch
+
+    def recording(Q, gl_, k, alpha=0.7, **kw):
+        seen.append(kw.get("quantized"))
+        return orig(Q, gl_, k, alpha, **kw)
+
+    aspace.search_batch = recording
+    try:
+        srv = sv.serve(svc, port=0, block=False)
+        try:
+            base2 = f"http://127.0.0.1:{srv.server_address[1]}"
+            code, doc = _post(base2 + "/search", {
+                "query": d2[3].tolist(), "k": 3, "quantized": "int8",
+            })
+            assert code == 200
+            assert seen[-1] == "int8"
+            # plain True still maps to the bf16 scan
+            code, _ = _post(base2 + "/search", {
+                "query": d2[3].tolist(), "k": 3, "quantized": True,
+            })
+            assert code == 200 and seen[-1] is True
+        finally:
+            srv.shutdown()
+            svc.close()
+    finally:
+        aspace.search_batch = orig
+
+
+def test_alpha_null_returns_400(server):
+    """alpha: null / non-numeric must 400 cleanly, not kill the
+    connection with an uncaught TypeError (review finding)."""
+    base, data = server
+    code, doc = _post(base + "/search", {
+        "query": data[0].tolist(), "k": 3, "alpha": None,
+    })
+    assert code == 400 and "alpha" in doc["error"]
+    code, doc = _post(base + "/search", {
+        "query": data[0].tolist(), "k": 3, "alpha": [0.5],
+    })
+    assert code == 400 and "alpha" in doc["error"]
+
+
+def test_search_energy_approx_reaches_dispatch(tmp_path):
+    """/search_energy must forward approx (previously hardcoded False,
+    making the documented sketch-only energy mode unreachable)."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.serve import IndexService, serve as _serve
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(400, 16, seed=5).astype(np.float32)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5)
+         .with_sparsity_check(False)
+         .with_cluster_params(max_clusters=8, radius=18.0)
+         .with_dims_reduction(True).with_seed(3))
+    aspace, gl = b.build_energy(
+        data, em.EnergyParams(optical_tokens=8, neighbor_k=4, candidate_m=8)
+    )
+    svc = IndexService(aspace, gl)
+    seen = []
+    orig = em.search_energy_batch
+
+    def recording(aspace_, Q, gl_, k, **kw):
+        seen.append(kw.get("approx"))
+        return orig(aspace_, Q, gl_, k, **kw)
+
+    em.search_energy_batch = recording
+    try:
+        srv = _serve(svc, port=0, block=False)
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            code, _ = _post(base + "/search_energy", {
+                "query": data[2].tolist(), "k": 3, "approx": True,
+            })
+            assert code == 200 and seen[-1] is True
+            code, _ = _post(base + "/search_energy", {
+                "query": data[2].tolist(), "k": 3,
+            })
+            assert code == 200 and seen[-1] is False
+        finally:
+            srv.shutdown()
+            svc.close()
+    finally:
+        em.search_energy_batch = orig

@@ -402,3 +402,44 @@ def test_resume_truncates_torn_write_past_block_boundary(store, tmp_path):
     assert resumed.build_timings["lambda_rows_computed"] == N - 2 * BLK
     lam_resumed = np.fromfile(rdir / "lambdas.bin", np.float32)
     np.testing.assert_array_equal(lam_resumed, lam_clean)
+
+
+def test_sketch_search_k_exceeds_block_rows(index, store):
+    """k > block_rows: the per-block top width is capped at the block
+    while the kk-wide carry accumulates across blocks (previously
+    lax.top_k(scores, kk>blk) raised — review finding). Exactness via
+    candidates=N so every block contributes everything."""
+    d, data = store
+    k = BLK + 200                                  # 1224 > block_rows=1024
+    ids, sc = index.search_batch_sketch(
+        data[:2], k, candidates=N, refine=False
+    )
+    assert ids.shape == (2, k)
+    valid = ids[ids >= 0]
+    # ids must be globally unique per row and span multiple blocks
+    for row in ids:
+        r = row[row >= 0]
+        assert len(np.unique(r)) == len(r)
+        assert r.max() >= BLK                      # beyond the first block
+    # self item leads each row (scores descending)
+    assert ids[0, 0] == 0 and ids[1, 0] == 1
+    assert np.all(np.diff(sc, axis=1) <= 1e-6)
+
+
+def test_refine_candidates_all_invalid_ids(index):
+    """An all-(-1) candidate matrix returns all-miss rows instead of
+    IndexError-ing on the empty union (review finding)."""
+    import jax.numpy as jnp
+
+    ids = np.full((3, 8), -1, np.int64)
+    Q = jnp.zeros((3, F), jnp.float32)
+    ql = jnp.zeros((3,), jnp.float32)
+    al = jnp.full((3,), 0.7, jnp.float32)
+    gids, sc = index.refine_candidates(
+        ids, Q, ql, al, jnp.float32(0.0), jnp.float32(1.0), 5
+    )
+    assert (gids == -1).all() and np.isneginf(sc).all()
+    gids_e, sc_e = index.refine_energy_candidates(
+        ids, Q, ql, jnp.float32(0.0), jnp.float32(1.0), 5
+    )
+    assert (gids_e == -1).all() and np.isposinf(sc_e).all()
