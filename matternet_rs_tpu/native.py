@@ -118,6 +118,14 @@ def incremental_cluster(
     ``mode``: "legacy" (src_legacy semantics incl. soft outliers) or
     "stage_a" (surfface-core semantics incl. force-assign).
     """
+    if int(max_clusters) < 1:
+        # cap=0 with items present would drive the native scan's first
+        # create() into an out-of-bounds write on zero-size buffers (the
+        # pure-Python fallback only IndexErrors) — fail identically on
+        # both paths before any allocation.
+        raise ValueError(
+            f"max_clusters must be >= 1, got {max_clusters}"
+        )
     lib = get_lib()
     if lib is None:
         return None
@@ -143,11 +151,18 @@ def incremental_cluster(
         assignments.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     ncent = int(ncent)
+    if ncent < 0:
+        raise RuntimeError(
+            "native incremental scan rejected its inputs (cap < 1)"
+        )
     return (
         centroids[:ncent].astype(np.float32),
         assignments,
         counts[:ncent].copy(),
-        m2[:ncent],
+        # .copy(): a bare slice view would pin the full [cap, F] f64
+        # allocation alive for as long as the caller keeps the (typically
+        # tiny) result.
+        m2[:ncent].copy(),
     )
 
 
@@ -187,6 +202,12 @@ class ShardReader:
 
     def __init__(self, paths, block_rows: int, n_features: int,
                  start_row: int = 0):
+        if int(start_row) < 0:
+            # The native reader's skip guard ignores negatives (streams
+            # from row 0 — silent duplicate rows on a resumed λ pass) and
+            # the Python fallback raises an opaque broadcast error; fail
+            # both paths fast and identically instead.
+            raise ValueError(f"start_row must be >= 0, got {start_row}")
         self.paths = [str(p) for p in paths]
         self.block_rows = int(block_rows)
         self.f = int(n_features)

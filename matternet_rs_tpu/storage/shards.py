@@ -158,19 +158,30 @@ def shard_items_from_store(mesh, directory):
         dev_indices.items(), key=lambda kv: kv[1][0].start or 0
     )
 
-    reader = stream_blocks(directory, per_dev)
     arrays = []
-    for dev, _idx in ordered:
-        try:
-            block = next(reader)
-        except StopIteration:
+    for dev, idx in ordered:
+        # Each device reads ITS OWN global row slice (seek-arithmetic open,
+        # skipped files never touched). A single sequential reader from
+        # row 0 would be wrong on multi-process meshes: every non-zero
+        # process would feed its devices the STORE'S leading rows instead
+        # of their own ranges.
+        start = idx[0].start or 0
+        take = max(0, min(per_dev, n - start))
+        if take:
+            reader = stream_blocks(directory, per_dev, start_row=start)
+            try:
+                block = next(reader)[:take]
+            except StopIteration:
+                block = np.zeros((0, f), np.float32)
+            finally:
+                reader.close()
+        else:
             block = np.zeros((0, f), np.float32)
         if block.shape[0] < per_dev:     # zero-pad the tail device
             block = np.concatenate(
                 [block, np.zeros((per_dev - block.shape[0], f), np.float32)]
             )
         arrays.append(jax.device_put(block, dev))
-    reader.close()
     return jax.make_array_from_single_device_arrays((n_pad, f), sharding, arrays), n
 
 

@@ -46,6 +46,12 @@ std::int64_t mrs_incremental_cluster(
   const double kRelax = 1.5;
   const double kCreateFactor = 0.5;
 
+  // cap < 1 with items present would drive the unconditional first
+  // create() into an out-of-bounds write on the caller's zero-size
+  // centroid buffers (confirmed under ASAN) - fail loudly instead; the
+  // Python wrapper raises ValueError before ever calling in.
+  if (cap < 1 && n > 0) return -1;
+
   std::memset(centroids, 0, sizeof(double) * cap * f);
   std::memset(m2, 0, sizeof(double) * cap * f);
   std::memset(counts, 0, sizeof(std::int64_t) * cap);
@@ -87,8 +93,8 @@ std::int64_t mrs_incremental_cluster(
   // changes the state the NEXT item sees), but the F-dimensional work is
   // not: a centroid only changes when an item lands on it, so distances of
   // a whole block of upcoming items against the block-start centroid state
-  // can be precomputed as a register-blocked [B, C] dot kernel (4 items per
-  // pass → 4 independent FMA chains, centroid row loaded once per 4 items
+  // can be precomputed as a register-blocked [B, C] dot kernel (8 items per
+  // pass → 8 independent FMA chains, centroid row loaded once per 8 items
   // instead of once per item — a single-accumulator dot is latency-bound at
   // ~1/8 of AVX-512 f64 FMA throughput). When item i inside the block
   // updates or creates a centroid, only that COLUMN of the precomputed
@@ -97,7 +103,7 @@ std::int64_t mrs_incremental_cluster(
   // sequential: every (item, live-centroid-state) distance is computed
   // once, either by the block kernel or by the refresh. ‖x−c‖² uses the
   // ‖x‖²+‖c‖²−2⟨x,c⟩ form throughout (2 FLOPs/elem); centroid norms update
-  // incrementally. Measured at 100k×128/cap=128: 0.79 s → ~0.2 s.
+  // incrementally. Measured at 100k×128/cap=128: 0.79 s → 0.30 s.
   constexpr std::int64_t kBlock = 16;
   std::vector<double> rowbuf(kBlock * f, 0.0);   // f64 staging (kept rows)
   std::vector<double> xsq(kBlock, 0.0);
@@ -140,8 +146,8 @@ std::int64_t mrs_incremental_cluster(
     if (nb == 0) break;
 
     // Block kernel: distances of all nb rows vs the block-start centroids.
-    // Centroid-outer / 4-item-inner: the centroid row stays in L1 across
-    // the group, and the 4 reductions vectorize as independent chains.
+    // Centroid-outer / 8-item-inner: the centroid row stays in L1 across
+    // the group, and the 8 reductions vectorize as independent chains.
     for (std::int64_t c = 0; c < ncent; ++c) {
       const double* __restrict cc = centroids + c * f;
       const double cn = cnorm2[c];

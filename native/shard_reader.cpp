@@ -57,10 +57,23 @@ struct ShardReader {
                     if (f == nullptr) { fail = true; break; }
                     if (skip_remaining > 0) {
                         // Seek past completed rows (crash-resume): whole
-                        // files are skipped without reading a byte.
-                        ::fseeko(f, 0, SEEK_END);
+                        // files are skipped without reading a byte. A
+                        // torn trailing partial row (or a seek/tell
+                        // failure) must FAIL here, exactly like the read
+                        // path's `got % row_bytes` check — rounding it
+                        // away would silently shift every later row's
+                        // global id by one (the corruption class the
+                        // seek-resume work exists to prevent).
+                        if (::fseeko(f, 0, SEEK_END) != 0) {
+                            fail = true; std::fclose(f); f = nullptr; break;
+                        }
+                        off_t sz = ::ftello(f);
+                        if (sz < 0 ||
+                            static_cast<int64_t>(sz) % row_bytes != 0) {
+                            fail = true; std::fclose(f); f = nullptr; break;
+                        }
                         int64_t rows_in =
-                            static_cast<int64_t>(::ftello(f)) / row_bytes;
+                            static_cast<int64_t>(sz) / row_bytes;
                         if (rows_in <= skip_remaining) {
                             skip_remaining -= rows_in;
                             std::fclose(f);
@@ -68,10 +81,12 @@ struct ShardReader {
                             ++file_idx;
                             continue;
                         }
-                        ::fseeko(
-                            f,
-                            static_cast<off_t>(skip_remaining * row_bytes),
-                            SEEK_SET);
+                        if (::fseeko(
+                                f,
+                                static_cast<off_t>(skip_remaining * row_bytes),
+                                SEEK_SET) != 0) {
+                            fail = true; std::fclose(f); f = nullptr; break;
+                        }
                         skip_remaining = 0;
                     }
                 }

@@ -148,3 +148,46 @@ def test_stream_blocks_start_row_seeks(store, start_row):
 def test_stream_blocks_start_row_at_end_yields_nothing(store):
     X, d, _ = store
     assert list(ss.stream_blocks(d, 768, start_row=len(X))) == []
+
+
+def test_stream_blocks_negative_start_row_raises(store):
+    """start_row < 0 must fail fast on BOTH reader paths — the native
+    skip guard would silently stream from row 0 (duplicate rows on a
+    resumed lambda pass), the Python fallback would raise an opaque
+    broadcast error (review finding)."""
+    _, d, _ = store
+    with pytest.raises(ValueError, match="start_row"):
+        ss.stream_blocks(d, 768, start_row=-1)
+
+
+def test_resume_skip_rejects_torn_shard(store, tmp_path):
+    """A shard with a torn trailing partial row must FAIL a resumed
+    stream whose seek skips over it, exactly like a fresh stream fails
+    reading it — rounding the partial row away would silently shift
+    every later row's global id (review finding)."""
+    import shutil
+
+    X, d, m = store
+    if native.get_lib() is None or not getattr(
+        native.get_lib(), "_has_shard_reader", False
+    ):
+        pytest.skip("native reader unavailable")
+    d2 = tmp_path / "torn"
+    shutil.copytree(d, d2)
+    first = d2 / m["shards"][0]["file"]
+    # tear the FIRST shard: 1337 rows -> 1336 rows + 7 stray bytes
+    with open(first, "r+b") as fh:
+        fh.truncate(1336 * X.shape[1] * 4 + 7)
+    # resume past the torn shard: the skip path must report the tear
+    r = ss.stream_blocks(d2, 512, start_row=2000)
+    with pytest.raises(IOError):
+        list(r)
+
+
+def test_incremental_clustering_zero_max_clusters_raises():
+    """max_clusters=0 previously drove the native scan into an
+    out-of-bounds write on zero-size buffers (ASAN-confirmed SEGV);
+    both paths now raise ValueError before any allocation."""
+    X = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="max_clusters"):
+        native.incremental_cluster(X, 0, 1.0)
