@@ -67,8 +67,6 @@ def distributed_lloyd(
         )(X_sharded, idx)
     C0 = jnp.asarray(init_centroids, jnp.float32)
 
-    block = n_pad // mesh.devices.size
-
     def local_round(Xl, cents, row0):
         gid = row0 + jnp.arange(Xl.shape[0])
         valid = gid < n_items

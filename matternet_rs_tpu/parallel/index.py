@@ -253,7 +253,11 @@ class ShardedArrowSpace:
         if (
             self.projection is not None
             and q.shape[-1] == self.projection.original_dim
+            and self.gl.matrix.shape[0] == self.projection.reduced_dim
         ):
+            # Same guard as search_batch: only project when the graph
+            # actually lives in the reduced space — otherwise the two
+            # λ-prep paths disagree (crash vs answer) on the same index.
             q = self.projection.project(q)
         raw = float(
             tm.synthetic_lambda(q, self.gl.matrix, self.taumode.mode, self.taumode.param)
@@ -314,8 +318,17 @@ class ShardedArrowSpace:
                 and self.sub_centroids.shape[-1] == self.projection.reduced_dim
             ):
                 Qlam = self.projection.project(Q)
-            d = jnp.sum(
-                (Qlam[:, None, :] - self.sub_centroids[None, :, :]) ** 2, axis=-1
+            # ‖q‖²+‖c‖²−2⟨q,c⟩ decomposition (the same [B, S] matmul form
+            # as energymaps._batched_energy_search_jit) — the broadcast
+            # difference tensor would materialize [B, S, F] (~537 MB at
+            # B=256, S=4096, F=128) on the serving path.
+            from matternet_rs_tpu.ops._mm import mm as _mm
+
+            sub_c = self.sub_centroids
+            d = (
+                jnp.sum(Qlam * Qlam, axis=-1, keepdims=True)
+                + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
+                - 2.0 * _mm(Qlam, sub_c.T)
             )
             sc = jnp.asarray(
                 np.asarray(self.subcentroid_lambdas, np.float32)
@@ -458,6 +471,18 @@ class ShardedArrowSpace:
         shard_store.write_shards(
             _device_blocks(self.X, self.n_items), directory
         )
+        # Scrub a stale sketch pair from a previous index in this
+        # directory — sketch builds trust an existing sketch.bin/meta
+        # without validation, so leaving them would silently serve int8
+        # scans quantized from the OLD corpus (the streaming fresh-build
+        # path unlinks them the same way).
+        from matternet_rs_tpu.index.streaming import (
+            SKETCH_FILE,
+            SKETCH_META_FILE,
+        )
+
+        (directory / SKETCH_FILE).unlink(missing_ok=True)
+        (directory / SKETCH_META_FILE).unlink(missing_ok=True)
         # Streaming stores RAW λ + stats; reconstruct raw from the
         # normalized values (exact except values clipped at the bounds,
         # which land back on the bounds).
@@ -535,8 +560,11 @@ class ShardedArrowSpace:
 
 def _device_blocks(arr, n_items: int):
     """Yield a sharded array's rows in global order, host-resident one
-    device block at a time, trimmed to ``n_items`` (single-host meshes:
-    every shard is addressable)."""
+    device block at a time, trimmed to ``n_items``. Single-controller
+    only: addressable shards must cover every row — in a multi-process
+    mesh each process sees only its local shards, and silently writing
+    them would persist a truncated store (the manifest records whatever
+    was emitted, so nothing downstream would ever error)."""
     shards = sorted(
         arr.addressable_shards, key=lambda s: s.index[0].start or 0
     )
@@ -546,5 +574,13 @@ def _device_blocks(arr, n_items: int):
         take = min(len(block), n_items - emitted)
         if take <= 0:
             break
+        emitted += take
         yield block[:take]
+    if emitted < n_items:
+        raise RuntimeError(
+            f"to_store covers {emitted}/{n_items} rows — this process's "
+            "addressable shards do not span the corpus (multi-controller "
+            "mesh?). Persist from a single-controller mesh, or gather "
+            "per-process stores and merge them explicitly."
+        )
         emitted += take

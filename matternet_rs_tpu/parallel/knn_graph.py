@@ -220,6 +220,15 @@ def distributed_knn_ell_laplacian(
     ``reverse_k`` caps the reverse-edge slots per row (default ``topk``);
     rows with higher in-degree keep their highest-weight reverse edges and
     the total dropped count is reported on the result.
+
+    Memory note: the kNN/Laplacian ROWS are O(N·k / D) per device, but the
+    symmetrization step all-gathers the full directed edge list — an
+    O(N·k)-per-device transient (plus its lexsort buffers) while reverse
+    edges are recovered. That bounds this exact-union builder to corpora
+    whose edge list fits one device (~50M rows × k=32 at f32+int32 on a
+    16 GB chip); beyond that, build per-shard graphs from the store
+    (``distributed_build_from_store``) or extend the ring exchange to
+    stream dst-filtered edge tiles instead of gathering them all.
     """
     axes = _mesh_axes(mesh)
     n_dev = int(mesh.devices.size)
@@ -245,11 +254,17 @@ def distributed_knn_ell_laplacian(
         vmask = valid & (w > WEIGHT_FLOOR)
         w = jnp.where(vmask, w, 0.0)
 
-        # Global degree stats (psum over real rows only).
+        # Global degree stats (psum over real rows only). Reduce in f32
+        # like the single-device recipe (ops/laplacian.py) — an int32
+        # psum wraps at N·avg_degree > 2^31 (≈ 1e9 rows × degree 3, the
+        # Deep1B scale this module targets) and a negative total would
+        # silently disable sparsification.
         degrees = jnp.sum(valid, axis=1)                      # [per]
         real = my_ids < n_items
-        tot_deg = jax.lax.psum(jnp.sum(jnp.where(real, degrees, 0)), axes)
-        avg_degree = tot_deg.astype(jnp.float32) / n_items
+        tot_deg = jax.lax.psum(
+            jnp.sum(jnp.where(real, degrees, 0)).astype(jnp.float32), axes
+        )
+        avg_degree = tot_deg / n_items
         sparsify = avg_degree > SPARSIFY_AVG_DEGREE
 
         deg_all = jax.lax.all_gather(

@@ -22,6 +22,8 @@ from matternet_rs_tpu.ops.search import (
     TILEMAX_MIN_N,
     _blend,
     _guarded_cosine,
+    _scan_dots,
+    _scan_dots_batch,
     tilemax_topk,
 )
 from matternet_rs_tpu.parallel.mesh import DATA_AXIS, flat_axis_index
@@ -66,10 +68,10 @@ def make_sharded_search(mesh, n_items: int, k: int):
     def local_fn(Xl, nl, ll, q, ql, alpha):
         # Shard-local blended scores.
         qn = jnp.sqrt(jnp.sum(q * q))
-        dots = jnp.dot(
-            Xl, q, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # THE per-dtype scan dot (ops/search._scan_dots): f32 shards keep
+        # the parity-grade HIGHEST path; bf16 shards take the one-pass
+        # MXU path — same contract as the single-device scan.
+        dots = _scan_dots(Xl, q)
         scores = _blend(_guarded_cosine(dots, nl * qn), ll, ql, alpha)
         # Mask PADDED rows by global id — a real all-zero row is a valid
         # item the serial scan ranks by λ-sim, so a norm mask would drop it.
@@ -118,10 +120,10 @@ def make_multislice_search(mesh, n_items: int, k: int):
 
     def local_fn(Xl, nl, ll, q, ql, alpha):
         qn = jnp.sqrt(jnp.sum(q * q))
-        dots = jnp.dot(
-            Xl, q, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # THE per-dtype scan dot (ops/search._scan_dots): f32 shards keep
+        # the parity-grade HIGHEST path; bf16 shards take the one-pass
+        # MXU path — same contract as the single-device scan.
+        dots = _scan_dots(Xl, q)
         scores = _blend(_guarded_cosine(dots, nl * qn), ll, ql, alpha)
 
         slice_id = jax.lax.axis_index("slice")
@@ -175,10 +177,10 @@ def make_sharded_energy_search(mesh, n_items: int, k: int):
     def local_fn(Xl, nl, ll, q, ql):
         lam_dist = jnp.abs(ql - ll)
         qn = jnp.sqrt(jnp.sum(q * q))
-        dots = jnp.dot(
-            Xl, q, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # THE per-dtype scan dot (ops/search._scan_dots): f32 shards keep
+        # the parity-grade HIGHEST path; bf16 shards take the one-pass
+        # MXU path — same contract as the single-device scan.
+        dots = _scan_dots(Xl, q)
         cos = dots / (qn * nl + 1e-9)
         tie = jnp.where(lam_dist < 1e-9, (1.0 - cos) * 1e-9, 0.0)
         scores = lam_dist + tie
@@ -279,10 +281,10 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
             )
         else:
             qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))             # [B]
-            dots = jnp.dot(
-                Q, Xl.T, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                                   # [B, n_local]
+            # Per-dtype batched scan dot (ops/search._scan_dots_batch):
+            # f32 shards HIGHEST, bf16 shards one-pass — the serial
+            # batched-scan contract.
+            dots = _scan_dots_batch(Xl, Q)                      # [B, n_local]
             cos = _guarded_cosine(dots, nl[None, :] * qn[:, None])
             scores = _blend(cos, ll[None, :], QL[:, None], alpha)
             # Padded rows masked by global id (real zero rows stay rankable).
@@ -353,10 +355,10 @@ def make_sharded_hybrid_search(mesh, n_items: int, k: int):
 
     def local_fn(Xl, nl, ll, q, ql, alpha):
         qn = jnp.sqrt(jnp.sum(q * q))
-        dots = jnp.dot(
-            Xl, q, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # THE per-dtype scan dot (ops/search._scan_dots): f32 shards keep
+        # the parity-grade HIGHEST path; bf16 shards take the one-pass
+        # MXU path — same contract as the single-device scan.
+        dots = _scan_dots(Xl, q)
         cos = _guarded_cosine(dots, nl * qn)
         lambda_score = _blend(cos, ll, ql, alpha)
 

@@ -352,3 +352,24 @@ def test_distributed_hybrid_global_topk_eligibility():
             [s for _, s in dist],
             [float(s) for s in np.asarray(s_sc)[: len(serial)]], atol=1e-6,
         )
+
+
+def test_to_store_scrubs_stale_sketch(built, tmp_path):
+    """to_store over a directory holding a previous index's sketch pair
+    must remove it — sketch builds trust an existing sketch.bin without
+    validation, so a stale pair would silently serve int8 scans
+    quantized from the OLD corpus (review finding)."""
+    from matternet_rs_tpu.index.streaming import (
+        SKETCH_FILE,
+        SKETCH_META_FILE,
+    )
+
+    aspace, gl, data = built
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, n_devices=4)
+    d = tmp_path / "store"
+    d.mkdir()
+    (d / SKETCH_FILE).write_bytes(b"\x01" * 64)        # stale pair
+    np.savez(d / SKETCH_META_FILE, mult=np.ones(4, np.float32))
+    sa.to_store(d)
+    assert not (d / SKETCH_FILE).exists()
+    assert not (d / SKETCH_META_FILE).exists()
