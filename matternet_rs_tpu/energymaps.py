@@ -599,14 +599,16 @@ def search_energy_batch(
                 jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
                 Q, Qe, kk, cand,
             )
-            return np.asarray(idx)[:b], np.asarray(dist)[:b]
+            idx, dist = jax.device_get((idx, dist))   # one coalesced D2H
+            return idx[:b], dist[:b]
         # Window would cover the whole corpus — the full scan is cheaper.
     idx, dist = _batched_energy_search_jit(
         aspace.data, aspace.item_norms, aspace.lambdas,
         aspace.sub_centroids, jnp.asarray(aspace.subcentroid_lambdas, jnp.float32),
         Q, Qe, kk, approx,
     )
-    return np.asarray(idx)[:b], np.asarray(dist)[:b]
+    idx, dist = jax.device_get((idx, dist))       # one coalesced D2H
+    return idx[:b], dist[:b]
 
 
 def _sorted_lambda_arrays(aspace: ArrowSpace):
