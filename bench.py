@@ -392,6 +392,7 @@ def bench_serve_burst(jax, jnp, aspace, gl, data, extra):
     the batched kernels directly; this is the number a user of the HTTP
     surface actually sees."""
     import concurrent.futures
+    import urllib.error
     import urllib.request
 
     from matternet_rs_tpu.serve import IndexService, serve
@@ -414,13 +415,37 @@ def bench_serve_burst(jax, jnp, aspace, gl, data, extra):
         req = urllib.request.Request(
             base + "/search", data=json.dumps(doc).encode(), method="POST",
         )
-        with urllib.request.urlopen(req, timeout=60) as r:
-            return r.status
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            # A single 4xx/5xx must count as a failed request, not abort
+            # the whole section (urlopen raises on non-2xx).
+            return e.code
 
     try:
-        # Warm every (mode, k, approx) program outside the measurement.
-        for i in range(4):
-            one(i)
+        # Warm every (k, approx) program outside the measurement — the
+        # request mix is random, so enumerate the combos explicitly
+        # rather than hoping the first few requests cover them...
+        for k in (5, 10):
+            for approx in (False, True):
+                doc = {
+                    "query": data[ridx[0]].tolist(), "k": k,
+                    "alpha": 0.7, "approx": approx,
+                }
+                req = urllib.request.Request(
+                    base + "/search", data=json.dumps(doc).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+        # ...and warm the BATCHED programs (pow-2 padded batch sizes are
+        # distinct compiled programs from the b=1 warm-up above) with a
+        # short untimed burst of the same traffic mix.
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(one, range(min(256, n_req))))
+        # Report occupancy/percentiles for the measured window only.
+        service.reset_metrics()
         t0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
             codes = list(ex.map(one, range(n_req)))

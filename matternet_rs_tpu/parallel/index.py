@@ -237,32 +237,55 @@ class ShardedArrowSpace:
         """Query λ: energy mode maps to the nearest sub-centroid's
         (already-normalized) λ; eigen mode runs synthetic λ against the
         replicated graph then normalizes (core.rs:865-935 semantics).
-        Projects original-dim queries when a JL projection is active."""
-        q = jnp.asarray(query, jnp.float32)
+        Projects original-dim queries when a JL projection is active.
+        Delegates to :meth:`prepare_query_lambdas_batch` with B=1 so the
+        serial and batched surfaces agree by construction (a previous
+        difference-form serial path could flip the sub-centroid argmin
+        vs the batched matmul decomposition under f32 cancellation)."""
+        return float(np.asarray(self.prepare_query_lambdas_batch(query))[0])
+
+    def prepare_query_lambdas_batch(self, queries):
+        """Query-λ for a ``[B, F]`` (or single ``[F]``) batch — the one
+        λ-prep path both :meth:`search`/:meth:`prepare_query_lambda` and
+        :meth:`search_batch` share. Energy mode: nearest sub-centroid λ
+        via the ‖q‖²+‖c‖²−2⟨q,c⟩ matmul decomposition (the broadcast
+        difference tensor would materialize [B, S, F] — ~537 MB at
+        B=256, S=4096, F=128 — on the serving path). Eigen mode: one
+        taumode dispatch against the replicated graph, then normalize."""
+        Q = jnp.asarray(queries, jnp.float32)
+        if Q.ndim == 1:
+            Q = Q[None, :]
+        Qlam = Q
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
             if (
                 self.projection is not None
-                and q.shape[-1] == self.projection.original_dim
+                and Q.shape[-1] == self.projection.original_dim
                 and self.sub_centroids.shape[-1] == self.projection.reduced_dim
             ):
-                q = self.projection.project(q)
-            d = jnp.sum((self.sub_centroids - q[None, :]) ** 2, axis=-1)
-            return float(
-                np.asarray(self.subcentroid_lambdas)[int(jnp.argmin(d))]
+                Qlam = self.projection.project(Q)
+            from matternet_rs_tpu.ops._mm import mm as _mm
+
+            sub_c = self.sub_centroids
+            d = (
+                jnp.sum(Qlam * Qlam, axis=-1, keepdims=True)
+                + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
+                - 2.0 * _mm(Qlam, sub_c.T)
             )
+            sc = jnp.asarray(np.asarray(self.subcentroid_lambdas, np.float32))
+            return sc[jnp.argmin(d, axis=1)]
         if (
             self.projection is not None
-            and q.shape[-1] == self.projection.original_dim
+            and Q.shape[-1] == self.projection.original_dim
             and self.gl.matrix.shape[0] == self.projection.reduced_dim
         ):
-            # Same guard as search_batch: only project when the graph
-            # actually lives in the reduced space — otherwise the two
-            # λ-prep paths disagree (crash vs answer) on the same index.
-            q = self.projection.project(q)
-        raw = float(
-            tm.synthetic_lambda(q, self.gl.matrix, self.taumode.mode, self.taumode.param)
+            # Only project when the graph actually lives in the reduced
+            # space — otherwise the λ-prep and scoring paths disagree
+            # (crash vs answer) on the same index.
+            Qlam = self.projection.project(Q)
+        raw = tm.taumode_lambdas(
+            Qlam, self.gl.matrix, self.taumode.mode, self.taumode.param
         )
-        return float(np.clip((raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0))
+        return jnp.clip((raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0)
 
     def search(
         self, query, k: int, alpha: float = 0.7, query_lambda: float | None = None
@@ -306,47 +329,11 @@ class ShardedArrowSpace:
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
-        # Project for the λ computation ONLY — the sharded corpus stays in
-        # the original dimension, so scoring uses the original queries
-        # (same routing as serial search()/prepare_query_lambda).
-        Qlam = Q
-        if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
-            # Energy mode: nearest sub-centroid λ per query (normalized).
-            if (
-                self.projection is not None
-                and Q.shape[-1] == self.projection.original_dim
-                and self.sub_centroids.shape[-1] == self.projection.reduced_dim
-            ):
-                Qlam = self.projection.project(Q)
-            # ‖q‖²+‖c‖²−2⟨q,c⟩ decomposition (the same [B, S] matmul form
-            # as energymaps._batched_energy_search_jit) — the broadcast
-            # difference tensor would materialize [B, S, F] (~537 MB at
-            # B=256, S=4096, F=128) on the serving path.
-            from matternet_rs_tpu.ops._mm import mm as _mm
-
-            sub_c = self.sub_centroids
-            d = (
-                jnp.sum(Qlam * Qlam, axis=-1, keepdims=True)
-                + jnp.sum(sub_c * sub_c, axis=-1)[None, :]
-                - 2.0 * _mm(Qlam, sub_c.T)
-            )
-            sc = jnp.asarray(
-                np.asarray(self.subcentroid_lambdas, np.float32)
-            )
-            q_lams = sc[jnp.argmin(d, axis=1)]
-        else:
-            if (
-                self.projection is not None
-                and Q.shape[-1] == self.projection.original_dim
-                and self.gl.matrix.shape[0] == self.projection.reduced_dim
-            ):
-                Qlam = self.projection.project(Q)
-            raw = tm.taumode_lambdas(
-                Qlam, self.gl.matrix, self.taumode.mode, self.taumode.param
-            )
-            q_lams = jnp.clip(
-                (raw - self.min_lambdas) / self.range_lambdas, 0.0, 1.0
-            )
+        # λ-prep projects for the λ computation ONLY — the sharded corpus
+        # stays in the original dimension, so scoring uses the original
+        # queries (same routing as serial search()/prepare_query_lambda,
+        # which shares this exact helper).
+        q_lams = self.prepare_query_lambdas_batch(Q)
         key = ("batch", k)
         if key not in self._search_cache:
             self._search_cache[key] = make_sharded_search_batch(
@@ -468,14 +455,12 @@ class ShardedArrowSpace:
         from matternet_rs_tpu.storage import shards as shard_store
 
         directory = Path(directory)
-        shard_store.write_shards(
-            _device_blocks(self.X, self.n_items), directory
-        )
         # Scrub a stale sketch pair from a previous index in this
-        # directory — sketch builds trust an existing sketch.bin/meta
-        # without validation, so leaving them would silently serve int8
-        # scans quantized from the OLD corpus (the streaming fresh-build
-        # path unlinks them the same way).
+        # directory BEFORE writing the new corpus — sketch builds trust an
+        # existing sketch.bin/meta without validation, so a crash after
+        # write_shards but before the scrub would pair the NEW corpus with
+        # the OLD corpus's sketch and silently serve wrong int8 scans (the
+        # streaming fresh-build path orders its scrub the same way).
         from matternet_rs_tpu.index.streaming import (
             SKETCH_FILE,
             SKETCH_META_FILE,
@@ -483,6 +468,9 @@ class ShardedArrowSpace:
 
         (directory / SKETCH_FILE).unlink(missing_ok=True)
         (directory / SKETCH_META_FILE).unlink(missing_ok=True)
+        shard_store.write_shards(
+            _device_blocks(self.X, self.n_items), directory
+        )
         # Streaming stores RAW λ + stats; reconstruct raw from the
         # normalized values (exact except values clipped at the bounds,
         # which land back on the bounds).
@@ -583,4 +571,3 @@ def _device_blocks(arr, n_items: int):
             "mesh?). Persist from a single-controller mesh, or gather "
             "per-process stores and merge them explicitly."
         )
-        emitted += take

@@ -262,7 +262,7 @@ def distributed_knn_ell_laplacian(
         degrees = jnp.sum(valid, axis=1)                      # [per]
         real = my_ids < n_items
         tot_deg = jax.lax.psum(
-            jnp.sum(jnp.where(real, degrees, 0)).astype(jnp.float32), axes
+            jnp.sum(jnp.where(real, degrees, 0).astype(jnp.float32)), axes
         )
         avg_degree = tot_deg / n_items
         sparsify = avg_degree > SPARSIFY_AVG_DEGREE

@@ -148,6 +148,15 @@ class IndexService:
             out["latency_p99_ms"] = round(float(lat[int(0.99 * (n - 1))]) * 1e3, 2)
         return out
 
+    def reset_metrics(self) -> None:
+        """Zero the telemetry window (counters + latency ring) — lets an
+        operator (or a benchmark) measure a window that excludes warm-up
+        compiles without restarting the service."""
+        with self._cv:
+            self.n_queries = 0
+            self.n_batches = 0
+            self._lat_n = 0
+
     # ------------------------------------------------------------------
     # micro-batching
     # ------------------------------------------------------------------

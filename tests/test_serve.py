@@ -675,3 +675,43 @@ def test_search_energy_approx_reaches_dispatch(tmp_path):
             svc.close()
     finally:
         em.search_energy_batch = orig
+
+
+def test_reset_metrics_clears_window(server):
+    base, data = server
+    for i in range(3):
+        _post(base + "/search", {"query": data[i].tolist(), "k": 3})
+    _, before = _get(base + "/metrics")
+    assert before["latency_window"] >= 3
+
+    # reset_metrics zeroes the telemetry window (counters + latency ring)
+    # so a measured window can exclude warm-up compiles (bench.py uses
+    # this between the warm burst and the timed burst).
+    from matternet_rs_tpu.builder import ArrowSpaceBuilder
+    from matternet_rs_tpu.serve import IndexService
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    d = make_gaussian_blob(80, 0.4).astype(np.float32)
+    aspace, gl = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=6, radius=4.0)
+        .build(d)
+    )
+    svc = IndexService(aspace, gl)
+    try:
+        svc.search(d[0], k=3)
+        m1 = svc.metrics()
+        assert m1["latency_window"] >= 1 and svc.n_queries >= 1
+        svc.reset_metrics()
+        m2 = svc.metrics()
+        assert m2["latency_window"] == 0
+        assert m2["batch_occupancy"] is None
+        assert "latency_p50_ms" not in m2
+        assert svc.n_queries == 0 and svc.n_batches == 0
+        # The service keeps serving after a reset.
+        svc.search(d[1], k=3)
+        assert svc.metrics()["latency_window"] == 1
+    finally:
+        svc.close()

@@ -373,3 +373,80 @@ def test_to_store_scrubs_stale_sketch(built, tmp_path):
     sa.to_store(d)
     assert not (d / SKETCH_FILE).exists()
     assert not (d / SKETCH_META_FILE).exists()
+
+
+def test_to_store_scrub_precedes_corpus_write(built, tmp_path, monkeypatch):
+    """The stale-sketch scrub must run BEFORE write_shards: a crash after
+    the new corpus lands but before the scrub would pair the NEW corpus
+    with the OLD corpus's sketch, and sketch builds trust an existing
+    sketch.bin without validation (review finding — the streaming
+    fresh-build path orders its scrub the same way)."""
+    from matternet_rs_tpu.index.streaming import (
+        SKETCH_FILE,
+        SKETCH_META_FILE,
+    )
+    from matternet_rs_tpu.storage import shards as shard_store
+
+    aspace, gl, data = built
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, n_devices=4)
+    d = tmp_path / "store"
+    d.mkdir()
+    (d / SKETCH_FILE).write_bytes(b"\x01" * 64)        # stale pair
+    np.savez(d / SKETCH_META_FILE, mult=np.ones(4, np.float32))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during corpus write")
+
+    monkeypatch.setattr(shard_store, "write_shards", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sa.to_store(d)
+    # Crash window: the stale pair must already be gone.
+    assert not (d / SKETCH_FILE).exists()
+    assert not (d / SKETCH_META_FILE).exists()
+
+
+def test_serial_and_batched_lambda_prep_are_one_path():
+    """Serial prepare_query_lambda delegates to the batched λ-prep
+    (review finding: a difference-form serial variant could flip the
+    sub-centroid argmin vs the batched ‖q‖²+‖c‖²−2⟨q,c⟩ decomposition
+    under f32 cancellation). Probe exact midpoints between sub-centroid
+    pairs — worst-case tie inputs — plus corpus queries, in both energy
+    and eigen modes."""
+    from matternet_rs_tpu import energymaps as em
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(300, 16, seed=11).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 5)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=8, radius=20.0)
+        .with_dims_reduction(True)
+    )
+    aspace, gl = b.build_energy(data, em.EnergyParams(optical_tokens=12))
+    sa = ShardedArrowSpace.from_arrowspace(aspace, gl, n_devices=8)
+    assert sa.sub_centroids is not None      # energy mode is live
+    sub_c = np.asarray(sa.sub_centroids)
+    # Near-midpoints between sub-centroid pairs: the d-gap is ~1% of the
+    # pair distance — far inside the regime where the old difference-form
+    # serial path could disagree with the batched decomposition, but
+    # outside f32 matmul-reorder noise (EXACT midpoints are bit-ties
+    # whose argmin legitimately varies with batch-dependent tiling).
+    mids = [
+        (sub_c[i] + sub_c[j]) / 2.0 + 5e-3 * (sub_c[i] - sub_c[j])
+        for i in range(min(4, len(sub_c)))
+        for j in range(i + 1, min(4, len(sub_c)))
+    ]
+    queries = np.stack(mids + [data[0], data[150], data[299]])
+    batch = np.asarray(sa.prepare_query_lambdas_batch(queries))
+    for q, bl in zip(queries, batch):
+        assert sa.prepare_query_lambda(q) == float(bl)
+
+    # Eigen mode (no sub-centroids): same delegation contract.
+    sa_eig = ShardedArrowSpace.from_shards(
+        [data[:100], data[100:]], gl, n_devices=4
+    )
+    assert sa_eig.sub_centroids is None
+    b2 = np.asarray(sa_eig.prepare_query_lambdas_batch(queries[:3]))
+    for q, bl in zip(queries[:3], b2):
+        assert sa_eig.prepare_query_lambda(q) == float(bl)
