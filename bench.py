@@ -2,7 +2,12 @@
 config #1: synthetic 10k×128, plus a 1M×128 row, the energy pipeline, the
 NumPy reference-oracle rows, and a spectral-embedding quality metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints the cumulative result JSON line {"metric", "value", "unit",
+"vs_baseline", "extra"} after EVERY completed section (last line wins for
+the driver's parser): a timeout or crash mid-run costs the remaining
+sections, not the whole artifact. Round 3's only loss was exactly this —
+every number existed, but the single end-of-process print was never
+reached (VERDICT r3 #1).
 
 The headline metric is query QPS on the λ-aware blended search (the
 reference's hot query path, src_legacy/core.rs:1156-1193) over a built index.
@@ -42,6 +47,92 @@ import time
 import numpy as np
 
 K = 10
+
+# v5e single-chip peaks for the roofline fields (public spec: 197 bf16
+# TFLOP/s MXU, 819 GB/s HBM). f32 `Precision.HIGHEST` matmuls lower to the
+# 6-pass bf16 decomposition on this part, so the exact scan's compute
+# ceiling is ~197/6 ≈ 32.8 TFLOP/s — the "HIGHEST-matmul floor" DESIGN.md
+# measures is a fraction of THIS number, not of the bf16 peak.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_F32_HIGHEST_PASSES = 6
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _roofline(flops: float, bytes_moved: float, ms: float,
+              f32_highest: bool) -> dict:
+    """Achieved TFLOP/s + HBM GB/s vs the v5e peaks, from known shapes and
+    the measured per-batch ms (no profiler reaches through the tunnel).
+    ``f32_highest`` selects the 6-pass f32 ceiling for the MXU percentage."""
+    tflops = flops / (ms / 1e3) / 1e12
+    gbps = bytes_moved / (ms / 1e3) / 1e9
+    ceiling = (
+        V5E_PEAK_BF16_TFLOPS / V5E_F32_HIGHEST_PASSES
+        if f32_highest else V5E_PEAK_BF16_TFLOPS
+    )
+    return {
+        "achieved_tflops": round(tflops, 2),
+        "mxu_pct_of_ceiling": round(100 * tflops / ceiling, 1),
+        "mxu_ceiling_tflops": round(ceiling, 1),
+        "hbm_gbps": round(gbps, 1),
+        "hbm_pct_of_peak": round(100 * gbps / V5E_PEAK_HBM_GBPS, 1),
+    }
+
+
+# Cumulative-emission state (set up by main): every completed section
+# re-prints the full result JSON so the driver's last-line parse always
+# has the best headline available at that point.
+_EMIT_STATE: dict = {}
+
+
+def _pick_headline(extra: dict) -> tuple[str, float, float]:
+    """(metric, value, baseline_qps) — best available headline right now.
+
+    Preference: 1M exact device QPS (the official metric — compute-bound,
+    reproducible within a few %) → 10k device QPS → 10k transport QPS →
+    the CPU oracle's own QPS (host-only rows exist but no device row yet).
+    """
+    c1m = extra.get("config_1m", {})
+    dt_1m = c1m.get("device_time", {}).get("exact_f32", {})
+    if dt_1m.get("device_qps") and c1m.get("baseline_numpy_qps"):
+        return (
+            "device_qps_1m_128d_lambda_aware_top10_exact",
+            dt_1m["device_qps"],
+            c1m["baseline_numpy_qps"],
+        )
+    n_k = _EMIT_STATE.get("N", 10_000) // 1000
+    f = _EMIT_STATE.get("F", 128)
+    dt = extra.get("device_time", {}).get("exact_f32", {})
+    if dt.get("device_qps") and extra.get("baseline_numpy_qps"):
+        return (
+            f"device_qps_{n_k}k_{f}d_lambda_aware_top10",
+            dt["device_qps"],
+            extra["baseline_numpy_qps"],
+        )
+    if extra.get("query_qps_transport") and extra.get("baseline_numpy_qps"):
+        return (
+            f"transport_qps_{n_k}k_{f}d_lambda_aware_top10",
+            extra["query_qps_transport"],
+            extra["baseline_numpy_qps"],
+        )
+    return (
+        "oracle_query_qps_cpu_reference_only",
+        extra.get("oracle_query_qps", 0.0),
+        extra.get("oracle_query_qps", 1.0),
+    )
+
+
+def _emit(extra: dict) -> None:
+    """Print the cumulative result line (stdout owns the JSON contract;
+    progress heartbeats go to stderr via ``_mark``)."""
+    metric, value, base = _pick_headline(extra)
+    result = {
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": "queries/s",
+        "vs_baseline": round(float(value) / max(float(base), 1e-9), 2),
+        "extra": extra,
+    }
+    print(json.dumps(result), flush=True)
 
 
 def _numpy_baseline_qps(X, norms, lambdas, queries, q_lams, alpha=0.7):
@@ -160,6 +251,19 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
                 X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
                 qb, qlb, zero, one, K, cand, alphas, approx,
             )
+    elif quantized == "bf16_rescored":
+        from matternet_rs_tpu.core import _batched_search_bf16r_jit
+
+        Xb_d = aspace._scan_corpus(True)
+        cand = aspace._int8_cand(K, None)
+        alphas = jnp.full((n_queries,), 0.7, jnp.float32)
+        zero, one = jnp.float32(0.0), jnp.float32(1.0)
+
+        def run(qb, qlb):
+            return _batched_search_bf16r_jit(
+                Xb_d, aspace.data, aspace.norms, aspace.lambdas,
+                qb, qlb, zero, one, K, cand, alphas, approx,
+            )
     else:
         # The PRODUCTION batched kernel (core._batched_search_jit): exact
         # scans route through tile-max pruned selection above
@@ -207,9 +311,9 @@ def bench_device_time(jax, jnp, aspace, data, extra):
     small = N <= 65536
     n_batches = 256 if small else 64
     n_reps = 3 if small else 2
-    for name, approx, quantized, bytes_per_batch in (
-        ("exact_f32", False, False, N * F * 4 + N * 8),
-        ("approx_bf16", True, True, N * F * 2 + N * 8),
+    for name, approx, quantized, bytes_per_batch, f32h in (
+        ("exact_f32", False, False, N * F * 4 + N * 8, True),
+        ("approx_bf16", True, True, N * F * 2 + N * 8, False),
     ):
         runs = [
             _device_time_protocol(
@@ -226,14 +330,21 @@ def bench_device_time(jax, jnp, aspace, data, extra):
             "device_qps": round(max(r[1] for r in runs), 1),
             "run_agreement_pct": round(100 * (1 - agree), 1),
             "hbm_gbps_effective": round(bytes_per_batch / (ms / 1e3) / 1e9, 1),
+            "roofline": _roofline(
+                2.0 * 256 * N * F, bytes_per_batch, ms, f32h
+            ),
         }
     extra["device_time"] = out
     return out
 
 
-def _recall_setup(data, q_idx, rng, n_recall_q=128):
+def _recall_setup(data, rng, n_recall_q=128):
+    """Noised queries + brute-force cosine ground truth. Host-only (shared
+    by the oracle rows, which now run BEFORE any device work, overlapped
+    with the transport warmup)."""
     F = data.shape[1]
-    noise_q = data[q_idx[:n_recall_q]] + rng.normal(0, 0.05, (n_recall_q, F)).astype(
+    base_idx = rng.integers(0, data.shape[0], n_recall_q)
+    noise_q = data[base_idx] + rng.normal(0, 0.05, (n_recall_q, F)).astype(
         np.float32
     )
     Xn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
@@ -278,11 +389,7 @@ def _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, alpha):
     )
 
 
-def bench_headline(jax, jnp, N, F, extra):
-    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
-
-    data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
-
+def bench_headline(jax, jnp, N, F, data, noise_q, gt, extra):
     # ---- build: cold (includes compile) then warm (jit cache hot) -------
     t0 = time.perf_counter()
     b = _make_builder(N)
@@ -306,9 +413,7 @@ def bench_headline(jax, jnp, N, F, extra):
     extra["query_qps_bf16_approx"] = round(qps_bf16, 1)
     extra["self_recall_at_1_bf16"] = float((btop1 == bq_idx).mean())
 
-    # ---- recall@10 vs brute force ----------------------------------------
-    rng = np.random.default_rng(7)
-    noise_q, gt = _recall_setup(data, q_idx, rng)
+    # ---- recall@10 vs brute force (same queries/GT as the oracle rows) ---
     recall_blend = _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, 0.7)
     recall_semantic = _tpu_recall(jax, jnp, aspace, gl, noise_q, gt, 0.95)
 
@@ -331,11 +436,26 @@ def bench_headline(jax, jnp, N, F, extra):
             "n_features": F,
         }
     )
-    return qps, base_qps, data, aspace, gl, b2, noise_q, gt
+    # Oracle-relative rows (the oracle ran before any device work).
+    if "oracle_build_seconds" in extra:
+        extra["build_speedup_vs_numpy"] = round(
+            extra["oracle_build_seconds"] / max(build_warm, 1e-9), 2
+        )
+    if "oracle_recall_at_10_alpha0.7" in extra:
+        extra["recall_delta_tpu_minus_oracle_alpha0.7"] = round(
+            recall_blend - extra["oracle_recall_at_10_alpha0.7"], 4
+        )
+    return qps, base_qps, aspace, gl, b2
 
 
-def bench_oracle_rows(data, builder, noise_q, gt, build_warm_s, extra):
-    """Reference rows: NumPy f64 oracle on the same data/queries/GT."""
+def bench_oracle_rows(data, builder, noise_q, gt, extra):
+    """Reference rows: NumPy f64 oracle on the same data/queries/GT.
+
+    Host-only (pure NumPy): main() runs this WHILE the first-D2H transport
+    warmup is in flight on a background thread, so the warmup's 1.5-20 min
+    worst case no longer sits alone on the critical path (VERDICT r3 weak
+    #2). The TPU-relative rows (build speedup, recall delta) are filled in
+    by bench_headline once the device build exists."""
     from matternet_rs_tpu import oracle
 
     t0 = time.perf_counter()
@@ -376,10 +496,6 @@ def bench_oracle_rows(data, builder, noise_q, gt, build_warm_s, extra):
             "oracle_recall_at_10_alpha0.7": round(r07, 4),
             "oracle_recall_at_10_alpha0.95": round(r095, 4),
             "oracle_query_qps": round(oracle_qps, 1),
-            "build_speedup_vs_numpy": round(oracle_build / max(build_warm_s, 1e-9), 2),
-            "recall_delta_tpu_minus_oracle_alpha0.7": round(
-                extra["recall_at_10_vs_bruteforce_alpha0.7"] - r07, 4
-            ),
         }
     )
 
@@ -823,7 +939,11 @@ def bench_largef(jax, jnp, extra):
 
 
 def bench_1m(jax, jnp, extra):
-    """1M×128 row (BASELINE north star scale on one chip)."""
+    """1M×128 row (BASELINE north star scale on one chip).
+
+    Ordered so the HEADLINE (exact-f32 device QPS) lands — and is emitted —
+    before the noisier transport rows: under a tight driver window the
+    official metric survives even if this section is cut short."""
     from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
 
     N, F = 1_000_000, 128
@@ -834,40 +954,42 @@ def bench_1m(jax, jnp, extra):
     jax.block_until_ready(aspace.lambdas)
     build_s = time.perf_counter() - t0
 
-    qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data, reps=4)
-    qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, reps=4, approx=True)
-    qps_bf16, (bq_idx, btop1) = _qps_protocol(
-        jax, jnp, aspace, data, reps=4, approx=True, quantized=True
-    )
+    c1m = {"build_seconds": round(build_s, 2), "n_items": N}
+    extra["config_1m"] = c1m
+
     # Reference-style numpy full scan at THIS scale (16 queries suffice —
     # one scan is 0.5 GB of memory traffic): the denominator of the
     # headline's vs_baseline now that the headline lives at 1M.
+    rng = np.random.default_rng(7)
+    base_idx = rng.integers(0, N, 16)
     lam_np = np.asarray(aspace.lambdas)
-    base_qps_1m = _numpy_baseline_qps(
+    c1m["baseline_numpy_qps"] = round(_numpy_baseline_qps(
         data, np.linalg.norm(data, axis=1), lam_np,
-        data[q_idx[:16]], lam_np[q_idx[:16]],
-    )
-    extra["config_1m"] = {
-        "build_seconds": round(build_s, 2),
-        "query_qps_exact": round(qps, 1),
-        "query_qps_approx_selection": round(qps_approx, 1),
-        "query_qps_bf16_approx": round(qps_bf16, 1),
-        "self_recall_at_1": float((top1 == q_idx).mean()),
-        "self_recall_at_1_bf16": float((btop1 == bq_idx).mean()),
-        "baseline_numpy_qps": round(base_qps_1m, 2),
-        "n_items": N,
-    }
-    # Device time at 1M — the scale where the corpus read dominates and
-    # effective HBM GB/s is meaningful (v5e peak ≈ 819 GB/s).
-    try:
-        dt = {}
-        for name, approx, quantized, int8, bytes_per_batch in (
-            ("exact_f32", False, False, False, N * F * 4 + N * 8),
-            ("approx_bf16", True, True, False, N * F * 2 + N * 8),
-            # int8 scan + exact rescore: the scan reads N·(F+8) bytes;
-            # the rescore gather (~cand·256 rows) is noise at this N.
-            ("int8_rescored", True, False, True, N * (F + 8)),
-        ):
+        data[base_idx], lam_np[base_idx],
+    ), 2)
+
+    # Device time at 1M — the headline protocol, with roofline accounting
+    # (VERDICT r3 #3): achieved TFLOP/s + HBM GB/s vs v5e peaks from known
+    # shapes and measured ms. Approx bytes include the [B, N] f32 score
+    # write that approx_max_k reads back; the fused exact producer writes
+    # the score matrix once (fast direction) and gathers ~c·ts candidates.
+    B = 256
+    score_write = B * N * 4
+    tiers = [
+        ("exact_f32", False, False, False,
+         N * F * 4 + N * 8 + score_write, True),
+        ("approx_bf16", True, True, False,
+         N * F * 2 + N * 8 + 2 * score_write, False),
+        # int8/bf16 rescored: scan + exact rescore; the rescore gather
+        # (~cand·256 rows) is noise at this N.
+        ("int8_rescored", True, False, True,
+         N * (F + 8) + 2 * score_write, False),
+        ("bf16_rescored", True, "bf16_rescored", False,
+         N * F * 2 + N * 8 + 2 * score_write, False),
+    ]
+    dt = {}
+    for name, approx, quantized, int8, bytes_per_batch, f32h in tiers:
+        try:
             ms1, qps1 = _device_time_protocol(
                 jax, jnp, aspace, data, n_batches=32,
                 approx=approx, quantized=quantized, int8=int8,
@@ -886,10 +1008,70 @@ def bench_1m(jax, jnp, extra):
                 "hbm_gbps_effective": round(
                     bytes_per_batch / (ms / 1e3) / 1e9, 1
                 ),
+                "roofline": _roofline(
+                    2.0 * B * N * F, bytes_per_batch, ms, f32h
+                ),
             }
-        extra["config_1m"]["device_time"] = dt
+            c1m["device_time"] = dt
+            if name == "exact_f32":
+                _emit(extra)            # the headline exists: emit NOW
+        except Exception as exc:  # noqa: BLE001
+            c1m[f"error_device_time_{name}"] = repr(exc)[:200]
+    # Rescored-tier quality: top-10 overlap vs the exact f32 scan on the
+    # same queries (the candidate stage is the only approximation).
+    try:
+        from matternet_rs_tpu.core import (
+            _batched_search_bf16r_jit,
+            _batched_search_int8_jit,
+            _batched_search_jit,
+        )
+
+        qv = jnp.asarray(data[base_idx])
+        qlv = jnp.asarray(lam_np[base_idx])
+        alphas16 = jnp.full((16,), 0.7, jnp.float32)
+        zero, one = jnp.float32(0.0), jnp.float32(1.0)
+        cand16 = aspace._int8_cand(K, None)
+        ex_idx = np.asarray(_batched_search_jit(
+            aspace.data, aspace.norms, aspace.lambdas,
+            qv, qlv, K, alphas16, False,
+        )[0])
+        X8_d, i8m_d = aspace._ensure_int8()
+        runs = {
+            "int8_rescored": _batched_search_int8_jit(
+                X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
+                qv, qlv, zero, one, K, cand16, alphas16, True,
+            ),
+            "bf16_rescored": _batched_search_bf16r_jit(
+                aspace._scan_corpus(True), aspace.data, aspace.norms,
+                aspace.lambdas, qv, qlv, zero, one, K, cand16, alphas16,
+                True,
+            ),
+        }
+        for tag, (r_idx, _sc) in runs.items():
+            if tag in dt:
+                r_idx = np.asarray(r_idx)
+                dt[tag]["recall_at_10_vs_exact"] = round(float(np.mean([
+                    len(set(r_idx[i].tolist()) & set(ex_idx[i].tolist())) / K
+                    for i in range(len(base_idx))
+                ])), 4)
     except Exception as exc:  # noqa: BLE001
-        extra["config_1m"]["error_device_time"] = repr(exc)[:200]
+        c1m["error_rescored_recall"] = repr(exc)[:200]
+    _emit(extra)
+
+    # Transport-window QPS rows (noisy by construction — recorded for the
+    # end-to-end view, never the headline).
+    qps, (q_idx, top1) = _qps_protocol(jax, jnp, aspace, data, reps=4)
+    qps_approx, _ = _qps_protocol(jax, jnp, aspace, data, reps=4, approx=True)
+    qps_bf16, (bq_idx, btop1) = _qps_protocol(
+        jax, jnp, aspace, data, reps=4, approx=True, quantized=True
+    )
+    c1m.update({
+        "query_qps_exact": round(qps, 1),
+        "query_qps_approx_selection": round(qps_approx, 1),
+        "query_qps_bf16_approx": round(qps_bf16, 1),
+        "self_recall_at_1": float((top1 == q_idx).mean()),
+        "self_recall_at_1_bf16": float((btop1 == bq_idx).mean()),
+    })
 
     # IVF-pruned search is deliberately NOT benchmarked here: measured on
     # this chip it loses to the flat fused scan at every batch size while
@@ -913,7 +1095,7 @@ def _ooc_block_iter(n_rows, f, blk, seed=77):
         done += b
 
 
-def bench_out_of_core_10m(jax, jnp, extra):
+def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
     """The ≥10M out-of-core proof (VERDICT r2 #1 — the last unmeasured
     north-star axis). Writes a 10M×96 raw shard store (~3.8 GB on disk),
     runs the streamed two-pass build (sample→cluster→graph, then the λ
@@ -930,7 +1112,19 @@ def bench_out_of_core_10m(jax, jnp, extra):
     from matternet_rs_tpu.index.streaming import StreamingIndex
     from matternet_rs_tpu.storage import shards as shard_store
 
-    N, F = int(os.environ.get("BENCH_OOC_N", 10_000_000)), 96
+    # Scale to the remaining budget (VERDICT r3 #1: a PRESENT out-of-core
+    # section at reduced N beats a timed-out one at 10M — the store write
+    # alone is minutes at the sandbox's sequential-disk floor). The scale
+    # actually run is recorded in the row's n_items.
+    if "BENCH_OOC_N" in os.environ:
+        N = int(os.environ["BENCH_OOC_N"])
+    elif remaining_s > 900:
+        N = 10_000_000
+    elif remaining_s > 420:
+        N = 2_500_000
+    else:
+        N = 1_000_000
+    F = 96
     blk = 262_144
     keep = os.environ.get("BENCH_OOC_DIR")
     tmp = keep or tempfile.mkdtemp(prefix="matternet-ooc10m-")
@@ -1261,11 +1455,13 @@ def _mark(msg: str) -> None:
 
 def main():
     import pathlib
+    import threading
 
     import jax
     import jax.numpy as jnp
 
     # Persistent compilation cache: repeat bench runs skip first-compiles.
+    # Configured BEFORE the warmup thread can initialize the backend.
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     try:
@@ -1275,69 +1471,97 @@ def main():
         pass
 
     t_start = time.perf_counter()
-    # Budget covers everything after the headline section; sized so one
-    # congested-tunnel cold compile (~10 min worst measured) cannot starve
-    # the oracle/1M/energy sections the VERDICT requires.
-    # Measured full-run wall clock (warm-ish cache): ~1950 s with every
-    # section present; a fresh checkout adds cold Mosaic/XLA compiles, so
-    # the default leaves ~2× headroom before sections get skipped.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 3900))
+    # Budget sized to the DRIVER's ~1800 s window (VERDICT r3 #1c) —
+    # measured from process start, so the transport warmup counts against
+    # it automatically. Sections past the budget are skipped, and the
+    # cumulative emission after every section means an overrun costs only
+    # the sections not yet run.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1740))
     N = int(os.environ.get("BENCH_N", 10_000))
     F = int(os.environ.get("BENCH_F", 128))
+    _EMIT_STATE.update({"N": N, "F": F})
 
-    extra = {"backend": jax.default_backend()}
+    extra = {}
 
     # THE round-2 cold-build mystery, isolated (VERDICT r2 weak #2): the
-    # FIRST device→host transfer in a process costs 1.5–5 minutes on this
+    # FIRST device→host transfer in a process costs 1.5–20 minutes on this
     # transport, regardless of size or program (measured: an 8-int
-    # download after `jnp.arange(8)` = 88–296 s; every later D2H is
-    # milliseconds). The round-2 "147 s cold build" was ~90% this one 40 KB
-    # λ download. Pay it up front on a dummy transfer and record it, so
-    # build_seconds_cold measures the actual compile+build cost.
-    _mark("first-D2H transport warmup (can take minutes; see TUNING.md)")
-    t0 = time.perf_counter()
-    np.asarray(jnp.arange(8) * 1)
-    extra["transport_first_d2h_s"] = round(time.perf_counter() - t0, 1)
-    _mark(f"warmup done in {extra['transport_first_d2h_s']} s; headline build")
+    # download after `jnp.arange(8)` = 88–296 s typical, 1206 s in the
+    # round-3 driver capture). Round 4: the warmup runs on a BACKGROUND
+    # thread while the main thread does every host-only section (data
+    # generation, ground truth, the full NumPy-oracle reference rows) —
+    # the warmup overlaps real work instead of blocking the run.
+    warm_holder = {}
 
-    qps, base_qps, data, aspace, gl, builder, noise_q, gt = bench_headline(
-        jax, jnp, N, F, extra
-    )
-    extra["query_qps_transport"] = round(qps, 1)
+    def _warmup():
+        t0 = time.perf_counter()
+        warm_holder["backend"] = jax.default_backend()
+        np.asarray(jnp.arange(8) * 1)
+        warm_holder["s"] = round(time.perf_counter() - t0, 1)
 
-    # Headline = DEVICE-time QPS (VERDICT r2 #2): the pipelined-stream
-    # protocol amortizes the tunnel round-trip 1/64 per dispatch, so
-    # back-to-back runs agree where the transport-window figure swung 3×
-    # between rounds on unchanged code. The transport view stays in
-    # extra["query_qps_transport"].
-    _mark(f"headline done (transport qps {qps:.0f}); device-time section")
-    headline_qps = qps
+    _mark("starting first-D2H transport warmup on a background thread")
+    warm_thread = threading.Thread(target=_warmup, daemon=True)
+    warm_thread.start()
+
+    # ---- host-only sections, overlapped with the warmup -----------------
+    from matternet_rs_tpu.utils.fixtures import make_energy_test_dataset
+
+    data = make_energy_test_dataset(N, F, seed=42).astype(np.float32)
+    noise_q, gt = _recall_setup(data, np.random.default_rng(7))
+    builder = _make_builder(N)
+    _mark("oracle reference rows (host-only, overlapped with warmup)")
     try:
-        dt_out = bench_device_time(jax, jnp, aspace, data, extra)
-        headline_qps = dt_out["exact_f32"]["device_qps"]
+        bench_oracle_rows(data, builder, noise_q, gt, extra)
     except Exception as exc:  # noqa: BLE001
         import traceback
 
         traceback.print_exc()
-        extra["error_device_time"] = repr(exc)[:200]
+        extra["error_oracle"] = repr(exc)[:200]
+    _emit(extra)
 
-    # Ordered by importance under the time budget: the oracle reference
-    # rows, the 1M row, and the 10M out-of-core proof are VERDICT
-    # must-haves, then energy, then spectral.
-    for name, fn, args in (
-        ("oracle", bench_oracle_rows,
-         (data, builder, noise_q, gt, extra["build_seconds_warm"], extra)),
+    _mark("oracle done; joining the transport warmup")
+    warm_thread.join()
+    extra["transport_first_d2h_s"] = warm_holder.get("s")
+    extra["backend"] = warm_holder.get("backend")
+    _mark(f"warmup took {extra['transport_first_d2h_s']} s; headline build")
+
+    # ---- headline: 10k build (cold/warm split) + query paths ------------
+    aspace = gl = None
+    try:
+        qps, base_qps, aspace, gl, builder = bench_headline(
+            jax, jnp, N, F, data, noise_q, gt, extra
+        )
+        extra["query_qps_transport"] = round(qps, 1)
+    except Exception as exc:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        extra["error_headline"] = repr(exc)[:200]
+    _emit(extra)
+
+    # Ordered by importance under the time budget (the 1M section carries
+    # the official headline metric and runs FIRST; it emits itself as soon
+    # as the exact-f32 device row lands). The 10k device-time rows are
+    # cheap but transport-sensitive, so they come after the must-haves.
+    def _ooc(jx, jn, ex):
+        return bench_out_of_core_10m(
+            jx, jn, ex, remaining_s=budget_s - (time.perf_counter() - t_start)
+        )
+
+    sections = [
         ("1m", bench_1m, (jax, jnp, extra)),
-        ("ooc", bench_out_of_core_10m, (jax, jnp, extra)),
         ("build100k", bench_build_throughput_100k, (jax, jnp, extra)),
+        ("ooc", _ooc, (jax, jnp, extra)),
+        ("device_time_10k", bench_device_time, None),   # needs aspace
         ("distparity", bench_distributed_parity, (jax, jnp, extra)),
-        ("serve_burst", bench_serve_burst, (jax, jnp, aspace, gl, data, extra)),
+        ("serve_burst", bench_serve_burst, None),        # needs aspace
         ("energy", bench_energy, (jax, jnp, N, F, extra)),
         ("energy_banded", bench_energy_banded_1m, (jax, jnp, extra)),
         ("spectral", bench_spectral_quality, (jax, jnp, extra)),
         ("blend", bench_blend_quality, (jax, jnp, extra)),
         ("largef", bench_largef, (jax, jnp, extra)),
-    ):
+    ]
+    for name, fn, args in sections:
         if time.perf_counter() - t_start > budget_s:
             extra[f"skipped_{name}"] = "time budget exceeded"
             continue
@@ -1345,6 +1569,15 @@ def main():
             continue
         if name == "ooc" and os.environ.get("BENCH_SKIP_OOC"):
             continue
+        if args is None:
+            if aspace is None:
+                extra[f"skipped_{name}"] = "headline build failed"
+                continue
+            args = (
+                (jax, jnp, aspace, data, extra)
+                if name == "device_time_10k"
+                else (jax, jnp, aspace, gl, data, extra)
+            )
         _mark(f"section {name} "
               f"(t+{time.perf_counter() - t_start:.0f}s)")
         try:
@@ -1354,6 +1587,7 @@ def main():
 
             traceback.print_exc()
             extra[f"error_{name}"] = repr(exc)[:200]
+        _emit(extra)
 
     # Fold in the committed Deep1B-stretch artifact (scripts/stretch_100m.py
     # — a multi-hour single-shot run, not re-executed under bench's budget)
@@ -1369,29 +1603,7 @@ def main():
         except Exception as exc:  # noqa: BLE001
             extra["error_stretch_100m"] = repr(exc)[:200]
 
-    # Headline = the 1M exact-f32 device QPS when the 1M section ran: at
-    # 10k the scan is so small (5 MB, ~0.05 ms of device work) that the
-    # figure measures the TUNNEL's dispatch rate, which swings 2-4× with
-    # congestion (measured 0.34/0.61/1.34 ms best-of-reps across runs);
-    # the 1M scan is compute-bound and back-to-back runs agree within a
-    # few % (VERDICT r2 weak #1). The 10k rows stay in
-    # extra["device_time"]; vs_baseline divides by the numpy full scan
-    # measured at the SAME scale.
-    metric = f"device_qps_{N//1000}k_{F}d_lambda_aware_top10"
-    c1m = extra.get("config_1m", {})
-    dt_1m = c1m.get("device_time", {}).get("exact_f32", {})
-    if dt_1m.get("device_qps") and c1m.get("baseline_numpy_qps"):
-        metric = "device_qps_1m_128d_lambda_aware_top10_exact"
-        headline_qps = dt_1m["device_qps"]
-        base_qps = c1m["baseline_numpy_qps"]
-    result = {
-        "metric": metric,
-        "value": round(headline_qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(headline_qps / base_qps, 2),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+    _emit(extra)
 
 
 if __name__ == "__main__":

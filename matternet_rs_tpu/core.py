@@ -111,28 +111,13 @@ def _quantize_rows_device_jit(X):
     return q8, mult.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "cand", "approx"))
-def _batched_search_int8_jit(
-    X8, mult, X, norms, lams, Q, raw, mn, rng, k, cand, alphas, approx
-):
-    """Two-stage in-memory search in ONE program: int8 corpus scan (a
-    quarter of the f32 HBM read; int8 rows ride the MXU as bf16 — exact
-    for values in [-127, 127]) → per-query top-``cand`` → on-device gather
+def _cand_select_rescore(scores, X, norms, lams, Q, q_lams, qn, alphas,
+                         k, cand, approx):
+    """Shared tail of the two-stage rescored tiers: per-query top-``cand``
+    candidate selection over the scan ``scores [B, N]`` → on-device gather
     of the f32 candidate rows → parity-grade exact rescore → top-``k``.
-    The same memory-hierarchy inversion as the out-of-core sketch
-    (DESIGN.md), but the "disk fetch" is an HBM gather, so the whole
-    refine stays in the dispatch. Deviation from the exact f32 scan is
-    pure candidate-stage recall, governed by ``cand``."""
-    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
-    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
-    dots = jnp.dot(
-        Q.astype(jnp.bfloat16), X8.astype(jnp.bfloat16).T,
-        preferred_element_type=jnp.float32,
-    )                                                            # [B, N]
-    cos = jnp.clip(
-        dots * mult[None, :] / jnp.maximum(qn[:, None], 1e-12), -1.0, 1.0
-    )
-    scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
+    Deviation from the exact f32 scan is pure candidate-stage recall,
+    governed by ``cand``."""
     if approx and cand * 16 <= X.shape[0]:
         _, idx = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
     elif X.shape[0] >= TILEMAX_MIN_N:
@@ -151,6 +136,56 @@ def _batched_search_int8_jit(
     s2 = search_ops._blend(cos2, lams[idx], q_lams[:, None], alphas[:, None])
     top, sel = jax.lax.top_k(s2, k)
     return jnp.take_along_axis(idx, sel, axis=1), top
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "approx"))
+def _batched_search_int8_jit(
+    X8, mult, X, norms, lams, Q, raw, mn, rng, k, cand, alphas, approx
+):
+    """Two-stage in-memory search in ONE program: int8 corpus scan (a
+    quarter of the f32 HBM read; int8 rows ride the MXU as bf16 — exact
+    for values in [-127, 127]) → exact rescore of the per-query candidate
+    pool (:func:`_cand_select_rescore`). The same memory-hierarchy
+    inversion as the out-of-core sketch (DESIGN.md), but the "disk fetch"
+    is an HBM gather, so the whole refine stays in the dispatch."""
+    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
+    dots = jnp.dot(
+        Q.astype(jnp.bfloat16), X8.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )                                                            # [B, N]
+    cos = jnp.clip(
+        dots * mult[None, :] / jnp.maximum(qn[:, None], 1e-12), -1.0, 1.0
+    )
+    scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
+    return _cand_select_rescore(
+        scores, X, norms, lams, Q, q_lams, qn, alphas, k, cand, approx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "approx"))
+def _batched_search_bf16r_jit(
+    Xb, X, norms, lams, Q, raw, mn, rng, k, cand, alphas, approx
+):
+    """bf16 scan + exact rescore — the int8 tier's structure at bf16 scan
+    precision (VERDICT r3 #3: "bf16-pass scoring + exact top-k rescore").
+    One single-pass bf16 MXU matmul over the half-width corpus copy
+    selects the per-query top-``cand`` (vs 6 HIGHEST passes for the exact
+    f32 scan); the f32 HIGHEST rescore restores parity-grade ranking on
+    the pool. Scan-stage cosine uses the EXACT f32 row norms (the corpus
+    rows are bf16-rounded, the norms are not), so the only scan error is
+    the bf16 rounding of each dot — tighter than int8's per-row
+    quantization grid."""
+    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
+    dots = jnp.dot(
+        Q.astype(jnp.bfloat16), Xb.T, preferred_element_type=jnp.float32
+    )                                                            # [B, N]
+    cos = search_ops._guarded_cosine(dots, norms[None, :] * qn[:, None])
+    scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
+    return _cand_select_rescore(
+        scores, X, norms, lams, Q, q_lams, qn, alphas, k, cand, approx
+    )
 
 
 def _alpha_vector(alpha, b_pad: int) -> jax.Array:
@@ -710,7 +745,11 @@ class ArrowSpace:
         ranking); ``"int8"`` = two-stage int8 scan + exact on-device
         rescore of the per-query top-``candidates`` (default
         ``max(4k, 32)``) — a quarter of the scan read with the final
-        ranking exact on the candidate pool.
+        ranking exact on the candidate pool; ``"bf16_rescored"`` = the
+        same two-stage structure with a bf16 scan (half the read, one
+        MXU pass, tighter candidate precision than int8 — the scan's
+        only error is bf16 rounding of corpus rows, norms stay exact
+        f32).
 
         Perf note for ``"int8"``: pair it with ``approx=True`` (the
         measured 2.4 ms/256q configuration at 1M×128 — candidate stage
@@ -759,6 +798,14 @@ class ArrowSpace:
                     min(k, self.nitems), self._int8_cand(k, candidates),
                     alphas, approx,
                 )
+            elif quantized == "bf16_rescored":
+                idx, sc = _batched_search_bf16r_jit(
+                    self._scan_corpus(True), self.data, self.norms,
+                    self.lambdas, Q, q_lams,
+                    jnp.float32(0.0), jnp.float32(1.0),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
             else:
                 idx, sc = _batched_search_jit(
                     self._scan_corpus(quantized), self.norms, self.lambdas,
@@ -782,6 +829,15 @@ class ArrowSpace:
                 X8, i8m = self._ensure_int8()
                 idx, sc = _batched_search_int8_jit(
                     X8, i8m, self.data, self.norms, self.lambdas, Q, raw,
+                    jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
+            elif quantized == "bf16_rescored":
+                idx, sc = _batched_search_bf16r_jit(
+                    self._scan_corpus(True), self.data, self.norms,
+                    self.lambdas, Q, raw,
                     jnp.float32(self.min_lambdas),
                     jnp.float32(self.range_lambdas),
                     min(k, self.nitems), self._int8_cand(k, candidates),

@@ -209,7 +209,7 @@ class ShardedEllLaplacian:
 
 def distributed_knn_ell_laplacian(
     mesh, Xs: jax.Array, n_items: int, params: GraphParams,
-    reverse_k: int | None = None,
+    reverse_k: int | str | None = None,
 ) -> ShardedEllLaplacian:
     """Mesh-sharded item-graph Laplacian with the single-device semantics
     (``ops/laplacian.py``): ring kNN → eps filter → kernel weights →
@@ -219,7 +219,11 @@ def distributed_knn_ell_laplacian(
 
     ``reverse_k`` caps the reverse-edge slots per row (default ``topk``);
     rows with higher in-degree keep their highest-weight reverse edges and
-    the total dropped count is reported on the result.
+    the total dropped count is reported on the result. Pass
+    ``reverse_k="auto"`` to raise the capacity (4× per step, ring kNN
+    reused) until ``dropped_reverse_edges == 0`` — the operator is then
+    exactly symmetric, which eigensolvers (``distributed_lobpcg``)
+    require for exact spectra.
 
     Memory note: the kNN/Laplacian ROWS are O(N·k / D) per device, but the
     symmetrization step all-gathers the full directed edge list — an
@@ -235,7 +239,6 @@ def distributed_knn_ell_laplacian(
     n_pad = int(Xs.shape[0])
     per = n_pad // n_dev
     kk = min(int(params.topk), n_items - 1)
-    rk = kk if reverse_k is None else int(reverse_k)
 
     nd, ids = distributed_knn(
         mesh, Xs, n_items, kk, normalise=bool(params.normalise)
@@ -244,6 +247,27 @@ def distributed_knn_ell_laplacian(
     eps = jnp.float32(params.eps)
     p = jnp.float32(params.p)
     sigma = jnp.float32(params.sigma_value())
+
+    if reverse_k == "auto":
+        rk = kk
+        while True:
+            out = _assemble_ell(
+                mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,
+                eps, p, sigma,
+            )
+            if out.dropped_reverse_edges == 0 or rk >= n_items - 1:
+                return out
+            rk = min(rk * 4, n_items - 1)
+    rk = kk if reverse_k is None else int(reverse_k)
+    return _assemble_ell(
+        mesh, axes, nd, ids, n_pad, per, n_items, kk, rk, eps, p, sigma
+    )
+
+
+def _assemble_ell(mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,
+                  eps, p, sigma) -> ShardedEllLaplacian:
+    """ELL assembly for one reverse-edge capacity ``rk`` (the kNN result
+    is reused across "auto" capacity raises)."""
 
     def local_fn(ndl, idl):
         me = _flat_axis_index(axes)

@@ -473,3 +473,47 @@ def test_int8_mixed_alpha_batch(built):
     )
     np.testing.assert_array_equal(mixed[[0, 2]], a03[[0, 2]])
     np.testing.assert_array_equal(mixed[[1, 3]], a09[[1, 3]])
+
+
+# bf16 rescored scan (bf16 candidates + exact on-device rescore — the
+# int8 tier's structure at bf16 scan precision, VERDICT r3 #3)
+def test_bf16_rescored_full_pool_matches_f32_exactly(built):
+    """With candidates=N the rescore sees every row, so the bf16-rescored
+    path must reproduce the exact f32 batch search bit-for-bit in ids and
+    to f32 tolerance in scores (the rescore IS the parity kernel)."""
+    aspace, gl, data = built
+    Q = data[[3, 17, 41, 66]]
+    ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
+    got_ids, got_sc = aspace.search_batch(
+        Q, gl, 5, quantized="bf16_rescored", candidates=len(data)
+    )
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-5)
+
+
+def test_bf16_rescored_default_pool_self_top1_and_overlap(built):
+    aspace, gl, data = built
+    Q = data[:16]
+    got_ids, _ = aspace.search_batch(Q, gl, 5, quantized="bf16_rescored")
+    assert np.all(got_ids[:, 0] == np.arange(16))
+    ref_ids, _ = aspace.search_batch(Q, gl, 5)
+    overlap = np.mean([
+        len(set(got_ids[i]) & set(ref_ids[i])) / 5.0 for i in range(16)
+    ])
+    # bf16 candidate precision is tighter than int8's per-row grid, so
+    # the default pool must do at least as well as int8's floor.
+    assert overlap >= 0.9
+
+
+def test_bf16_rescored_scores_are_exact_on_candidates(built):
+    """Scores of returned rows come from the f32 rescore, so they equal
+    the f32 exact scores of those SAME rows (not bf16 approximations)."""
+    aspace, gl, data = built
+    q = data[29]
+    got_ids, got_sc = aspace.search_batch(
+        q, gl, 8, quantized="bf16_rescored"
+    )
+    ql = aspace.prepare_query_item(q, gl)
+    exact = dict(aspace.search_lambda_aware(q, ql, len(data)))
+    for i, s in zip(got_ids[0], got_sc[0]):
+        assert s == pytest.approx(exact[int(i)], abs=1e-5)

@@ -127,6 +127,30 @@ def test_reverse_cap_reports_drops(mesh):
     assert ids.shape[1] == 3 + 2            # topk fwd + reverse_k slots
 
 
+def test_reverse_cap_auto_reaches_zero_drops(mesh):
+    """``reverse_k="auto"`` raises the capacity until nothing is dropped —
+    the symmetric-operator precondition for exact eigensolving — and the
+    result must equal an explicit over-capacity build row for row."""
+    rng = np.random.default_rng(1)
+    hub = np.ones(F, np.float32)
+    sats = (hub[None, :] + rng.normal(0, 0.01, (N - 1, F))).astype(np.float32)
+    X = np.concatenate([hub[None, :], sats])
+    params = GraphParams(eps=1.0, k=3, topk=3, sparsity_check=False)
+    Xs = shard_items(mesh, jnp.asarray(X))
+    ell = distributed_knn_ell_laplacian(
+        mesh, Xs, N, params, reverse_k="auto"
+    )
+    assert ell.dropped_reverse_edges == 0
+    # The dense operator must be exactly symmetric.
+    L = ell.to_dense()
+    np.testing.assert_allclose(L, L.T, atol=0.0)
+    # And identical to a build whose explicit capacity can't overflow.
+    ell_big = distributed_knn_ell_laplacian(
+        mesh, Xs, N, params, reverse_k=N
+    )
+    np.testing.assert_allclose(L, ell_big.to_dense(), atol=0.0)
+
+
 def test_distributed_lobpcg_matches_dense(data, mesh):
     from matternet_rs_tpu.ops.eigensolver import eigsh_dense
 
