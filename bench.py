@@ -1359,29 +1359,46 @@ X = (centers[rng.integers(0, 16, N)] + rng.normal(size=(N, F))).astype(np.float3
 b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 6).with_sparsity_check(False)
      .with_cluster_params(max_clusters=64, radius=25.0).with_sampling(None))
 aspace, gl = b.build(X)
+mesh = make_mesh(8)
+shards = [X[:N//3], X[N//3:2*N//3], X[2*N//3:]]
 sa = ShardedArrowSpace.distributed_build(
-    [X[:N//3], X[N//3:2*N//3], X[2*N//3:]],
-    GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False),
-    k_clusters=aspace.n_clusters, mesh=make_mesh(8))
+    shards, GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False),
+    k_clusters=aspace.n_clusters, mesh=mesh)
+# centroids='serial' (VERDICT r3 #4): serial incremental scan fixes the
+# centroids, sharded graph/lambda stages are exact -> ranking-equivalent.
+# Graph params must be the builder's POST-define_result_k ones (topk 4).
+t0 = time.perf_counter()
+sa_ser = ShardedArrowSpace.distributed_build(
+    shards, b.graph_params(), k_clusters=64, radius=25.0,
+    centroids='serial', mesh=mesh)
+serial_mode_s = time.perf_counter() - t0
 
 queries = X[rng.integers(0, N, 48)] + 0.05 * rng.normal(size=(48, F)).astype(np.float32)
 queries = queries.astype(np.float32)
 s_idx, _ = aspace.search_batch(queries, gl, K)
-overlaps = []
-for r, q in enumerate(queries):
-    d_ids = [i for i, _ in sa.search(q, k=K)]
-    overlaps.append(len(set(s_idx[r].tolist()) & set(d_ids)) / K)
+def overlap_of(dist_sa):
+    ov = []
+    for r, q in enumerate(queries):
+        d_ids = [i for i, _ in dist_sa.search(q, k=K)]
+        ov.append(len(set(s_idx[r].tolist()) & set(d_ids)) / K)
+    return round(float(np.mean(ov)), 4)
 lam_s = np.asarray(aspace.lambdas); lam_d = np.asarray(sa.lambdas)[:N]
+lam_ser = np.asarray(sa_ser.lambdas)[:N]
 rs = np.argsort(np.argsort(lam_s)); rd = np.argsort(np.argsort(lam_d))
 grid = np.linspace(0, 1, 512)
 cdf = lambda lam: np.searchsorted(np.sort(lam), grid, side='right') / N
 print(json.dumps({
     'n_items': N,
-    'recall_overlap_at_10': round(float(np.mean(overlaps)), 4),
+    'recall_overlap_at_10': overlap_of(sa),
     'lambda_spearman': round(float(np.corrcoef(rs, rd)[0, 1]), 4),
     'lambda_pearson': round(float(np.corrcoef(lam_s, lam_d)[0, 1]), 4),
     'lambda_ks': round(float(np.max(np.abs(cdf(lam_s) - cdf(lam_d)))), 4),
     'n_clusters_serial': int(aspace.n_clusters),
+    'serial_mode': {
+        'recall_overlap_at_10': overlap_of(sa_ser),
+        'lambda_max_abs_diff': round(float(np.max(np.abs(lam_ser - lam_s))), 6),
+        'build_s': round(serial_mode_s, 1),
+    },
 }))
 """
     r = subprocess.run(

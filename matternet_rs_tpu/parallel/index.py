@@ -183,28 +183,67 @@ class ShardedArrowSpace:
         n_devices: int | None = None,
         mesh=None,
         lloyd_iters: int = 10,
+        centroids: str = "lloyd",
+        radius: float = 25.0,
+        centroid_sample: int | None = None,
     ) -> "ShardedArrowSpace":
         """Fully distributed build: per-host shards → mesh-sharded items →
-        psum-reduced clustering → (tiny, replicated) F×F graph from the
+        stage-1 clustering → (tiny, replicated) F×F graph from the
         centroids → zero-communication sharded λ → device-side global stats.
 
-        Nothing N-sized ever exists on one host; stage 1 runs as
-        device-local assignment + ``psum`` centroid/count reduction
-        (parallel/clustering.py). This is the mesh-sharded graph build the
-        BASELINE north star names.
+        ``centroids`` selects the stage-1 semantics (VERDICT r3 #4):
+
+        * ``"lloyd"`` (default) — psum-reduced Lloyd refinement over the
+          mesh-sharded items (parallel/clustering.py). Nothing N-sized
+          ever exists on one host, so this scales past host memory — but
+          the centroids differ from the serial builder's order-dependent
+          incremental scan, which round-3 measured as a 0.875 recall@10
+          overlap vs ``ArrowSpaceBuilder.build`` at 100k.
+        * ``"serial"`` — run the SERIAL builder's radius-gated incremental
+          scan (the native C++ fast path, clustering.rs:574-932 semantics;
+          ``radius`` is the serial builder's cluster radius) over the
+          first ``centroid_sample`` rows streamed host-side in shard
+          order (default: all rows — identical to the serial builder's
+          visit order). Every later stage (centroid graph, sharded λ,
+          normalization, search) is already exact vs serial, so with a
+          full sample the distributed index is ranking-equivalent to the
+          serial build — at the cost of one bounded host pass for
+          stage 1.
         """
         from matternet_rs_tpu.ops import laplacian as lap_ops
-        from matternet_rs_tpu.parallel.clustering import distributed_lloyd
 
         if mesh is None:
             mesh = make_mesh(n_devices)
         n = sum(int(np.asarray(s).shape[0]) for s in shards)
         Xs = shard_items_from_blocks(mesh, shards)
 
-        cents, counts, _assign = distributed_lloyd(
-            mesh, Xs, n, k_clusters, iters=lloyd_iters
-        )
-        cents = cents[counts > 0]
+        if centroids == "serial":
+            from matternet_rs_tpu.clustering import incremental_clustering
+
+            budget = n if centroid_sample is None else min(centroid_sample, n)
+            parts, got = [], 0
+            for s in shards:
+                if got >= budget:
+                    break
+                take = np.asarray(s, np.float32)[: budget - got]
+                parts.append(take)
+                got += len(take)
+            sample = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            out = incremental_clustering(
+                sample, max_clusters=k_clusters, radius=radius
+            )
+            cents = out.centroids
+        elif centroids == "lloyd":
+            from matternet_rs_tpu.parallel.clustering import distributed_lloyd
+
+            cents, counts, _assign = distributed_lloyd(
+                mesh, Xs, n, k_clusters, iters=lloyd_iters
+            )
+            cents = cents[counts > 0]
+        else:
+            raise ValueError(
+                f"centroids must be 'lloyd' or 'serial', got {centroids!r}"
+            )
 
         # The graph is centroid-scale ([C, F] → F×F): built once, replicated.
         gl = lap_ops.build_laplacian_from_k_cluster(
