@@ -1270,6 +1270,18 @@ def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
             "build_upload_s": round(time.perf_counter() - t0, 1),
             "device_bytes_gb": round(N * (F + 8) / 1e9, 2),
         }
+        # Warm-restart path: reload the persisted 1-byte/elem sketch file
+        # (streams through the native read-ahead reader — VERDICT r3 #7;
+        # the 100M stretch paid 347 s here with plain memmap reads) and
+        # re-upload. This is what a process restart pays instead of
+        # re-quantizing the 4-byte corpus.
+        idx._sketch = None
+        t0 = time.perf_counter()
+        idx.build_sketch(persist=True)
+        sk["reload_upload_s"] = round(time.perf_counter() - t0, 1)
+        sk["reload_gbps"] = round(
+            N * F / max(sk["reload_upload_s"], 1e-9) / 1e9, 3
+        )
         t0 = time.perf_counter()
         sk_ids, _ = idx.search_batch_sketch(Q.astype(np.float32), 10)
         sk["first_batch8_s"] = round(time.perf_counter() - t0, 2)  # compiles

@@ -186,10 +186,12 @@ def nearest_centroid_batch(X: np.ndarray, centroids: np.ndarray):
 
 
 class ShardReader:
-    """Streaming block reader over raw f32 shard files with native
-    background read-ahead (native/shard_reader.cpp): the next block is read
-    from disk while the caller uploads the current one. Iterates
-    ``[block_rows, f]`` float32 arrays (the last block may be shorter).
+    """Streaming block reader over raw shard files with native background
+    read-ahead (native/shard_reader.cpp): the next block is read from disk
+    while the caller uploads the current one. Iterates ``[block_rows, f]``
+    arrays of ``dtype`` (default float32 — the raw corpus; the int8 sketch
+    reload streams through the same reader with ``dtype=np.int8``). The
+    last block may be shorter.
 
     Falls back to a pure-Python generator over ``np.memmap`` views when the
     native library is unavailable.
@@ -201,7 +203,7 @@ class ShardReader:
     """
 
     def __init__(self, paths, block_rows: int, n_features: int,
-                 start_row: int = 0):
+                 start_row: int = 0, dtype=np.float32):
         if int(start_row) < 0:
             # The native reader's skip guard ignores negatives (streams
             # from row 0 — silent duplicate rows on a resumed λ pass) and
@@ -211,7 +213,8 @@ class ShardReader:
         self.paths = [str(p) for p in paths]
         self.block_rows = int(block_rows)
         self.f = int(n_features)
-        self.row_bytes = self.f * 4
+        self.dtype = np.dtype(dtype)
+        self.row_bytes = self.f * self.dtype.itemsize
         self.start_row = int(start_row)
         self._lib = get_lib()
         self._handle = None
@@ -226,11 +229,11 @@ class ShardReader:
         self._py_iter = None if self._handle else self._python_blocks()
 
     def _python_blocks(self):
-        buf = np.empty((self.block_rows, self.f), np.float32)
+        buf = np.empty((self.block_rows, self.f), self.dtype)
         fill = 0
         skip = self.start_row
         for p in self.paths:
-            mm = np.memmap(p, dtype=np.float32).reshape(-1, self.f)
+            mm = np.memmap(p, dtype=self.dtype).reshape(-1, self.f)
             if skip >= len(mm):
                 skip -= len(mm)
                 continue
@@ -252,7 +255,7 @@ class ShardReader:
 
     def __next__(self) -> np.ndarray:
         if self._handle is not None:
-            out = np.empty((self.block_rows, self.f), np.float32)
+            out = np.empty((self.block_rows, self.f), self.dtype)
             rows = self._lib.mrs_shard_reader_next(
                 self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
             )

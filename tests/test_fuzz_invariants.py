@@ -314,3 +314,102 @@ def test_random_tilemax_tie_dense_score_multiset_exact(seed):
         assert len(set(ids.tolist())) == len(ids)
         assert (0 <= ids).all() and (ids < n).all()
         np.testing.assert_array_equal(scores_np[row][ids], got_s[row])
+
+
+@pytest.mark.parametrize("f,seed", [(256, 0), (256, 1), (512, 2), (1536, 3)])
+def test_random_fused_wide_f_tie_corpus(f, seed, monkeypatch):
+    """VERDICT r3 #5: the adversarial near-tie corpus pointed at the FUSED
+    wide-F producer's routing envelope (128 < F ≤ 2048,
+    n ≥ FUSED_TILEMAX_MIN_N). Coordinate-quantized integer corpora create
+    massive exact score ties straddling tile boundaries, plus exact
+    duplicate rows. Drives the PRODUCTION routing body
+    (``search_lambda_aware_tilemax`` — the kernel ``search_batch``
+    dispatches to at this n) with the Pallas kernels in interpret mode.
+
+    PARITY.md self-consistent contract asserted: (a) returned top-k SCORES
+    equal the flat kernel's within f32 accumulation-reorder distance,
+    (b) every returned index really scores at/above the flat k-th score
+    (set equality up to documented tie substitution), (c) rows whose
+    k-boundary is tie-free match flat's indices exactly."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops import search as so
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(so.FUSED_TILEMAX_MIN_N + 1, 40_000))
+    b, k = 16, int(rng.choice([5, 10]))
+    levels = int(rng.choice([2, 3]))
+    X = rng.integers(-levels, levels + 1, (n, f)).astype(np.float32)
+    # Exact duplicate rows scattered across tiles (worst-case ties).
+    X[rng.integers(0, n, n // 4)] = X[rng.integers(0, n, n // 4)]
+    lams = (rng.integers(0, 4, n) / 4.0).astype(np.float32)   # quantized λ
+    norms = np.linalg.norm(X, axis=1).astype(np.float32)
+    q_rows = rng.integers(0, n, b)
+    Q = X[q_rows].copy()                                      # exact-row queries
+    qls = lams[q_rows].copy()
+    alphas = np.full(b, 0.7, np.float32)
+
+    monkeypatch.setattr(
+        tmf, "scores_and_tilemax",
+        functools.partial(tmf.scores_and_tilemax, interpret=True),
+    )
+    monkeypatch.setattr(
+        tmf, "gather_subtiles",
+        functools.partial(tmf.gather_subtiles, interpret=True),
+    )
+    real_supported = tmf.fused_supported
+
+    def cpu_supported(nn, ff, bb, dtype, tile):
+        # Everything but the TPU-platform gate (tests run on CPU).
+        return (
+            dtype == jnp.float32 and nn >= tile and ff <= tmf.MAX_FUSED_F_WIDE
+            and tmf.MIN_FUSED_B <= bb <= tmf.MAX_FUSED_B
+            and tile % (tmf.SUBS * 128) == 0
+        )
+
+    monkeypatch.setattr(tmf, "fused_supported", cpu_supported)
+    assert real_supported is not tmf.fused_supported
+
+    # The routing predicate search_batch consults must ADMIT this shape
+    # (the envelope under test — if this goes False the test is vacuous).
+    assert so.fused_fast_path(n, f, b, jnp.float32, k)
+
+    Xd, nd, ld = jnp.asarray(X), jnp.asarray(norms), jnp.asarray(lams)
+    Qd, qld, ad = jnp.asarray(Q), jnp.asarray(qls), jnp.asarray(alphas)
+    # __wrapped__: the un-jitted routing body (no jit-cache pollution from
+    # the interpret-mode monkeypatching).
+    idx, top = so.search_lambda_aware_tilemax.__wrapped__(
+        Xd, nd, ld, Qd, qld, k, ad
+    )
+    idx, top = np.asarray(idx), np.asarray(top)
+
+    sref = np.asarray(so._batched_scores(Xd, nd, ld, Qd, qld, ad))
+    ft, fi = jax.lax.top_k(jnp.asarray(sref), k)
+    ft, fi = np.asarray(ft), np.asarray(fi)
+
+    tol = 2e-5
+    # (a) top-k score equality within the self-consistent tolerance.
+    np.testing.assert_allclose(top, ft, atol=tol, rtol=1e-5)
+    for row in range(b):
+        # (b) distinct, in-range indices whose FLAT scores clear the flat
+        # k-th score up to the tolerance (tie substitution only).
+        ids = idx[row]
+        assert len(set(ids.tolist())) == len(ids)
+        assert (0 <= ids).all() and (ids < n).all()
+        assert (sref[row][ids] >= ft[row][-1] - tol).all()
+        # (c) a tie-free k-boundary forces exact index agreement.
+        boundary_gap = ft[row][-1] - np.partition(sref[row], -(k + 1))[-(k + 1)]
+        if boundary_gap > 2 * tol and not np.isclose(
+            ft[row][:-1], ft[row][1:], rtol=0, atol=2 * tol
+        ).any():
+            np.testing.assert_array_equal(np.sort(ids), np.sort(fi[row]))
+        # Self-query (exact corpus row) must recover itself or an exact
+        # duplicate scoring identically.
+        self_ok = q_rows[row] in ids.tolist() or np.isclose(
+            sref[row][ids], sref[row][q_rows[row]], rtol=0, atol=tol
+        ).any()
+        assert self_ok

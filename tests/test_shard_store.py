@@ -9,14 +9,15 @@ from matternet_rs_tpu.parallel.mesh import make_mesh
 from matternet_rs_tpu.storage import shards as ss
 
 
-def _py_reader(paths, block_rows, f, start_row=0):
+def _py_reader(paths, block_rows, f, start_row=0, dtype=np.float32):
     """A ShardReader forced onto the Python memmap fallback WITHOUT first
     spawning (and then leaking) the native read-ahead thread."""
     r = native.ShardReader.__new__(native.ShardReader)
     r.paths = [str(p) for p in paths]
     r.block_rows = int(block_rows)
     r.f = int(f)
-    r.row_bytes = r.f * 4
+    r.dtype = np.dtype(dtype)
+    r.row_bytes = r.f * r.dtype.itemsize
     r.start_row = int(start_row)
     r._lib = None
     r._handle = None
@@ -61,6 +62,28 @@ def test_native_reader_available_and_matches_python(store):
     py_blocks = list(_py_reader(paths, 768, 24))
     assert len(nat_blocks) == len(py_blocks)
     for a, b in zip(nat_blocks, py_blocks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_reader_int8_dtype_matches_python(tmp_path):
+    """The int8 sketch reload streams through the SAME reader with
+    dtype=np.int8 (VERDICT r3 #7): native and Python paths must agree
+    byte-for-byte, including the ragged last block."""
+    rng = np.random.default_rng(9)
+    q8 = rng.integers(-127, 128, (3001, 24), dtype=np.int8)
+    p = tmp_path / "sketch.bin"
+    p.write_bytes(q8.tobytes())
+    py_blocks = list(_py_reader([p], 700, 24, dtype=np.int8))
+    assert sum(len(b) for b in py_blocks) == 3001
+    np.testing.assert_array_equal(np.concatenate(py_blocks), q8)
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    nat = native.ShardReader([p], 700, 24, dtype=np.int8)
+    assert nat._handle is not None, "native reader did not engage"
+    nat_blocks = list(nat)
+    assert len(nat_blocks) == len(py_blocks)
+    for a, b in zip(nat_blocks, py_blocks):
+        assert a.dtype == np.int8
         np.testing.assert_array_equal(a, b)
 
 
