@@ -59,16 +59,20 @@ V5E_PEAK_HBM_GBPS = 819.0
 
 
 def _roofline(flops: float, bytes_moved: float, ms: float,
-              f32_highest: bool) -> dict:
+              passes) -> dict:
     """Achieved TFLOP/s + HBM GB/s vs the v5e peaks, from known shapes and
     the measured per-batch ms (no profiler reaches through the tunnel).
-    ``f32_highest`` selects the 6-pass f32 ceiling for the MXU percentage."""
+    ``passes`` = MXU passes per logical flop (6 for f32 HIGHEST, 3 for
+    bf16x3, 1 for bf16/int8): the ceiling for LOGICAL throughput is the
+    bf16 peak divided by the decomposition's pass count. ``True``/
+    ``False`` accepted for compat (6 / 1 passes)."""
+    if passes is True:
+        passes = V5E_F32_HIGHEST_PASSES
+    elif passes is False:
+        passes = 1
     tflops = flops / (ms / 1e3) / 1e12
     gbps = bytes_moved / (ms / 1e3) / 1e9
-    ceiling = (
-        V5E_PEAK_BF16_TFLOPS / V5E_F32_HIGHEST_PASSES
-        if f32_highest else V5E_PEAK_BF16_TFLOPS
-    )
+    ceiling = V5E_PEAK_BF16_TFLOPS / passes
     return {
         "achieved_tflops": round(tflops, 2),
         "mxu_pct_of_ceiling": round(100 * tflops / ceiling, 1),
@@ -262,6 +266,18 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
         def run(qb, qlb):
             return _batched_search_bf16r_jit(
                 Xb_d, aspace.data, aspace.norms, aspace.lambdas,
+                qb, qlb, zero, one, K, cand, alphas, approx,
+            )
+    elif quantized == "bf16x3_rescored":
+        from matternet_rs_tpu.core import _batched_search_b3r_jit
+
+        cand = aspace._int8_cand(K, None)
+        alphas = jnp.full((n_queries,), 0.7, jnp.float32)
+        zero, one = jnp.float32(0.0), jnp.float32(1.0)
+
+        def run(qb, qlb):
+            return _batched_search_b3r_jit(
+                aspace.data, aspace.norms, aspace.lambdas,
                 qb, qlb, zero, one, K, cand, alphas, approx,
             )
     else:
@@ -980,12 +996,17 @@ def bench_1m(jax, jnp, extra):
          N * F * 4 + N * 8 + score_write, True),
         ("approx_bf16", True, True, False,
          N * F * 2 + N * 8 + 2 * score_write, False),
-        # int8/bf16 rescored: scan + exact rescore; the rescore gather
-        # (~cand·256 rows) is noise at this N.
+        # int8 rescored: scan + score write/re-read + exact rescore (the
+        # rescore gather at cand≈64 rows/query is noise at this N).
         ("int8_rescored", True, False, True,
-         N * (F + 8) + 2 * score_write, False),
+         N * (F + 8) + 2 * score_write, 1),
+        # Maxima-first rescored tiers (no [B, N] score write at all):
+        # scan corpus read + norms/λ + the exact slab-rescore gather
+        # (c=K+4 slabs × tile/SUBS rows × F f32 per query).
         ("bf16_rescored", True, "bf16_rescored", False,
-         N * F * 2 + N * 8 + 2 * score_write, False),
+         N * F * 2 + N * 8 + B * (K + 4) * 256 * F * 4, 1),
+        ("bf16x3_rescored", True, "bf16x3_rescored", False,
+         N * F * 4 + N * 8 + B * (K + 4) * 256 * F * 4, 3),
     ]
     dt = {}
     for name, approx, quantized, int8, bytes_per_batch, f32h in tiers:
@@ -1021,6 +1042,7 @@ def bench_1m(jax, jnp, extra):
     # same queries (the candidate stage is the only approximation).
     try:
         from matternet_rs_tpu.core import (
+            _batched_search_b3r_jit,
             _batched_search_bf16r_jit,
             _batched_search_int8_jit,
             _batched_search_jit,
@@ -1045,6 +1067,10 @@ def bench_1m(jax, jnp, extra):
                 aspace._scan_corpus(True), aspace.data, aspace.norms,
                 aspace.lambdas, qv, qlv, zero, one, K, cand16, alphas16,
                 True,
+            ),
+            "bf16x3_rescored": _batched_search_b3r_jit(
+                aspace.data, aspace.norms, aspace.lambdas, qv, qlv,
+                zero, one, K, cand16, alphas16, True,
             ),
         }
         for tag, (r_idx, _sc) in runs.items():

@@ -177,9 +177,55 @@ def _batched_search_bf16r_jit(
     the bf16 rounding of each dot — tighter than int8's per-row
     quantization grid."""
     q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    if search_ops.fused_rescored_path(
+        Xb.shape[0], Xb.shape[1], Q.shape[0], min(k, Xb.shape[0]), cand
+    ):
+        # Maxima-first fused path: one bf16 MXU pass emits only sub-tile
+        # maxima (no [B, N] score write), then every row of the selected
+        # slabs is exact-rescored (ops/search.fused_scan_rescored).
+        return search_ops.fused_scan_rescored(
+            Xb, X, norms, lams, Q, q_lams, k, cand, alphas
+        )
     qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
     dots = jnp.dot(
         Q.astype(jnp.bfloat16), Xb.T, preferred_element_type=jnp.float32
+    )                                                            # [B, N]
+    cos = search_ops._guarded_cosine(dots, norms[None, :] * qn[:, None])
+    scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
+    return _cand_select_rescore(
+        scores, X, norms, lams, Q, q_lams, qn, alphas, k, cand, approx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand", "approx"))
+def _batched_search_b3r_jit(
+    X, norms, lams, Q, raw, mn, rng, k, cand, alphas, approx
+):
+    """bf16x3 scan + exact rescore (``quantized="bf16x3_rescored"``) —
+    the recommended throughput tier. The scan runs the f32 corpus through
+    three bf16 MXU passes (the classic hi/lo f32≈bf16³ decomposition,
+    ~21 effective mantissa bits — HALF the exact tier's 6 HIGHEST
+    passes), so scan-stage ranking is ~f32-grade even on clustered
+    corpora where one-pass bf16 rounding caps recall at ~0.72 and int8
+    at ~0.99 (measured at 1M, DESIGN.md "rescored tiers"); the exact
+    HIGHEST rescore of the selected slabs makes returned scores
+    parity-grade. No quantized corpus copy is needed — the scan reads
+    the f32 data.
+
+    Off the fused envelope (CPU tests, tiny corpora) the fallback scans
+    with ``Precision.HIGH`` dots (XLA's own 3-pass decomposition on TPU;
+    plain f32 on CPU) and rescores the top-``cand`` pool."""
+    q_lams = jnp.clip((raw - mn) / rng, 0.0, 1.0)
+    if search_ops.fused_rescored_path(
+        X.shape[0], X.shape[1], Q.shape[0], min(k, X.shape[0]), cand
+    ):
+        return search_ops.fused_scan_rescored(
+            X, X, norms, lams, Q, q_lams, k, cand, alphas
+        )
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))                       # [B]
+    dots = jnp.dot(
+        Q, X.T, precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
     )                                                            # [B, N]
     cos = search_ops._guarded_cosine(dots, norms[None, :] * qn[:, None])
     scores = search_ops._blend(cos, lams[None, :], q_lams[:, None], alphas[:, None])
@@ -746,10 +792,14 @@ class ArrowSpace:
         rescore of the per-query top-``candidates`` (default
         ``max(4k, 32)``) — a quarter of the scan read with the final
         ranking exact on the candidate pool; ``"bf16_rescored"`` = the
-        same two-stage structure with a bf16 scan (half the read, one
-        MXU pass, tighter candidate precision than int8 — the scan's
-        only error is bf16 rounding of corpus rows, norms stay exact
-        f32).
+        same two-stage structure with a one-pass bf16 scan (half the
+        read; fastest, but bf16 rounding of LARGE-magnitude coordinates
+        caps recall on clustered corpora — measured 0.725 at 1M where
+        int8's per-row scaling holds 0.99); ``"bf16x3_rescored"`` = the
+        recommended throughput tier: the scan runs the f32 corpus at
+        bf16x3 precision (3 MXU passes ≈ f32, half the exact tier's 6)
+        so scan ranking is ~f32-grade, with the same exact rescore —
+        no quantized corpus copy needed.
 
         Perf note for ``"int8"``: pair it with ``approx=True`` (the
         measured 2.4 ms/256q configuration at 1M×128 — candidate stage
@@ -806,6 +856,13 @@ class ArrowSpace:
                     min(k, self.nitems), self._int8_cand(k, candidates),
                     alphas, approx,
                 )
+            elif quantized == "bf16x3_rescored":
+                idx, sc = _batched_search_b3r_jit(
+                    self.data, self.norms, self.lambdas, Q, q_lams,
+                    jnp.float32(0.0), jnp.float32(1.0),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
             else:
                 idx, sc = _batched_search_jit(
                     self._scan_corpus(quantized), self.norms, self.lambdas,
@@ -838,6 +895,14 @@ class ArrowSpace:
                 idx, sc = _batched_search_bf16r_jit(
                     self._scan_corpus(True), self.data, self.norms,
                     self.lambdas, Q, raw,
+                    jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas),
+                    min(k, self.nitems), self._int8_cand(k, candidates),
+                    alphas, approx,
+                )
+            elif quantized == "bf16x3_rescored":
+                idx, sc = _batched_search_b3r_jit(
+                    self.data, self.norms, self.lambdas, Q, raw,
                     jnp.float32(self.min_lambdas),
                     jnp.float32(self.range_lambdas),
                     min(k, self.nitems), self._int8_cand(k, candidates),

@@ -134,6 +134,170 @@ def _kernel(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref, al_ref, mf_ref,
     tm_ref[:] = acc
 
 
+def _scan_dots_kernel(q, x):
+    """Reduced-precision scan dots for the maxima-first rescored tiers,
+    dispatched on the corpus tile's dtype at trace time:
+
+    * bf16 corpus → ONE MXU pass, f32 accumulation (1/6th the passes of
+      the f32 HIGHEST decomposition and half the corpus read). Error =
+      bf16 rounding of corpus AND query elements.
+    * f32 corpus → bf16x3 (three MXU passes over an explicit hi/lo
+      split of both operands — the classic f32≈bf16³ decomposition,
+      ~21 effective mantissa bits). Half the MXU passes of HIGHEST at
+      the full f32 corpus read. This is NOT the bitwise-XLA chunk dot
+      (`_chunk_dot`): the maxima-first tiers never return these scores,
+      so the contract is precision, not parity.
+
+    Why precision matters here and one-pass bf16 is NOT enough as the
+    only mode: measured at 1M on the clustered bench fixture, bf16
+    corpus rounding alone caps recall@10 at ~0.72 no matter how many
+    candidates are rescored (the cluster-offset coordinate rounds with a
+    ~0.25 ulp at magnitude 40, scrambling rankings whose true margins
+    are ~1e-5) — while the int8 tier survives (0.9875) because per-row
+    absmax scaling makes the largest-magnitude coordinate EXACT. bf16x3
+    restores ~f32-grade scan ranking at half the exact tier's compute.
+    """
+    dn = (((1,), (1,)), ((), ()))
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            q.astype(jnp.bfloat16), x, dn,
+            preferred_element_type=jnp.float32,
+        )
+    qhi = q.astype(jnp.bfloat16)
+    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xhi = x.astype(jnp.bfloat16)
+    xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cross = jax.lax.dot_general(
+        qhi, xlo, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(qlo, xhi, dn, preferred_element_type=jnp.float32)
+    return cross + jax.lax.dot_general(
+        qhi, xhi, dn, preferred_element_type=jnp.float32
+    )
+
+
+def _kernel_tilemax_only(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref,
+                         al_ref, mf_ref, tm_ref):
+    """Maxima-first producer: per-SUB-tile maxima of the blended scores,
+    NO [B, N] score write. The rescored tiers exact-rescore every row of
+    the selected sub-tiles downstream, so the full score matrix is never
+    needed — HBM traffic collapses to the corpus read + a [ns, B] maxima
+    block. (The score-writing bf16 variant was measured and rejected:
+    its [B, N] bf16 write fed a top-`cand` pool cut over bf16-rounded
+    scores, which collapse into tie groups of 30-90+ at the pool
+    boundary on clustered corpora — see DESIGN.md "bf16 rescored tier".)
+    """
+    i = pl.program_id(0)
+    dots = _scan_dots_kernel(q_ref[:], x_ref[:])
+    from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
+
+    cos = _guarded_cosine(dots, qn_ref[:] * nrm_ref[:])
+    s = _blend(cos, lam_ref[:], ql_ref[:], al_ref[:])
+    col = i * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col >= mf_ref[0, 0], -jnp.inf, s)
+    ts = s.shape[1] // SUBS
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUBS, s.shape[0]), 0)
+    acc = jnp.zeros((SUBS, s.shape[0]), jnp.float32)
+    for g in range(SUBS):
+        m = s[:, g * ts:(g + 1) * ts].max(axis=1)                # [B]
+        acc = jnp.where(row == g, m[None, :], acc)
+    tm_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def tilemax_only(
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    alphas: jax.Array,
+    tile: int = 2048,
+    interpret: bool = False,
+    mask_from: jax.Array | None = None,
+) -> jax.Array:
+    """Per-SUB-tile score maxima for the first ``(N // tile) * tile``
+    corpus rows in one pass, WITHOUT writing the score matrix.
+
+    Scan precision follows ``X.dtype`` (see :func:`_scan_dots_kernel`):
+    bf16 corpus → one-pass bf16 dots; f32 corpus → three-pass bf16x3
+    (~f32-grade). Norms/λ/query-norms stay exact f32 either way, so the
+    only deviation from the exact blend is the dots' rounding.
+
+    Returns ``submax [B, nt0 * SUBS]`` — same layout/meaning as
+    :func:`scores_and_tilemax`'s second output. Callers rescore the
+    selected sub-tiles' rows exactly from the f32 corpus.
+    """
+    n, f = X.shape
+    b = queries.shape[0]
+    nt0 = n // tile
+    n0 = nt0 * tile
+
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
+    a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+    mf = jnp.asarray(n0 if mask_from is None else mask_from, jnp.int32)
+
+    tmax_t = pl.pallas_call(
+        _kernel_tilemax_only,
+        grid=(nt0,),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBS, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt0 * SUBS, b), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=None if interpret else pl.CostEstimate(
+            flops=(2 if X.dtype == jnp.bfloat16 else 6) * b * n0 * f,
+            bytes_accessed=n0 * f * X.dtype.itemsize + b * f * 4,
+            transcendentals=0,
+        ),
+    )(
+        X,
+        norms[None, :],
+        lambdas[None, :],
+        queries,
+        qn[:, None],
+        query_lambdas[:, None],
+        a[:, None],
+        mf.reshape(1, 1),
+    )
+    return tmax_t.T
+
+
+def tilemax_only_supported(n: int, f: int, b: int, tile: int) -> bool:
+    """Envelope for the maxima-first producer (both scan dtypes): shape
+    limits as the fused producer, but the VMEM budget drops the score
+    output planes (only the corpus tile, query block, hi/lo splits and
+    the dot/blend temporaries are resident)."""
+    if n < tile or f > MAX_FUSED_F_WIDE:
+        return False
+    if b < MIN_FUSED_B or b > MAX_FUSED_B:
+        return False
+    if tile % (SUBS * 128) != 0:
+        return False
+    # corpus tile double-buffered (≤4B/elt) + bf16 hi/lo splits (2B each)
+    # + query block + 3 [b, tile] f32 dot/blend temporaries.
+    if (2 * tile * f * 4 + 4 * tile * f + b * f * 8
+            + 3 * b * tile * 4) > 90 * 1024 * 1024:
+        return False
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except RuntimeError:
+        return False
+    return "tpu" in platform or "axon" in platform
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def scores_and_tilemax(
     X: jax.Array,

@@ -50,6 +50,12 @@ FUSED_TILEMAX_MIN_N = 32_768
 # must evaluate the same tile it executes with.
 DEFAULT_TILE = 2048
 
+# Slab-count cap for the maxima-first rescored tiers: bounds the exact
+# rescore's [B, c, ts, F] gather (64 slabs × 256 rows × 512 B/row ×
+# B=256 ≈ 2.1 GB transient — the practical ceiling before the rescore
+# stops being noise next to the scan).
+MAX_RESCORE_SLABS = 64
+
 
 def _tilemax_degenerate(n: int, kk: int, t: int, margin: int = 4) -> bool:
     """True when the candidate set would cover the whole corpus — the
@@ -432,6 +438,124 @@ def fused_tilemax(
     return _tilemax_select(
         smain.reshape(b, ns, ts), submax, tail, n, kk, 4, gather=gather
     )
+
+
+def fused_rescored_path(
+    n: int, f: int, b: int, kk: int, cand: int, tile: int = DEFAULT_TILE
+) -> bool:
+    """Routing predicate for :func:`fused_scan_rescored` (both scan
+    precisions): the maxima-first producer envelope holds, the corpus is
+    large enough for sub-tile pruning to pay, selection is
+    non-degenerate, and the slab rescore stays a small fraction of the
+    corpus (a huge ``candidates`` — e.g. the ``candidates=N`` exactness
+    escape hatch — would gather the whole corpus per query; those run
+    the XLA two-stage fallback instead). No gather-kernel constraint —
+    the slab rescore uses a plain XLA row-block gather."""
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    ts = tile // tmf.SUBS
+    c = max(kk + 4, -(-cand // ts))
+    return (
+        n >= FUSED_TILEMAX_MIN_N
+        and not _tilemax_degenerate(n, kk, tile)
+        and tmf.tilemax_only_supported(n, f, b, tile)
+        and c <= MAX_RESCORE_SLABS
+        and c * ts * 8 <= n
+    )
+
+
+def fused_scan_rescored(
+    Xscan: jax.Array,
+    X: jax.Array,
+    norms: jax.Array,
+    lambdas: jax.Array,
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    k: int,
+    cand: int,
+    alphas: jax.Array,
+    t: int = DEFAULT_TILE,
+) -> tuple[jax.Array, jax.Array]:
+    """Maxima-first reduced-precision scan + exact slab rescore — the
+    rescored tiers' TPU fast path (VERDICT r3 #3's "bf16-pass scoring +
+    exact top-k rescore", built maxima-first after the score-writing
+    variant measured recall 0.725 at 1M — DESIGN.md "rescored tiers").
+
+    Stage 1: :func:`tilemax_fused.tilemax_only` streams the scan corpus
+    (``Xscan``: bf16 → one MXU pass; f32 → bf16x3, three passes ≈ f32)
+    and emits ONLY per-sub-tile blended-score maxima — no [B, N] score
+    write at all, so stage-1 HBM traffic is the corpus read.
+
+    Stage 2: the top ``c = max(k+4, ceil(cand/ts))`` sub-tiles per query
+    (f32-distinct maxima — no bf16 tie collapse) are gathered as
+    CONTIGUOUS row slabs from the exact f32 corpus and every row is
+    rescored at HIGHEST precision; the ragged tail is scored exactly by
+    the XLA producer. Final top-k over exact scores only — returned
+    scores are parity-grade, and the only deviation from the exact scan
+    is scan-precision recall at the sub-tile selection boundary
+    (measured per tier in the bench's ``recall_at_10_vs_exact``).
+
+    Tie-breaking: ``sel`` is sorted ascending and the tail appended
+    after, so candidate columns are in global-index order and the final
+    ``top_k`` breaks exact-score ties lowest-index-first like the flat
+    kernel (the standard tilemax contract).
+
+    Caller must have checked :func:`fused_rescored_path`. ``alphas`` may
+    be scalar or ``[B]``. Returns ``(idx [B, k], scores [B, k])``.
+    """
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    b, n = queries.shape[0], X.shape[0]
+    f = X.shape[1]
+    kk = min(k, n)
+    nt0 = n // t
+    n0 = nt0 * t
+    ts = t // tmf.SUBS
+    ns = nt0 * tmf.SUBS
+    a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+
+    submax = tmf.tilemax_only(
+        Xscan, norms, lambdas, queries, query_lambdas, a, tile=t
+    )                                                            # [B, ns]
+    c = min(ns, max(kk + 4, -(-cand // ts)))
+    _, sel = jax.lax.top_k(submax, c)                            # [B, c]
+    sel = jnp.sort(sel, axis=1)
+
+    # Exact rescore of EVERY row in the selected slabs (contiguous
+    # ts-row blocks — the gather moves c big slices per query, not
+    # per-row picks).
+    slab = jnp.take(
+        X[:n0].reshape(ns, ts * f), sel, axis=0
+    ).reshape(b, c, ts, f)
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
+    d = jnp.einsum(
+        "bf,bctf->bct", queries, slab,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    nrm_s = jnp.take(norms[:n0].reshape(ns, ts), sel, axis=0)    # [B,c,ts]
+    lam_s = jnp.take(lambdas[:n0].reshape(ns, ts), sel, axis=0)
+    cos = _guarded_cosine(d, nrm_s * qn[:, None, None])
+    s = _blend(
+        cos, lam_s, query_lambdas[:, None, None], a[:, None, None]
+    ).reshape(b, c * ts)
+    gidx = (
+        sel[:, :, None] * ts
+        + jnp.arange(ts, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, c * ts)
+    if n0 < n:
+        tail = _batched_scores(
+            X[n0:], norms[n0:], lambdas[n0:], queries, query_lambdas, alphas
+        )
+        s = jnp.concatenate([s, tail], axis=1)
+        gidx = jnp.concatenate([
+            gidx,
+            jnp.broadcast_to(
+                jnp.arange(n0, n, dtype=jnp.int32)[None, :], (b, n - n0)
+            ),
+        ], axis=1)
+    top, pos = jax.lax.top_k(s, kk)
+    return jnp.take_along_axis(gidx, pos, axis=1), top
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))

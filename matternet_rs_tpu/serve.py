@@ -36,6 +36,12 @@ from matternet_rs_tpu.graph import GraphLaplacian
 
 log = logging.getLogger(__name__)
 
+# Named scan tiers `ArrowSpace.search_batch` accepts for ``quantized``
+# beyond the bf16-copy bool (core.py): each is passed through verbatim;
+# any other string is rejected at the HTTP edge (400) rather than
+# silently coerced to the bf16 scan.
+_QUANT_TIERS = frozenset({"int8", "bf16_rescored", "bf16x3_rescored"})
+
 
 @dataclasses.dataclass
 class _Pending:
@@ -105,11 +111,23 @@ class IndexService:
         self._lat_ring = np.zeros((4096, 3), np.float64)
         self._lat_n = 0
         # Double-buffered dispatch: the collector hands each group to this
-        # 2-worker pool and IMMEDIATELY resumes collecting, so batch N+1
-        # assembles (and its host-side prep runs) while batch N's device
-        # dispatch + result fetch are still in flight. The previous
+        # 2-worker pool and resumes collecting, so batch N+1 assembles
+        # (and its host-side prep runs) while batch N's device dispatch +
+        # result fetch are still in flight. The previous
         # collect→dispatch→collect loop left the device idle during every
         # collection window (VERDICT r3 weak #4).
+        #
+        # CRITICAL: in-flight dispatches are BOUNDED by this semaphore
+        # (one permit per pool worker). Without it the collector cuts a
+        # batch every window and parks it in the pool's unbounded FIFO —
+        # batches are formed BEFORE backpressure, so under sustained load
+        # they stay window-sized (measured: 64-client burst → occupancy
+        # 1.13, queue-wait p50 948 ms vs 33 ms dispatch — 61.9 QPS).
+        # With the bound, the collector BLOCKS while both workers are
+        # busy and arrivals coalesce into the next batch, which is cut
+        # exactly when a slot frees: batch size adapts to the dispatch
+        # rate and the queue wait collapses to ~2 dispatches.
+        self._inflight = threading.BoundedSemaphore(2)
         self._dispatch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=2, thread_name_prefix="index-dispatch"
         )
@@ -199,10 +217,16 @@ class IndexService:
 
     def _batch_loop(self) -> None:
         while True:
+            # Backpressure FIRST: hold a dispatch slot before cutting a
+            # batch, so while both workers are busy the queue keeps
+            # coalescing (see _init_batching's semaphore comment).
+            self._inflight.acquire()
+            held = True
             with self._cv:
                 while not self._queue and not self._closed:
                     self._cv.wait()
                 if self._closed and not self._queue:
+                    self._inflight.release()
                     return
                 # Collect until the window elapses OR a full batch is ready
                 # (a burst of max_batch requests dispatches immediately —
@@ -228,6 +252,11 @@ class IndexService:
             for (mode, k, approx, quantized, _dim), members in groups.items():
                 for start in range(0, len(members), self.max_batch):
                     chunk = members[start : start + self.max_batch]
+                    if not held:
+                        # One permit per submitted chunk; _dispatch
+                        # releases it in its finally block.
+                        self._inflight.acquire()
+                    held = False
                     try:
                         self._dispatch_pool.submit(
                             self._dispatch, mode, k, approx, quantized, chunk
@@ -236,6 +265,8 @@ class IndexService:
                         # Pool already shut down (close() raced the drain):
                         # run inline so no waiter is left hanging.
                         self._dispatch(mode, k, approx, quantized, chunk)
+            if held:
+                self._inflight.release()     # collected but produced no chunk
 
     def _record_latency(self, members: list[_Pending], t_dispatch: float) -> None:
         now = time.monotonic()
@@ -270,6 +301,12 @@ class IndexService:
         finally:
             for p in members:
                 p.done.set()
+            # Free the dispatch slot LAST — the collector may cut the
+            # next batch the moment this returns.
+            try:
+                self._inflight.release()
+            except ValueError:
+                pass                       # close() raced an inline call
 
     def _run_batch(self, mode: str, k: int, approx: bool,
                    quantized: bool, members: list[_Pending]) -> None:
@@ -332,9 +369,10 @@ class IndexService:
                approx: bool = False, quantized: bool | str = False
                ) -> list[dict]:
         q = self._validate(query)
-        # quantized is tri-state (False / True / "int8"); a bool() coercion
-        # here would silently serve "int8" requests with the bf16 scan.
-        qz = "int8" if quantized == "int8" else bool(quantized)
+        # quantized is False / True / a named tier string; a blanket
+        # bool() coercion would silently serve tier requests with the
+        # bf16 scan.
+        qz = quantized if quantized in _QUANT_TIERS else bool(quantized)
         return self._submit(
             _Pending(q, int(k), float(alpha), bool(approx), "blend",
                      quantized=qz)
@@ -483,7 +521,12 @@ def make_handler(service: IndexService):
             except (TypeError, ValueError):
                 return self._reply(400, {"error": "'alpha' must be a number"})
             qz = doc.get("quantized", False)
-            if qz != "int8":          # tri-state: False / True / "int8"
+            if isinstance(qz, str) and qz not in _QUANT_TIERS:
+                return self._reply(400, {
+                    "error": f"unknown quantized tier {qz!r}; "
+                             f"one of {sorted(_QUANT_TIERS)} or a bool"
+                })
+            if qz not in _QUANT_TIERS:   # False / True / named tier
                 qz = bool(qz)
 
             try:

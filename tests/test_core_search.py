@@ -517,3 +517,30 @@ def test_bf16_rescored_scores_are_exact_on_candidates(built):
     exact = dict(aspace.search_lambda_aware(q, ql, len(data)))
     for i, s in zip(got_ids[0], got_sc[0]):
         assert s == pytest.approx(exact[int(i)], abs=1e-5)
+
+
+# bf16x3 rescored scan (3-pass ≈ f32 scan precision + exact rescore —
+# the recommended throughput tier; no quantized corpus copy)
+def test_bf16x3_rescored_full_pool_matches_f32_exactly(built):
+    aspace, gl, data = built
+    Q = data[[3, 17, 41, 66]]
+    ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
+    got_ids, got_sc = aspace.search_batch(
+        Q, gl, 5, quantized="bf16x3_rescored", candidates=len(data)
+    )
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-5)
+
+
+def test_bf16x3_rescored_default_pool_matches_exact(built):
+    """Scan precision is ~f32-grade, so at test scale the default pool
+    must reproduce the exact top-k set (unlike the 1-pass bf16 tier,
+    which only guarantees overlap)."""
+    aspace, gl, data = built
+    Q = data[:16]
+    got_ids, got_sc = aspace.search_batch(Q, gl, 5, quantized="bf16x3_rescored")
+    ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
+    assert np.all(got_ids[:, 0] == np.arange(16))
+    np.testing.assert_array_equal(np.sort(got_ids, 1), np.sort(ref_ids, 1))
+    np.testing.assert_allclose(np.sort(got_sc, 1), np.sort(ref_sc, 1),
+                               atol=1e-5)
