@@ -1001,12 +1001,13 @@ def bench_1m(jax, jnp, extra):
         ("int8_rescored", True, False, True,
          N * (F + 8) + 2 * score_write, 1),
         # Maxima-first rescored tiers (no [B, N] score write at all):
-        # scan corpus read + norms/λ + the exact slab-rescore gather
-        # (c=K+4 slabs × tile/SUBS rows × F f32 per query).
+        # scan corpus read + norms/λ + the exact slab-rescore DMA
+        # (c=K+4 slabs × tile/RESCORE_SUBS=128 rows × F f32 per query,
+        # streamed by the scalar-prefetch kernel).
         ("bf16_rescored", True, "bf16_rescored", False,
-         N * F * 2 + N * 8 + B * (K + 4) * 256 * F * 4, 1),
+         N * F * 2 + N * 8 + B * (K + 4) * 128 * F * 4, 1),
         ("bf16x3_rescored", True, "bf16x3_rescored", False,
-         N * F * 4 + N * 8 + B * (K + 4) * 256 * F * 4, 3),
+         N * F * 4 + N * 8 + B * (K + 4) * 128 * F * 4, 3),
     ]
     dt = {}
     for name, approx, quantized, int8, bytes_per_batch, f32h in tiers:

@@ -791,15 +791,20 @@ class ArrowSpace:
         ranking); ``"int8"`` = two-stage int8 scan + exact on-device
         rescore of the per-query top-``candidates`` (default
         ``max(4k, 32)``) — a quarter of the scan read with the final
-        ranking exact on the candidate pool; ``"bf16_rescored"`` = the
-        same two-stage structure with a one-pass bf16 scan (half the
-        read; fastest, but bf16 rounding of LARGE-magnitude coordinates
-        caps recall on clustered corpora — measured 0.725 at 1M where
-        int8's per-row scaling holds 0.99); ``"bf16x3_rescored"`` = the
-        recommended throughput tier: the scan runs the f32 corpus at
-        bf16x3 precision (3 MXU passes ≈ f32, half the exact tier's 6)
-        so scan ranking is ~f32-grade, with the same exact rescore —
-        no quantized corpus copy needed.
+        ranking exact on the candidate pool; ``"bf16_rescored"`` /
+        ``"bf16x3_rescored"`` = the maxima-first tiers (DESIGN.md
+        "Rescored tiers, maxima-first"): a per-sub-tile-maxima Pallas
+        scan with NO ``[B, N]`` score write (maxima reduced from the
+        f32 blend in VMEM — no bf16 tie collapse at the selection
+        boundary), then an exact HIGHEST rescore of every row of the
+        selected 128-row slabs through an 8-deep ring of outstanding
+        HBM→VMEM DMAs. ``"bf16_rescored"`` scans a bf16 corpus copy in
+        one MXU pass (the throughput rung: measured 1.5–1.6× the exact
+        tier at 1M×128); ``"bf16x3_rescored"`` scans the f32 corpus at
+        bf16x3 precision (3 passes ≈ f32-grade selection, half the
+        exact tier's 6) with no quantized copy needed. Both return
+        parity-grade scores; the only approximation is scan-precision
+        recall at the sub-tile selection boundary.
 
         Perf note for ``"int8"``: pair it with ``approx=True`` (the
         measured 2.4 ms/256q configuration at 1M×128 — candidate stage

@@ -175,35 +175,57 @@ def _scan_dots_kernel(q, x):
     )
 
 
-def _kernel_tilemax_only(x_ref, nrm_ref, lam_ref, q_ref, qn_ref, ql_ref,
-                         al_ref, mf_ref, tm_ref):
-    """Maxima-first producer: per-SUB-tile maxima of the blended scores,
-    NO [B, N] score write. The rescored tiers exact-rescore every row of
-    the selected sub-tiles downstream, so the full score matrix is never
-    needed — HBM traffic collapses to the corpus read + a [ns, B] maxima
-    block. (The score-writing bf16 variant was measured and rejected:
-    its [B, N] bf16 write fed a top-`cand` pool cut over bf16-rounded
-    scores, which collapse into tie groups of 30-90+ at the pool
-    boundary on clustered corpora — see DESIGN.md "bf16 rescored tier".)
-    """
-    i = pl.program_id(0)
-    dots = _scan_dots_kernel(q_ref[:], x_ref[:])
-    from matternet_rs_tpu.ops.search import _blend, _guarded_cosine
+def _make_kernel_tilemax_only(subs: int, masked: bool):
+    def _kernel_tilemax_only(x_ref, rn_ref, lam_ref, q_ref, aqrn_ref,
+                             beta_ref, ql_ref, mf_ref, tm_ref):
+        """Maxima-first producer: per-sub-tile maxima of the blended
+        scores, NO [B, N] score write. The rescored tiers exact-rescore
+        every row of the selected sub-tiles downstream, so the full score
+        matrix is never needed — HBM traffic collapses to the corpus read
+        + a [ns, B] maxima block. (The score-writing bf16 variant was
+        measured and rejected: its [B, N] bf16 write fed a top-`cand`
+        pool cut over bf16-rounded scores, which collapse into tie groups
+        of 30-90+ at the pool boundary on clustered corpora — see
+        DESIGN.md "Rescored tiers, maxima-first".)
 
-    cos = _guarded_cosine(dots, qn_ref[:] * nrm_ref[:])
-    s = _blend(cos, lam_ref[:], ql_ref[:], al_ref[:])
-    col = i * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col >= mf_ref[0, 0], -jnp.inf, s)
-    ts = s.shape[1] // SUBS
-    row = jax.lax.broadcasted_iota(jnp.int32, (SUBS, s.shape[0]), 0)
-    acc = jnp.zeros((SUBS, s.shape[0]), jnp.float32)
-    for g in range(SUBS):
-        m = s[:, g * ts:(g + 1) * ts].max(axis=1)                # [B]
-        acc = jnp.where(row == g, m[None, :], acc)
-    tm_ref[:] = acc
+        CHEAP epilogue (measured: lib scan 1.865 → 1.076 ms at 1M×128,
+        B=256 — the guarded-divide cosine was ~0.8 ms of unhidden VPU
+        once the MXU dropped from 6 HIGHEST passes to 1-3): the caller
+        precomputes reciprocal norms (``rn`` — 0 for zero-norm rows, the
+        same guard semantics) and folds α into the per-query scale
+        (``aqrn = α/qn``), so the blend is pure multiplies/adds:
+
+            s = dots·rn·aqrn + β − β·min(|λ−λq|, 1),   β = 1−α.
+
+        These maxima deviate from the exact blend only by the scan dots'
+        rounding plus ~2 ulp of reciprocal-vs-divide — selection-grade,
+        never returned.
+        """
+        dots = _scan_dots_kernel(q_ref[:], x_ref[:])
+        s = dots * rn_ref[:] * aqrn_ref[:]
+        lam_pen = jnp.minimum(jnp.abs(lam_ref[:] - ql_ref[:]), 1.0)
+        s = s + (beta_ref[:] - beta_ref[:] * lam_pen)
+        if masked:
+            # Padded-row mask (sharded path only): ~3 VPU ops/element —
+            # a measured ~0.3 ms/batch at 1M that unmasked callers
+            # (mask_from=None, the rescored tiers) skip at trace time.
+            i = pl.program_id(0)
+            col = i * s.shape[1] + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            s = jnp.where(col >= mf_ref[0, 0], -jnp.inf, s)
+        ts = s.shape[1] // subs
+        row = jax.lax.broadcasted_iota(jnp.int32, (subs, s.shape[0]), 0)
+        acc = jnp.zeros((subs, s.shape[0]), jnp.float32)
+        for g in range(subs):
+            m = s[:, g * ts:(g + 1) * ts].max(axis=1)            # [B]
+            acc = jnp.where(row == g, m[None, :], acc)
+        tm_ref[:] = acc
+
+    return _kernel_tilemax_only
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "subs", "interpret"))
 def tilemax_only(
     X: jax.Array,
     norms: jax.Array,
@@ -212,20 +234,26 @@ def tilemax_only(
     query_lambdas: jax.Array,
     alphas: jax.Array,
     tile: int = 2048,
+    subs: int = SUBS,
     interpret: bool = False,
     mask_from: jax.Array | None = None,
 ) -> jax.Array:
-    """Per-SUB-tile score maxima for the first ``(N // tile) * tile``
+    """Per-sub-tile score maxima for the first ``(N // tile) * tile``
     corpus rows in one pass, WITHOUT writing the score matrix.
 
     Scan precision follows ``X.dtype`` (see :func:`_scan_dots_kernel`):
     bf16 corpus → one-pass bf16 dots; f32 corpus → three-pass bf16x3
-    (~f32-grade). Norms/λ/query-norms stay exact f32 either way, so the
-    only deviation from the exact blend is the dots' rounding.
+    (~f32-grade). Norms/λ stay f32; the cosine uses precomputed
+    reciprocal norms (see the kernel docstring) so the maxima sit within
+    scan-dot rounding + ~2 ulp of the exact blend — selection-grade.
 
-    Returns ``submax [B, nt0 * SUBS]`` — same layout/meaning as
-    :func:`scores_and_tilemax`'s second output. Callers rescore the
-    selected sub-tiles' rows exactly from the f32 corpus.
+    ``subs`` picks the selection granularity (sub-tile = ``tile/subs``
+    rows): the rescored tiers run ``subs=16`` (128-row slabs — half the
+    slab-rescore traffic of the exact tier's SUBS=8 at +0.15 ms scan).
+
+    Returns ``submax [B, nt0 * subs]`` — sub-tile j covers corpus rows
+    ``[j*(tile/subs), (j+1)*(tile/subs))``. Callers rescore the selected
+    sub-tiles' rows exactly from the f32 corpus.
     """
     n, f = X.shape
     b = queries.shape[0]
@@ -234,10 +262,13 @@ def tilemax_only(
 
     qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
     a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+    rn = jnp.where(norms > 1e-12, 1.0 / jnp.maximum(norms, 1e-12), 0.0)
+    aqrn = a / jnp.maximum(qn, 1e-12)
+    beta = 1.0 - a
     mf = jnp.asarray(n0 if mask_from is None else mask_from, jnp.int32)
 
     tmax_t = pl.pallas_call(
-        _kernel_tilemax_only,
+        _make_kernel_tilemax_only(subs, mask_from is not None),
         grid=(nt0,),
         in_specs=[
             pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -250,9 +281,9 @@ def tilemax_only(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (SUBS, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (subs, b), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nt0 * SUBS, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt0 * subs, b), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -264,18 +295,19 @@ def tilemax_only(
         ),
     )(
         X,
-        norms[None, :],
+        rn[None, :],
         lambdas[None, :],
         queries,
-        qn[:, None],
+        aqrn[:, None],
+        beta[:, None],
         query_lambdas[:, None],
-        a[:, None],
         mf.reshape(1, 1),
     )
     return tmax_t.T
 
 
-def tilemax_only_supported(n: int, f: int, b: int, tile: int) -> bool:
+def tilemax_only_supported(n: int, f: int, b: int, tile: int,
+                           subs: int = SUBS) -> bool:
     """Envelope for the maxima-first producer (both scan dtypes): shape
     limits as the fused producer, but the VMEM budget drops the score
     output planes (only the corpus tile, query block, hi/lo splits and
@@ -284,7 +316,7 @@ def tilemax_only_supported(n: int, f: int, b: int, tile: int) -> bool:
         return False
     if b < MIN_FUSED_B or b > MAX_FUSED_B:
         return False
-    if tile % (SUBS * 128) != 0:
+    if tile % (subs * 128) != 0:
         return False
     # corpus tile double-buffered (≤4B/elt) + bf16 hi/lo splits (2B each)
     # + query block + 3 [b, tile] f32 dot/blend temporaries.
@@ -296,6 +328,124 @@ def tilemax_only_supported(n: int, f: int, b: int, tile: int) -> bool:
     except RuntimeError:
         return False
     return "tpu" in platform or "axon" in platform
+
+
+# Outstanding-DMA depth for the ring slab reader: an auto-pipelined
+# scalar-prefetch BlockSpec variant kept ONE 64 KB slab copy in flight
+# (double-buffered) and measured 119 GB/s — HBM-latency-bound, ~0.55 µs
+# per transfer (probe v5; that variant is superseded by this kernel).
+# Eight in flight hides the latency (208 GB/s measured, probe v6).
+DMA_RING_DEPTH = 8
+
+
+def _make_kernel_slab_dots_ring(c: int, ts: int, depth: int, nslabs: int):
+    def kern(sel_ref, x_hbm, q_ref, d_ref, xbuf, sems):
+        def dma(idx, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(sel_ref[idx] * ts, ts), :],
+                xbuf.at[slot],
+                sems.at[slot],
+            )
+
+        for d in range(depth):                 # prime the ring
+            dma(d, d).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, depth)
+            dma(i, slot).wait()
+            qi = i // c
+            q8 = q_ref[pl.ds((qi // 8) * 8, 8), :]           # [8, F]
+            dots8 = jax.lax.dot_general(
+                q8, xbuf[slot], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                                # [8, ts]
+            rowm = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                    == jax.lax.rem(qi, 8))
+            d_ref[:, pl.ds(i * ts, ts)] = jnp.sum(
+                jnp.where(rowm, dots8, 0.0), axis=0, keepdims=True
+            )
+
+            @pl.when(i + depth < nslabs)
+            def _():
+                dma(i + depth, slot).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, nslabs, body, 0)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def slab_dots_ring(
+    X: jax.Array,
+    queries: jax.Array,
+    sel: jax.Array,
+    ts: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """HIGHEST-precision dots of each query against every row of its
+    selected sub-tile slabs, via a manual ring of ``DMA_RING_DEPTH``
+    outstanding HBM→VMEM slab copies.
+
+    Motivation (measured at 1M×128, B=256, c=14, ts=128): the
+    auto-pipelined scalar-prefetch BlockSpec variant kept one 64 KB
+    slab in flight and ran at 119 GB/s (1.97 ms) — latency-bound, the
+    wall of the maxima-first design; XLA's own row gather was worse
+    still (~100 GB/s). The ring keeps 8 in flight (208 GB/s measured);
+    the corpus stays in HBM (``memory_space=ANY``) and one grid step
+    drives the whole gather from an in-kernel ``fori_loop``.
+
+    ``X [n, F]`` f32, ``sel [B, c]`` int32 sub-tile ids (rows
+    ``[sel·ts, (sel+1)·ts)`` all in-bounds), B a multiple of 8 (the
+    query block is sliced 8-wide and the row extracted by iota mask —
+    M=8 is the Mosaic minimum and costs the same MXU time as a padded
+    matvec). Returns dots ``[B, c, ts]`` f32; the caller applies the
+    canonical cosine/λ-blend epilogue (a [B, c·ts] XLA elementwise pass
+    — trivial next to the slab read).
+    """
+    b, f = queries.shape
+    c = sel.shape[1]
+    if b % 8:
+        raise ValueError(
+            f"slab_dots_ring needs the query batch padded to a multiple "
+            f"of 8, got B={b}"
+        )
+    nslabs = b * c
+    depth = min(DMA_RING_DEPTH, nslabs)
+    sel_flat = sel.reshape(nslabs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((b, f), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nslabs * ts), lambda i, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((depth, ts, f), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel_slab_dots_ring(c, ts, depth, nslabs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nslabs * ts), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=None if interpret else pl.CostEstimate(
+            flops=6 * b * c * ts * f,
+            bytes_accessed=b * c * ts * f * 4 + b * f * 4,
+            transcendentals=0,
+        ),
+    )(sel_flat, X, queries)
+    return out.reshape(b, c, ts)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -440,6 +440,13 @@ def fused_tilemax(
     )
 
 
+# Selection granularity for the rescored tiers: finer than the exact
+# tier's SUBS=8 because the slab rescore's HBM traffic is proportional
+# to the sub-tile size (128-row slabs halve it for +0.15 ms of scan —
+# probe v4).
+RESCORE_SUBS = 16
+
+
 def fused_rescored_path(
     n: int, f: int, b: int, kk: int, cand: int, tile: int = DEFAULT_TILE
 ) -> bool:
@@ -448,17 +455,17 @@ def fused_rescored_path(
     large enough for sub-tile pruning to pay, selection is
     non-degenerate, and the slab rescore stays a small fraction of the
     corpus (a huge ``candidates`` — e.g. the ``candidates=N`` exactness
-    escape hatch — would gather the whole corpus per query; those run
-    the XLA two-stage fallback instead). No gather-kernel constraint —
-    the slab rescore uses a plain XLA row-block gather."""
+    escape hatch — would rescore the whole corpus per query; those run
+    the XLA two-stage fallback instead)."""
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
-    ts = tile // tmf.SUBS
+    ts = tile // RESCORE_SUBS
     c = max(kk + 4, -(-cand // ts))
     return (
         n >= FUSED_TILEMAX_MIN_N
+        and b % 8 == 0                   # slab_dots_ring's 8-query blocks
         and not _tilemax_degenerate(n, kk, tile)
-        and tmf.tilemax_only_supported(n, f, b, tile)
+        and tmf.tilemax_only_supported(n, f, b, tile, subs=RESCORE_SUBS)
         and c <= MAX_RESCORE_SLABS
         and c * ts * 8 <= n
     )
@@ -487,13 +494,16 @@ def fused_scan_rescored(
     write at all, so stage-1 HBM traffic is the corpus read.
 
     Stage 2: the top ``c = max(k+4, ceil(cand/ts))`` sub-tiles per query
-    (f32-distinct maxima — no bf16 tie collapse) are gathered as
-    CONTIGUOUS row slabs from the exact f32 corpus and every row is
-    rescored at HIGHEST precision; the ragged tail is scored exactly by
-    the XLA producer. Final top-k over exact scores only — returned
-    scores are parity-grade, and the only deviation from the exact scan
-    is scan-precision recall at the sub-tile selection boundary
-    (measured per tier in the bench's ``recall_at_10_vs_exact``).
+    (f32-distinct maxima — no bf16 tie collapse) are each streamed
+    through :func:`tilemax_fused.slab_dots_ring` — a scalar-prefetch
+    Pallas kernel that keeps 8 slab DMAs in flight (XLA's row gather
+    measured ~100 GB/s and a single-buffered Pallas variant 119 GB/s —
+    both HBM-latency-bound — vs 208 GB/s for the ring; probe v5/v6) —
+    and every row is rescored at HIGHEST precision; the ragged tail is scored exactly by the XLA
+    producer. Final top-k over exact scores only — returned scores are
+    parity-grade, and the only deviation from the exact scan is
+    scan-precision recall at the sub-tile selection boundary (measured
+    per tier in the bench's ``recall_at_10_vs_exact``).
 
     Tie-breaking: ``sel`` is sorted ascending and the tail appended
     after, so candidate columns are in global-index order and the final
@@ -506,33 +516,30 @@ def fused_scan_rescored(
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
     b, n = queries.shape[0], X.shape[0]
-    f = X.shape[1]
     kk = min(k, n)
     nt0 = n // t
     n0 = nt0 * t
-    ts = t // tmf.SUBS
-    ns = nt0 * tmf.SUBS
+    ts = t // RESCORE_SUBS
+    ns = nt0 * RESCORE_SUBS
     a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
 
     submax = tmf.tilemax_only(
-        Xscan, norms, lambdas, queries, query_lambdas, a, tile=t
+        Xscan, norms, lambdas, queries, query_lambdas, a, tile=t,
+        subs=RESCORE_SUBS,
     )                                                            # [B, ns]
     c = min(ns, max(kk + 4, -(-cand // ts)))
-    _, sel = jax.lax.top_k(submax, c)                            # [B, c]
+    # Selection stays lax.top_k: a Pallas c-sweep max-extract kernel was
+    # built and measured 4.05 ms at [256, 7808] vs top_k's 0.56 — Mosaic
+    # cross-lane reductions lose badly to XLA's sort here (probe v6).
+    _, sel = jax.lax.top_k(submax, c)
     sel = jnp.sort(sel, axis=1)
 
-    # Exact rescore of EVERY row in the selected slabs (contiguous
-    # ts-row blocks — the gather moves c big slices per query, not
-    # per-row picks).
-    slab = jnp.take(
-        X[:n0].reshape(ns, ts * f), sel, axis=0
-    ).reshape(b, c, ts, f)
-    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))           # [B]
-    d = jnp.einsum(
-        "bf,bctf->bct", queries, slab,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    # Exact rescore of EVERY row in the selected slabs: HIGHEST dots via
+    # the ring slab reader (8 outstanding HBM→VMEM slab DMAs), then the
+    # canonical cosine/λ-blend epilogue in XLA — [B, c·ts] elementwise
+    # plus a 3.7 MB norms/λ gather, trivial next to the slab read.
+    d = tmf.slab_dots_ring(X, queries, sel, ts)                  # [B,c,ts]
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
     nrm_s = jnp.take(norms[:n0].reshape(ns, ts), sel, axis=0)    # [B,c,ts]
     lam_s = jnp.take(lambdas[:n0].reshape(ns, ts), sel, axis=0)
     cos = _guarded_cosine(d, nrm_s * qn[:, None, None])

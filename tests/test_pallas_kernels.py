@@ -425,6 +425,10 @@ def test_fused_scan_rescored_interpret(scan_dtype, monkeypatch):
         tmf, "tilemax_only",
         functools.partial(tmf.tilemax_only, interpret=True),
     )
+    monkeypatch.setattr(
+        tmf, "slab_dots_ring",
+        functools.partial(tmf.slab_dots_ring, interpret=True),
+    )
     n, f, b, k = 9000, 64, 16, 5
     X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=33)
     Xs = X.astype(jnp.bfloat16) if scan_dtype == "bf16" else X
@@ -462,6 +466,10 @@ def test_fused_scan_rescored_tie_dense_bf16x3_beats_bf16(monkeypatch):
     monkeypatch.setattr(
         tmf, "tilemax_only",
         functools.partial(tmf.tilemax_only, interpret=True),
+    )
+    monkeypatch.setattr(
+        tmf, "slab_dots_ring",
+        functools.partial(tmf.slab_dots_ring, interpret=True),
     )
     n, f, b, k = 9000, 64, 8, 10
     X = jnp.asarray(
