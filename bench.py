@@ -994,12 +994,18 @@ def bench_1m(jax, jnp, extra):
     tiers = [
         ("exact_f32", False, False, False,
          N * F * 4 + N * 8 + score_write, True),
+        # Score write counted ONCE for the XLA tiers: a 2× (write +
+        # top-k read-back) model exceeded the HBM peak on its own
+        # measurement (approx_bf16: 2.3 GB modeled vs 819 GB/s × 2.13 ms
+        # = 1.75 GB maximally movable), proving XLA fuses the
+        # reduction's read with the producer — the [B, N] plane crosses
+        # HBM once.
         ("approx_bf16", True, True, False,
-         N * F * 2 + N * 8 + 2 * score_write, False),
-        # int8 rescored: scan + score write/re-read + exact rescore (the
-        # rescore gather at cand≈64 rows/query is noise at this N).
+         N * F * 2 + N * 8 + score_write, False),
+        # int8 rescored: scan + one score-plane crossing + exact rescore
+        # (the rescore gather at cand≈64 rows/query is noise at this N).
         ("int8_rescored", True, False, True,
-         N * (F + 8) + 2 * score_write, 1),
+         N * (F + 8) + score_write, 1),
         # Maxima-first rescored tiers (no [B, N] score write at all):
         # scan corpus read + norms/λ + the exact slab-rescore DMA
         # (c=K+4 slabs × tile/RESCORE_SUBS=128 rows × F f32 per query,
