@@ -255,6 +255,19 @@ def _device_time_protocol(jax, jnp, aspace, data, n_queries=256, n_batches=64,
                 X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
                 qb, qlb, zero, one, K, cand, alphas, approx,
             )
+    elif quantized == "int8_rescored":
+        from matternet_rs_tpu.core import _batched_search_i8r_jit
+
+        X8_d, i8m_d = aspace._ensure_int8()
+        cand = aspace._int8_cand(K, None)
+        alphas = jnp.full((n_queries,), 0.7, jnp.float32)
+        zero, one = jnp.float32(0.0), jnp.float32(1.0)
+
+        def run(qb, qlb):
+            return _batched_search_i8r_jit(
+                X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
+                qb, qlb, zero, one, K, cand, alphas, approx,
+            )
     elif quantized == "bf16_rescored":
         from matternet_rs_tpu.core import _batched_search_bf16r_jit
 
@@ -944,6 +957,30 @@ def bench_largef(jax, jnp, extra):
                 else "pallas_tiled"
             ),
         }
+        # λ-engine roofline (VERDICT r3 #3, second half): the dense fused
+        # Pallas kernel is 7 default-precision (1-pass bf16) [n,F]×[F,F]
+        # matmuls reading X once from HBM with L VMEM-resident; the ELL
+        # path has no matmuls — it is gather-bandwidth-bound at
+        # (k+2)·n·F·4 bytes (k row gathers of Xᵀ + the resident/transpose
+        # crossing), so only the HBM fields are meaningful there.
+        if out[f"F{F}"]["path"] == "pallas_tiled":
+            out[f"F{F}"]["roofline"] = dict(
+                bound="mxu",
+                **_roofline(
+                    14.0 * n_tpu * F * F,
+                    n_tpu * F * 4 + F * F * 4,
+                    tpu_s * 1e3, 1,
+                ),
+            )
+        else:
+            k_deg = int(graph.indices.shape[1])
+            gbps = (k_deg + 2.0) * n_tpu * F * 4 / tpu_s / 1e9
+            out[f"F{F}"]["roofline"] = {
+                "bound": "gather_bandwidth",
+                "ell_k": k_deg,
+                "hbm_gbps": round(gbps, 1),
+                "hbm_pct_of_peak": round(100 * gbps / V5E_PEAK_HBM_GBPS, 1),
+            }
         if gl.is_ell_backed:
             e = gl.ell()
             out[f"F{F}"]["graph_memory_mb"] = round(
@@ -1002,10 +1039,20 @@ def bench_1m(jax, jnp, extra):
         # HBM once.
         ("approx_bf16", True, True, False,
          N * F * 2 + N * 8 + score_write, False),
-        # int8 rescored: scan + one score-plane crossing + exact rescore
-        # (the rescore gather at cand≈64 rows/query is noise at this N).
-        ("int8_rescored", True, False, True,
+        # int8 pool-cut (quantized="int8"): scan + one score-plane
+        # crossing + exact rescore of per-candidate pools. (Key renamed
+        # from "int8_rescored" — no parsed artifact before r4 carries the
+        # old key; "int8_rescored" now names the maxima-first tier below,
+        # matching the search_batch API values 1:1.)
+        ("int8", True, False, True,
          N * (F + 8) + score_write, 1),
+        # int8 maxima-first rescored (quantized="int8_rescored"): one
+        # MXU pass over the lossless bf16 upcast of the int8 corpus (a
+        # QUARTER of the f32 read), no [B, N] score write, exact slab
+        # rescore. Fastest measured rung; dominates bf16_rescored on
+        # speed, recall, and sketch memory.
+        ("int8_rescored", True, "int8_rescored", False,
+         N * (F + 8) + B * (K + 4) * 128 * F * 4, 1),
         # Maxima-first rescored tiers (no [B, N] score write at all):
         # scan corpus read + norms/λ + the exact slab-rescore DMA
         # (c=K+4 slabs × tile/RESCORE_SUBS=128 rows × F f32 per query,
@@ -1051,6 +1098,7 @@ def bench_1m(jax, jnp, extra):
         from matternet_rs_tpu.core import (
             _batched_search_b3r_jit,
             _batched_search_bf16r_jit,
+            _batched_search_i8r_jit,
             _batched_search_int8_jit,
             _batched_search_jit,
         )
@@ -1066,7 +1114,11 @@ def bench_1m(jax, jnp, extra):
         )[0])
         X8_d, i8m_d = aspace._ensure_int8()
         runs = {
-            "int8_rescored": _batched_search_int8_jit(
+            "int8": _batched_search_int8_jit(
+                X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
+                qv, qlv, zero, one, K, cand16, alphas16, True,
+            ),
+            "int8_rescored": _batched_search_i8r_jit(
                 X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
                 qv, qlv, zero, one, K, cand16, alphas16, True,
             ),

@@ -482,6 +482,7 @@ def fused_scan_rescored(
     cand: int,
     alphas: jax.Array,
     t: int = DEFAULT_TILE,
+    scan_rn: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Maxima-first reduced-precision scan + exact slab rescore — the
     rescored tiers' TPU fast path (VERDICT r3 #3's "bf16-pass scoring +
@@ -489,7 +490,9 @@ def fused_scan_rescored(
     variant measured recall 0.725 at 1M — DESIGN.md "rescored tiers").
 
     Stage 1: :func:`tilemax_fused.tilemax_only` streams the scan corpus
-    (``Xscan``: bf16 → one MXU pass; f32 → bf16x3, three passes ≈ f32)
+    (``Xscan``: bf16 → one MXU pass; int8 → one MXU pass over a lossless
+    bf16 upcast at a quarter of the f32 read, with the per-row dequant
+    multiplier passed as ``scan_rn``; f32 → bf16x3, three passes ≈ f32)
     and emits ONLY per-sub-tile blended-score maxima — no [B, N] score
     write at all, so stage-1 HBM traffic is the corpus read.
 
@@ -525,7 +528,7 @@ def fused_scan_rescored(
 
     submax = tmf.tilemax_only(
         Xscan, norms, lambdas, queries, query_lambdas, a, tile=t,
-        subs=RESCORE_SUBS,
+        subs=RESCORE_SUBS, rn=scan_rn,
     )                                                            # [B, ns]
     c = min(ns, max(kk + 4, -(-cand // ts)))
     # Selection stays lax.top_k: a Pallas c-sweep max-extract kernel was

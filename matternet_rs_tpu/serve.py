@@ -40,7 +40,9 @@ log = logging.getLogger(__name__)
 # beyond the bf16-copy bool (core.py): each is passed through verbatim;
 # any other string is rejected at the HTTP edge (400) rather than
 # silently coerced to the bf16 scan.
-_QUANT_TIERS = frozenset({"int8", "bf16_rescored", "bf16x3_rescored"})
+_QUANT_TIERS = frozenset(
+    {"int8", "int8_rescored", "bf16_rescored", "bf16x3_rescored"}
+)
 
 
 @dataclasses.dataclass

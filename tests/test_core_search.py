@@ -407,6 +407,83 @@ def test_search_without_taumode_raises_clearly():
 
 
 # int8 two-stage scan (int8 candidates + exact on-device rescore)
+def test_int8_rescored_fused_routing_glue(monkeypatch):
+    """When the fused predicate holds, the ``"int8_rescored"`` tier
+    dispatches the maxima-first path with the INT8 corpus as the scan
+    operand and the dequant multiplier as ``scan_rn`` (CPU always takes
+    the XLA fallback — the platform-gated predicate is forced here to
+    pin the glue the on-chip routing uses)."""
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu import core as core_mod
+    from matternet_rs_tpu.ops import search as so
+
+    n, f, b, k = 64, 8, 4, 3
+    rng_np = np.random.default_rng(0)
+    X = jnp.asarray(rng_np.standard_normal((n, f), dtype=np.float32))
+    X8, mult = core_mod._quantize_rows_device_jit(X)
+    norms = jnp.sqrt(jnp.sum(X * X, axis=1))
+    lams = jnp.asarray(rng_np.random(n, dtype=np.float32))
+    seen = {}
+
+    def fake_fused(Xs, Xf, nrm, lam, Qq, ql, kk, cand, alphas,
+                   t=so.DEFAULT_TILE, scan_rn=None):
+        seen["scan_dtype"] = Xs.dtype
+        seen["scan_rn_is_mult"] = scan_rn is mult
+        return (jnp.zeros((b, kk), jnp.int32),
+                jnp.zeros((b, kk), jnp.float32))
+
+    monkeypatch.setattr(so, "fused_rescored_path", lambda *a, **kw: True)
+    monkeypatch.setattr(so, "fused_scan_rescored", fake_fused)
+    core_mod._batched_search_i8r_jit.__wrapped__(
+        X8, mult, X, norms, lams, X[:b], lams[:b],
+        jnp.float32(0.0), jnp.float32(1.0), k, 16,
+        jnp.full((b,), 0.7, jnp.float32), True,
+    )
+    assert seen["scan_dtype"] == jnp.int8
+    assert seen["scan_rn_is_mult"]
+
+
+def test_int8_rescored_full_pool_matches_f32_exactly(built):
+    """``candidates=N`` forces the pool-cut fallback whose rescore sees
+    every row — the tier's exactness escape hatch, same contract as the
+    bf16 rescored tiers."""
+    aspace, gl, data = built
+    Q = data[[3, 17, 41, 66]]
+    ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
+    got_ids, got_sc = aspace.search_batch(
+        Q, gl, 5, quantized="int8_rescored", candidates=len(data)
+    )
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_sc, ref_sc, atol=1e-5)
+
+
+def test_int8_rescored_default_pool_self_top1_and_overlap(built):
+    aspace, gl, data = built
+    Q = data[:16]
+    got_ids, _ = aspace.search_batch(Q, gl, 5, quantized="int8_rescored")
+    assert np.all(got_ids[:, 0] == np.arange(16))
+    ref_ids, _ = aspace.search_batch(Q, gl, 5)
+    overlap = np.mean([
+        len(set(got_ids[i]) & set(ref_ids[i])) / 5.0 for i in range(16)
+    ])
+    assert overlap >= 0.8
+
+
+def test_int8_rescored_scores_are_exact_on_candidates(built):
+    """Returned scores come from the exact f32 rescore of the rows they
+    name — never int8 approximations."""
+    aspace, gl, data = built
+    q = data[29]
+    got_ids, got_sc = aspace.search_batch(
+        q, gl, 8, quantized="int8_rescored"
+    )
+    ql = aspace.prepare_query_item(q, gl)
+    exact = dict(aspace.search_lambda_aware(q, ql, len(data)))
+    for i, s in zip(got_ids[0], got_sc[0]):
+        assert s == pytest.approx(exact[int(i)], abs=1e-5)
+
+
 def test_int8_scan_full_pool_matches_f32_exactly(built):
     """With candidates=N the rescore sees every row, so the int8 path
     must reproduce the exact f32 batch search bit-for-bit in ids and to

@@ -355,26 +355,41 @@ def _bf16x3_reference_scores(X, norms, lams, Q, ql, al):
     return so._blend(cos, lams[None, :], ql[:, None], al[:, None])
 
 
-@pytest.mark.parametrize("scan_dtype", ["bf16", "f32"])
+@pytest.mark.parametrize("scan_dtype", ["bf16", "f32", "int8"])
 def test_tilemax_only_matches_reference_maxima(scan_dtype):
     """Interpret-mode maxima-first producer == sub-tile reductions of the
     reference blended scores at the matching scan precision (1-pass bf16 /
-    3-pass bf16x3)."""
+    3-pass bf16x3 / 1-pass lossless-upcast int8 with the dequant
+    multiplier riding the ``rn`` factor)."""
     from matternet_rs_tpu.ops import search as so
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
     n, f, b, tile = 9000, 64, 16, 2048
     X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=31)
+    rn = None
     if scan_dtype == "bf16":
         Xs = X.astype(jnp.bfloat16)
         sref = np.asarray(
             so._batched_scores(Xs, norms, lams, Q, ql, al)
         )
+    elif scan_dtype == "int8":
+        from matternet_rs_tpu.core import _quantize_rows_device_jit
+
+        Xs, rn = _quantize_rows_device_jit(X)
+        dots = jnp.dot(
+            Q.astype(jnp.bfloat16), Xs.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))
+        cos = dots * rn[None, :] / jnp.maximum(qn[:, None], 1e-12)
+        sref = np.asarray(
+            so._blend(cos, lams[None, :], ql[:, None], al[:, None])
+        )
     else:
         Xs = X
         sref = np.asarray(_bf16x3_reference_scores(X, norms, lams, Q, ql, al))
     submax = tmf.tilemax_only(
-        Xs, norms, lams, Q, ql, al, tile=tile, interpret=True
+        Xs, norms, lams, Q, ql, al, tile=tile, interpret=True, rn=rn
     )
     nt0 = n // tile
     n0 = nt0 * tile
@@ -410,7 +425,7 @@ def test_bf16x3_dots_are_f32_grade():
     assert rel1 > 50 * rel3          # 1-pass bf16 is far coarser
 
 
-@pytest.mark.parametrize("scan_dtype", ["bf16", "f32"])
+@pytest.mark.parametrize("scan_dtype", ["bf16", "f32", "int8"])
 def test_fused_scan_rescored_interpret(scan_dtype, monkeypatch):
     """End-to-end maxima-first scan + exact slab rescore in interpret
     mode: returned scores are EXACT rescores of the rows they name; on a
@@ -431,8 +446,18 @@ def test_fused_scan_rescored_interpret(scan_dtype, monkeypatch):
     )
     n, f, b, k = 9000, 64, 16, 5
     X, norms, lams, Q, ql, al = _fused_fixture(n, f, b, seed=33)
-    Xs = X.astype(jnp.bfloat16) if scan_dtype == "bf16" else X
-    idx, top = so.fused_scan_rescored(Xs, X, norms, lams, Q, ql, k, 64, al)
+    srn = None
+    if scan_dtype == "bf16":
+        Xs = X.astype(jnp.bfloat16)
+    elif scan_dtype == "int8":
+        from matternet_rs_tpu.core import _quantize_rows_device_jit
+
+        Xs, srn = _quantize_rows_device_jit(X)
+    else:
+        Xs = X
+    idx, top = so.fused_scan_rescored(
+        Xs, X, norms, lams, Q, ql, k, 64, al, scan_rn=srn
+    )
     idx, top = np.asarray(idx), np.asarray(top)
 
     sref = np.asarray(so._batched_scores(X, norms, lams, Q, ql, al))
@@ -441,12 +466,23 @@ def test_fused_scan_rescored_interpret(scan_dtype, monkeypatch):
     for row in range(b):
         np.testing.assert_allclose(sref[row][idx[row]], top[row], atol=1e-6)
         assert len(set(idx[row].tolist())) == k
-    # Spread fixture: both scan precisions recover the exact top-k set.
-    assert (np.sort(idx, axis=1) == np.sort(fi, axis=1)).all()
+    if scan_dtype == "int8":
+        # int8's per-row absmax grid is coarser than bf16 rounding on a
+        # spread standard-normal fixture — selection may legitimately
+        # swap boundary rows whose true margins sit below the grid; the
+        # rescore keeps every returned score exact (asserted above).
+        overlap = np.mean([
+            len(set(idx[r].tolist()) & set(fi[r].tolist())) / k
+            for r in range(b)
+        ])
+        assert overlap >= 0.8, overlap
+    else:
+        # Spread fixture: both scan precisions recover the exact top-k set.
+        assert (np.sort(idx, axis=1) == np.sort(fi, axis=1)).all()
     # Self-queries (exact corpus rows) rank themselves first.
     idx2, _ = so.fused_scan_rescored(
         Xs, X, norms, lams, X[:16], lams[:16], k, 64,
-        jnp.full((16,), 0.7, jnp.float32),
+        jnp.full((16,), 0.7, jnp.float32), scan_rn=srn,
     )
     assert (np.asarray(idx2)[:, 0] == np.arange(16)).all()
 
