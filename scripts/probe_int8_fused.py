@@ -28,6 +28,14 @@ K = 10
 
 
 def main():
+    # Persistent compilation cache (same dir as bench.py — its config
+    # lives inside bench.main(), so standalone probes must set it
+    # themselves or they recompile every 1M program from scratch).
+    cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     N, F = 1_000_000, 128
     data = make_energy_test_dataset(N, F, seed=44).astype(np.float32)
     t0 = time.perf_counter()
