@@ -835,6 +835,25 @@ def bench_build_throughput_100k(jax, jnp, extra):
     jax.block_until_ready(aspace.lambdas)
     tpu_s = time.perf_counter() - t0
 
+    # Decomposition: the corpus H2D upload dominates the warm build on
+    # remote-attached TPUs (measured ~43 MB/s through the tunnel → ~1.2 s
+    # of the warm build at 100k×128 — an environmental cost the NumPy
+    # oracle never pays and co-located HBM would make milliseconds).
+    t0 = time.perf_counter()
+    d_up = jnp.asarray(data)
+    float(jnp.sum(d_up))                  # scalar drain = true barrier
+    h2d_s = time.perf_counter() - t0
+
+    # Device-resident rebuild: the production parameter-sweep pattern —
+    # same corpus already on the chip (builder.build(device_rows=…)), so
+    # only clustering/graph/λ/sort run. A measured configuration, not an
+    # arithmetic subtraction.
+    t0 = time.perf_counter()
+    b3 = _make_builder(N)
+    aspace3, _gl3 = b3.build(data, device_rows=aspace.data)
+    jax.block_until_ready(aspace3.lambdas)
+    tpu_resident_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     oracle.full_build(
         data, max_clusters=b2.cluster_max_clusters, radius=b2.cluster_radius,
@@ -844,8 +863,13 @@ def bench_build_throughput_100k(jax, jnp, extra):
     np_s = time.perf_counter() - t0
     extra["build_100k"] = {
         "tpu_warm_seconds": round(tpu_s, 2),
+        "corpus_h2d_seconds": round(h2d_s, 2),
+        "tpu_warm_device_resident_seconds": round(tpu_resident_s, 2),
         "oracle_f64_seconds": round(np_s, 2),
         "build_speedup_vs_numpy": round(np_s / max(tpu_s, 1e-9), 1),
+        "build_speedup_device_resident": round(
+            np_s / max(tpu_resident_s, 1e-9), 1
+        ),
     }
 
 

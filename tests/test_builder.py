@@ -196,3 +196,32 @@ def test_alpha_one_is_pure_cosine(blob):
     )
     ref = np.argsort(-cos, kind="stable")[:5]
     assert len(set(i for i, _ in res) & set(ref.tolist())) >= 4
+
+
+def test_device_resident_rebuild_matches_plain_build(blob):
+    """``build(rows, device_rows=prev.data)`` (the parameter-sweep rebuild
+    that skips the corpus H2D upload) must produce an index identical to a
+    plain build: same clustering (host rows drive the exact scan), same
+    graph, bit-equal λ (the device corpus IS the same buffer)."""
+    import jax.numpy as jnp
+
+    aspace1, gl1 = small_builder().build(blob)
+    aspace2, gl2 = small_builder().build(blob, device_rows=aspace1.data)
+
+    assert aspace2.data is aspace1.data          # reused, not re-uploaded
+    np.testing.assert_array_equal(
+        np.asarray(aspace1.lambdas), np.asarray(aspace2.lambdas)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gl1.dense()), np.asarray(gl2.dense())
+    )
+    q = blob[7]
+    ql1 = aspace1.prepare_query_item(q, gl1)
+    ql2 = aspace2.prepare_query_item(q, gl2)
+    assert ql1 == ql2
+    assert aspace1.search_lambda_aware(q, ql1, 5) == \
+        aspace2.search_lambda_aware(q, ql2, 5)
+
+    # Shape-mismatched device_rows is rejected loudly.
+    with pytest.raises(ValueError, match="device_rows shape"):
+        small_builder().build(blob, device_rows=jnp.zeros((3, 3), jnp.float32))
