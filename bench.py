@@ -1138,6 +1138,14 @@ def bench_1m(jax, jnp, extra):
         )[0])
         X8_d, i8m_d = aspace._ensure_int8()
         runs = {
+            # approx_bf16 = the plain quantized=True + approx=True scan:
+            # bf16-rounded SCORES and approx_max_k selection — measured so
+            # the recall column covers every tier in the table, not just
+            # the rescored ones.
+            "approx_bf16": _batched_search_jit(
+                aspace._scan_corpus(True), aspace.norms, aspace.lambdas,
+                qv, qlv, K, alphas16, True,
+            ),
             "int8": _batched_search_int8_jit(
                 X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
                 qv, qlv, zero, one, K, cand16, alphas16, True,
