@@ -844,6 +844,11 @@ class ArrowSpace:
         rescore of the per-query top-``candidates`` (default
         ``max(4k, 32)``) — a quarter of the scan read with the final
         ranking exact on the candidate pool;
+        ``"int8_auto"`` = the measured batch-size routing between the two
+        int8 tiers: ``"int8_rescored"`` below 1024 padded queries,
+        pool-cut ``"int8"`` with approx selection from 1024 (where its
+        amortized score-plane crossing is both faster AND higher-recall
+        — TUNING "speed ladder");
         ``"int8_rescored"`` / ``"bf16_rescored"`` /
         ``"bf16x3_rescored"`` = the maxima-first tiers (DESIGN.md
         "Rescored tiers, maxima-first"): a per-sub-tile-maxima Pallas
@@ -888,6 +893,20 @@ class ArrowSpace:
         if b_pad != b:
             Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
         alphas = _alpha_vector(alpha, b_pad)
+
+        if quantized == "int8_auto":
+            # Measured batch-size crossover (TUNING "speed ladder",
+            # scripts/probe_int8_fused.py): below ~1024 queries the
+            # maxima-first int8 tier is fastest; from 1024 the pool-cut's
+            # fused [B, N] score-plane + approx_max_k crossing amortizes
+            # (~720 GB/s) and overtakes it at HIGHER recall (0.9875 vs
+            # 0.875) — so large batches also switch selection to approx
+            # (the pool-cut's measured configuration; its exact-candidate
+            # form is the documented dominated config).
+            if b_pad >= 1024:
+                quantized, approx = "int8", True
+            else:
+                quantized = "int8_rescored"
 
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
             Qe = Q

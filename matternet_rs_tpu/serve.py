@@ -41,7 +41,8 @@ log = logging.getLogger(__name__)
 # any other string is rejected at the HTTP edge (400) rather than
 # silently coerced to the bf16 scan.
 _QUANT_TIERS = frozenset(
-    {"int8", "int8_rescored", "bf16_rescored", "bf16x3_rescored"}
+    {"int8", "int8_rescored", "int8_auto", "bf16_rescored",
+     "bf16x3_rescored"}
 )
 
 

@@ -444,6 +444,35 @@ def test_int8_rescored_fused_routing_glue(monkeypatch):
     assert seen["scan_rn_is_mult"]
 
 
+def test_int8_auto_routes_by_batch_size(built, monkeypatch):
+    """``quantized="int8_auto"`` applies the measured crossover: the
+    maxima-first tier below 1024 padded queries, the pool-cut tier WITH
+    approx selection from 1024 (TUNING "speed ladder")."""
+    from matternet_rs_tpu import core as core_mod
+
+    aspace, gl, data = built
+    calls = []
+    real_i8r = core_mod._batched_search_i8r_jit
+    real_i8 = core_mod._batched_search_int8_jit
+
+    def spy_i8r(*a, **kw):
+        calls.append(("i8r", a[-1]))
+        return real_i8r(*a, **kw)
+
+    def spy_i8(*a, **kw):
+        calls.append(("int8", a[-1]))          # last arg = approx
+        return real_i8(*a, **kw)
+
+    monkeypatch.setattr(core_mod, "_batched_search_i8r_jit", spy_i8r)
+    monkeypatch.setattr(core_mod, "_batched_search_int8_jit", spy_i8)
+
+    aspace.search_batch(data[:8], gl, 5, quantized="int8_auto")
+    assert calls[-1] == ("i8r", False)
+    big = np.repeat(data[:8], 128, axis=0)     # 1024 queries
+    aspace.search_batch(big, gl, 5, quantized="int8_auto")
+    assert calls[-1] == ("int8", True)         # pool-cut + approx forced
+
+
 def test_int8_rescored_full_pool_matches_f32_exactly(built):
     """``candidates=N`` forces the pool-cut fallback whose rescore sees
     every row — the tier's exactness escape hatch, same contract as the
