@@ -647,6 +647,17 @@ def test_int8_quantized_reaches_dispatch(server):
                 "query": d2[3].tolist(), "k": 3, "quantized": True,
             })
             assert code == 200 and seen[-1] is True
+            # round-4 tier values pass the edge verbatim too
+            for tier in ("int8_rescored", "int8_auto"):
+                code, _ = _post(base2 + "/search", {
+                    "query": d2[3].tolist(), "k": 3, "quantized": tier,
+                })
+                assert code == 200 and seen[-1] == tier
+            # unknown strings still 400 at the edge, never coerced
+            code, _ = _post(base2 + "/search", {
+                "query": d2[3].tolist(), "k": 3, "quantized": "int9",
+            })
+            assert code == 400
         finally:
             srv.shutdown()
             svc.close()
