@@ -77,6 +77,21 @@ class EigenIndex(_FittedMixin):
             self.aspace, q, self.gl, k, alpha if alpha is not None else self.alpha
         )
 
+    def query_batch(
+        self, Q, k: int = 10, alpha: Optional[float] = None,
+        approx: bool = False, quantized: bool | str = False,
+        candidates: Optional[int] = None,
+    ):
+        """Batched serving path with the full tier ladder
+        (``quantized``: False / True / "int8" / "int8_rescored" /
+        "int8_auto" / "bf16_rescored" / "bf16x3_rescored" — TUNING.md).
+        Returns ``(indices [B, k], scores [B, k])``."""
+        self._check_fitted()
+        return self.aspace.search_batch(
+            Q, self.gl, k, alpha if alpha is not None else self.alpha,
+            approx=approx, quantized=quantized, candidates=candidates,
+        )
+
 
 @dataclasses.dataclass
 class EnergyIndex(_FittedMixin):

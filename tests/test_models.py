@@ -15,6 +15,23 @@ def test_eigen_index_fit_query():
     assert idx.lambdas.shape == (150,)
 
 
+def test_eigen_index_query_batch_tiers():
+    """The façade's batched path exposes the tier ladder; every tier's
+    self-queries recover themselves at rank 1 and scores of the exact
+    tier match the single-query path."""
+    data = make_gaussian_blob(150, 0.4).astype(np.float32)
+    idx = EigenIndex(eps=1.0, k=6, max_clusters=12, radius=4.0).fit(data)
+    for tier in (False, True, "int8", "int8_rescored", "int8_auto",
+                 "bf16x3_rescored"):
+        ids, sc = idx.query_batch(data[:8], k=5, quantized=tier)
+        assert ids.shape == (8, 5)
+        assert (ids[:, 0] == np.arange(8)).all(), tier
+    ref = idx.query(data[31], k=5)
+    ids, sc = idx.query_batch(data[31], k=5)
+    assert ids[0][0] == ref[0][0]
+    assert sc[0][0] == pytest.approx(ref[0][1], abs=1e-5)
+
+
 def test_eigen_index_save_roundtrip(tmp_path):
     data = make_gaussian_blob(100, 0.4).astype(np.float32)
     idx = EigenIndex(eps=1.0, k=6, max_clusters=10, radius=4.0).fit(data)
