@@ -1146,6 +1146,13 @@ def bench_1m(jax, jnp, extra):
                 aspace._scan_corpus(True), aspace.norms, aspace.lambdas,
                 qv, qlv, K, alphas16, True,
             ),
+            # approx over the f32 corpus isolates approx_max_k's own
+            # recall from bf16 score rounding (goes to extra, not the
+            # device_time table — there is no f32+approx timing row).
+            "approx_f32": _batched_search_jit(
+                aspace.data, aspace.norms, aspace.lambdas,
+                qv, qlv, K, alphas16, True,
+            ),
             "int8": _batched_search_int8_jit(
                 X8_d, i8m_d, aspace.data, aspace.norms, aspace.lambdas,
                 qv, qlv, zero, one, K, cand16, alphas16, True,
@@ -1165,12 +1172,15 @@ def bench_1m(jax, jnp, extra):
             ),
         }
         for tag, (r_idx, _sc) in runs.items():
+            r_idx = np.asarray(r_idx)
+            rec = round(float(np.mean([
+                len(set(r_idx[i].tolist()) & set(ex_idx[i].tolist())) / K
+                for i in range(len(base_idx))
+            ])), 4)
             if tag in dt:
-                r_idx = np.asarray(r_idx)
-                dt[tag]["recall_at_10_vs_exact"] = round(float(np.mean([
-                    len(set(r_idx[i].tolist()) & set(ex_idx[i].tolist())) / K
-                    for i in range(len(base_idx))
-                ])), 4)
+                dt[tag]["recall_at_10_vs_exact"] = rec
+            else:
+                c1m.setdefault("recall_at_10_vs_exact", {})[tag] = rec
     except Exception as exc:  # noqa: BLE001
         c1m["error_rescored_recall"] = repr(exc)[:200]
     _emit(extra)
