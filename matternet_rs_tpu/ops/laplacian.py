@@ -255,7 +255,7 @@ def _ell_reverse(w: jax.Array, fwd_ids: jax.Array, w_fwd: jax.Array,
     return ell_ids, ell_w, diag, dropped
 
 
-def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
+def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk):
     """kNN candidate lists → symmetrized ELL adjacency + degree diagonal,
     with the exact ``_adjacency_dense`` semantics (eps filter, kernel
     weights, inline degree sparsification, union symmetrization) — but
@@ -267,10 +267,25 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk: int):
     superlinear on the monolithic graph — 32 s compile vs ~4 s staged at
     n = 16384 (measured on this sandbox; the cold-build row in BENCH
     showed 49 s for the F=16384 direct-ELL build, almost all compile).
+
+    ``rk="auto"``: stages 1+2 run once; stage 3 re-runs with doubled
+    reverse capacity until no reverse edge is dropped (capped at
+    ``min(n-1, 64·kk)`` — the capacity the warning would otherwise ask
+    the caller to raise by hand). Each retry recompiles only the cheap
+    reverse-stage jit; the kNN/weight stages are reused.
     """
+    n, kk = idx.shape[0], idx.shape[1]
     w, fwd_ids = _ell_weights(nd, idx, eps, p, sigma)
     w_fwd, n_mutual = _ell_forward_sym(w, fwd_ids)
-    return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk)
+    if rk != "auto":
+        return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=int(rk))
+    cap = min(n - 1, 64 * kk)
+    rk_i = min(2 * kk, cap)
+    while True:
+        out = _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk_i)
+        if int(out[3]) == 0 or rk_i >= cap:
+            return out
+        rk_i = min(2 * rk_i, cap)
 
 
 def build_laplacian_ell(
@@ -279,15 +294,18 @@ def build_laplacian_ell(
     n_items: int | None = None,
     energy: bool = False,
     normalized: bool = False,
-    reverse_k: int | None = None,
+    reverse_k: int | str | None = None,
     row_tile: int = DIRECT_ELL_ROW_TILE,
 ) -> GraphLaplacian:
     """Direct O(n·k)-memory graph build: tiled exact kNN → symmetrized ELL
     Laplacian, never materializing ``[n, n]`` (reference Stage-C design
     target, surfface-core/src/laplacian.rs:19-21). Semantics match
     :func:`build_laplacian_matrix` exactly when ``reverse_k`` covers the
-    realized in-degrees (default 2·topk; the dropped-edge count is checked
-    and a warning logged otherwise).
+    realized in-degrees. The default (``None`` = ``"auto"``) grows the
+    reverse capacity from 2·topk until no in-edge is dropped (capped at
+    ``min(n-1, 64·topk)``), so the union symmetrization is exact without
+    hand-tuning; pass an int to pin the capacity (the dropped-edge count
+    is then checked and a warning logged).
 
     ``normalized=True`` yields ``L_sym`` in ELL form (diag 1 for connected
     rows, weights ``w/√(dᵢdⱼ)``).
@@ -303,7 +321,7 @@ def build_laplacian_ell(
             f"nodes should be at least of shape (2,2): {tuple(nodes.shape)}"
         )
     kk = min(int(params.topk), n - 1)
-    rk = 2 * kk if reverse_k is None else int(reverse_k)
+    rk = "auto" if reverse_k in (None, "auto") else int(reverse_k)
     nd, idx = _knn_dense_tiled(
         nodes, topk=kk, normalise=bool(params.normalise),
         row_tile=min(row_tile, n),
@@ -317,8 +335,9 @@ def build_laplacian_ell(
     if n_dropped:
         logging.getLogger(__name__).warning(
             "build_laplacian_ell: %d reverse edges beyond the per-row "
-            "capacity %d were dropped (weakest first); raise reverse_k "
-            "for exact union symmetrization", n_dropped, rk,
+            "capacity %s were dropped (weakest first); raise reverse_k "
+            "for exact union symmetrization",
+            n_dropped, ell_ids.shape[1] - kk,
         )
     if normalized:
         inv_sqrt = jnp.where(

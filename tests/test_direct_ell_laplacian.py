@@ -56,13 +56,27 @@ def test_direct_ell_matches_dense_builder(eps, topk, p, sigma, normalise):
     np.testing.assert_allclose(L_ell, L_dense, rtol=0, atol=1e-5)
 
 
-def test_direct_ell_default_reverse_capacity_reports_drops():
-    """Default reverse_k = 2·topk: any dropped reverse edge must be
+def test_direct_ell_auto_reverse_matches_dense_union():
+    """Default reverse_k (auto): the reverse capacity grows until no
+    in-edge is dropped, so the union symmetrization is EXACT — the ELL
+    adjacency equals the dense builder's with no hand-tuned capacity."""
+    nodes = _rand_nodes(400, 16, seed=5)
+    params = GraphParams(eps=1.0, k=4, topk=4, sparsity_check=False)
+    dense_gl = lap_ops.build_laplacian_matrix(nodes, params)
+    ell_gl = lap_ops.build_laplacian_ell(nodes, params)
+    W_dense = np.asarray(dense_gl.adjacency())
+    W_ell = np.asarray(ell_gl.adjacency())
+    assert np.array_equal(W_dense > 1e-12, W_ell > 1e-12)
+    np.testing.assert_allclose(W_ell, W_dense, atol=1e-5)
+
+
+def test_direct_ell_pinned_reverse_capacity_reports_drops():
+    """Pinned reverse_k = 2·topk: any dropped reverse edge must be
     reported, and kept edges must be the highest-weight ones."""
     nodes = _rand_nodes(400, 16, seed=5)
     params = GraphParams(eps=1.0, k=4, topk=4, sparsity_check=False)
     dense_gl = lap_ops.build_laplacian_matrix(nodes, params)
-    ell_gl = lap_ops.build_laplacian_ell(nodes, params)  # rk = 8
+    ell_gl = lap_ops.build_laplacian_ell(nodes, params, reverse_k=8)
     W_dense = np.asarray(dense_gl.adjacency())
     W_ell = np.asarray(ell_gl.adjacency())
     # Every ELL edge exists in the dense union with the same weight.
