@@ -203,6 +203,16 @@ class ArrowSpaceBuilder:
                     f"device_rows shape {tuple(device_rows.shape)} != "
                     f"rows shape {(n_items, n_features)}"
                 )
+            if device_rows.dtype != np.float32:
+                # from_items would upcast, but a bf16 (or downcast-f64)
+                # device copy has already lost the values of `rows` — the
+                # content-equality contract below can't hold, and the
+                # index would silently build from rounded data.
+                raise ValueError(
+                    f"device_rows dtype {device_rows.dtype} != float32: "
+                    "device_rows must be the float32 device copy of rows "
+                    "(a reduced-precision copy no longer equals rows)"
+                )
             aspace = ArrowSpace.from_items(device_rows, self.synthesis)
         else:
             aspace = ArrowSpace.from_items(rows, self.synthesis)

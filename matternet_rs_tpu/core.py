@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from typing import Optional
 
 log = logging.getLogger(__name__)
@@ -48,6 +49,15 @@ def _nearest_subcentroid_lambda_jit(sub_c, sc_lams, q):
 
 # Re-exported routing threshold (see ops/search.py for rationale).
 TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
+
+# Every named scan tier search_batch accepts (beyond the bf16-copy bool).
+# Validated at the shared search_batch layer: an unknown/mistyped string
+# ("bf16x3", "int8-rescored", ...) must raise, not silently fall through
+# the tier dispatch to the truthy-string bf16 scan with degraded recall.
+QUANT_TIERS = frozenset(
+    {"int8", "int8_auto", "int8_rescored", "bf16_rescored",
+     "bf16x3_rescored"}
+)
 
 
 def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
@@ -438,6 +448,14 @@ class ArrowSpace:
     # (quantized="int8"): [N, F] int8 + per-row dequant-to-cosine multiplier
     _data_i8: Optional[jax.Array] = None
     _i8_mult: Optional[jax.Array] = None
+    # Guards the lazy sketch builds above: the serving dispatch pool runs
+    # two _dispatch workers concurrently (serve.py), so two int8/bf16-tier
+    # batches can race _ensure_int8/_scan_corpus — without the lock both
+    # would quantize (transient 2× sketch allocation) and one could pair a
+    # fresh _data_i8 with the other's stale _i8_mult.
+    _sketch_lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -779,7 +797,11 @@ class ArrowSpace:
         if self._data_bf16 is None or (
             self._data_bf16.shape[0] != self.data.shape[0]
         ):
-            self.enable_quantized_scan()
+            with self._sketch_lock:
+                if self._data_bf16 is None or (
+                    self._data_bf16.shape[0] != self.data.shape[0]
+                ):
+                    self.enable_quantized_scan()
         return self._data_bf16
 
     def enable_int8_scan(self) -> None:
@@ -787,13 +809,26 @@ class ArrowSpace:
         scan (``search_batch(..., quantized="int8")``): a quarter of the
         f32 HBM read for the scan stage, with the final ranking restored
         by an on-device exact rescore of the candidate pool."""
-        self._data_i8, self._i8_mult = _quantize_rows_device_jit(self.data)
+        data_i8, i8_mult = _quantize_rows_device_jit(self.data)
+        # Bind the multiplier BEFORE the sketch: the lock-free fast path in
+        # _ensure_int8 keys its staleness check on _data_i8 alone, so a
+        # concurrent reader must never see a fresh sketch with a stale
+        # multiplier.
+        self._i8_mult = i8_mult
+        self._data_i8 = data_i8
 
     def _ensure_int8(self):
         if self._data_i8 is None or (
             self._data_i8.shape[0] != self.data.shape[0]
         ):
-            self.enable_int8_scan()
+            # Double-checked under the lock: concurrent dispatch workers
+            # must not each quantize (2× transient HBM) or interleave the
+            # (_data_i8, _i8_mult) pair assignment.
+            with self._sketch_lock:
+                if self._data_i8 is None or (
+                    self._data_i8.shape[0] != self.data.shape[0]
+                ):
+                    self.enable_int8_scan()
         return self._data_i8, self._i8_mult
 
     def _int8_cand(self, k: int, candidates: Optional[int]) -> int:
@@ -882,6 +917,11 @@ class ArrowSpace:
         directly; ``"int8"`` earns its keep as the throughput tier.
         """
         self._require_lambdas()
+        if isinstance(quantized, str) and quantized not in QUANT_TIERS:
+            raise ValueError(
+                f"unknown quantized tier {quantized!r}: expected a bool or "
+                f"one of {sorted(QUANT_TIERS)}"
+            )
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]

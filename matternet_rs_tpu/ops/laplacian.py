@@ -204,6 +204,22 @@ def _ell_forward_sym(w: jax.Array, fwd_ids: jax.Array):
     return w_fwd, n_mutual
 
 
+@jax.jit
+def _ell_reverse_required(fwd_ids: jax.Array, n_mutual: jax.Array):
+    """Exact global reverse-slot requirement: ``max_i(in_degree(i) −
+    n_mutual(i))`` — per row, the directed edges pointing at i (the
+    ``hi−lo`` run below) minus the mutual ones already merged into the
+    forward slots. Matches ``_ell_reverse``'s ``dropped`` accounting, so
+    running stage 3 at this capacity guarantees zero drops."""
+    n = fwd_ids.shape[0]
+    dst = fwd_ids.reshape(-1)
+    dst_s = jnp.sort(jnp.where(dst >= 0, dst, n))
+    my_ids = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.searchsorted(dst_s, my_ids, side="left")
+    hi = jnp.searchsorted(dst_s, my_ids, side="right")
+    return jnp.max((hi - lo) - n_mutual)
+
+
 @functools.partial(jax.jit, static_argnames=("rk",))
 def _ell_reverse(w: jax.Array, fwd_ids: jax.Array, w_fwd: jax.Array,
                  n_mutual: jax.Array, rk: int):
@@ -268,12 +284,19 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk):
     n = 16384 (measured on this sandbox; the cold-build row in BENCH
     showed 49 s for the F=16384 direct-ELL build, almost all compile).
 
-    ``rk="auto"``: stages 1+2 run once; stage 3 re-runs with doubled
-    reverse capacity until no reverse edge is dropped (capped at
-    ``min(n-1, 64·kk)`` — the capacity the warning would otherwise ask
-    the caller to raise by hand). Each retry recompiles only the cheap
-    reverse-stage jit; the kNN/weight stages are reused.
+    ``rk="auto"``: stages 1+2 run once; stage 3 runs at the 2·kk default
+    and, if any reverse edge was dropped, ONCE more at the exact global
+    requirement ``max_i((hi−lo) − n_mutual)`` — the same per-row
+    accounting stage 3's ``dropped`` sum uses — computed by
+    ``_ell_reverse_required`` from the already-built forward state
+    (capped at ``min(n-1, 64·kk)``). Two reverse-stage compiles worst
+    case instead of a doubling ladder, and the second capacity is
+    minimal rather than a power-of-two overshoot; growth beyond the
+    default is logged with the resulting ELL memory so a hub-heavy
+    corpus can't silently inflate the advertised O(n·k) footprint.
     """
+    import logging
+
     n, kk = idx.shape[0], idx.shape[1]
     w, fwd_ids = _ell_weights(nd, idx, eps, p, sigma)
     w_fwd, n_mutual = _ell_forward_sym(w, fwd_ids)
@@ -281,11 +304,23 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk):
         return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=int(rk))
     cap = min(n - 1, 64 * kk)
     rk_i = min(2 * kk, cap)
-    while True:
-        out = _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk_i)
-        if int(out[3]) == 0 or rk_i >= cap:
-            return out
-        rk_i = min(2 * rk_i, cap)
+    out = _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk_i)
+    if int(out[3]) == 0 or rk_i >= cap:
+        return out
+    need = int(_ell_reverse_required(fwd_ids, n_mutual))
+    rk_i = min(max(need, rk_i + 1), cap)
+    est_gb = n * (kk + rk_i) * 8 / 1e9
+    # Growth to the exact requirement is auto's designed success path —
+    # WARN only when the grown footprint materially breaks the O(n·k)
+    # expectation (hub-heavy corpus at scale), INFO otherwise.
+    logging.getLogger(__name__).log(
+        logging.WARNING if est_gb > 0.5 else logging.INFO,
+        "direct-ELL auto reverse capacity grew to %d slots/row (default "
+        "%d, cap %d) for exact union symmetrization — ELL ids+weights "
+        "≈ %.2f GB at n=%d; pin reverse_k to bound memory instead",
+        rk_i, min(2 * kk, cap), cap, est_gb, n,
+    )
+    return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk_i)
 
 
 def build_laplacian_ell(

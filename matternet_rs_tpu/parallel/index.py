@@ -221,6 +221,11 @@ class ShardedArrowSpace:
             from matternet_rs_tpu.clustering import incremental_clustering
 
             budget = n if centroid_sample is None else min(centroid_sample, n)
+            if budget <= 0:
+                raise ValueError(
+                    "centroids='serial' needs at least one sample row: "
+                    f"centroid_sample={centroid_sample!r} over {n} items"
+                )
             parts, got = [], 0
             for s in shards:
                 if got >= budget:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,8 @@ from matternet_rs_tpu.ops.laplacian import (
     SPARSIFY_AVG_DEGREE,
     WEIGHT_FLOOR,
 )
+
+log = logging.getLogger(__name__)
 
 PAD_DIAG = 1e6   # isolated padded rows get a huge diagonal so their
                  # eigenpairs land at the TOP of the spectrum, not in the
@@ -220,10 +223,13 @@ def distributed_knn_ell_laplacian(
     ``reverse_k`` caps the reverse-edge slots per row (default ``topk``);
     rows with higher in-degree keep their highest-weight reverse edges and
     the total dropped count is reported on the result. Pass
-    ``reverse_k="auto"`` to raise the capacity (4× per step, ring kNN
-    reused) until ``dropped_reverse_edges == 0`` — the operator is then
-    exactly symmetric, which eigensolvers (``distributed_lobpcg``)
-    require for exact spectra.
+    ``reverse_k="auto"`` to guarantee ``dropped_reverse_edges == 0``:
+    one attempt at the ``topk`` default, then (only if edges dropped)
+    one more at the measured max in-degree — an upper bound on the
+    reverse requirement, so two assemblies worst case with the ring kNN
+    reused. The operator is then exactly symmetric, which eigensolvers
+    (``distributed_lobpcg``) require for exact spectra; capacity growth
+    is logged with the resulting ELL memory.
 
     Memory note: the kNN/Laplacian ROWS are O(N·k / D) per device, but the
     symmetrization step all-gathers the full directed edge list — an
@@ -250,14 +256,36 @@ def distributed_knn_ell_laplacian(
 
     if reverse_k == "auto":
         rk = kk
-        while True:
-            out = _assemble_ell(
-                mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,
-                eps, p, sigma,
-            )
-            if out.dropped_reverse_edges == 0 or rk >= n_items - 1:
-                return out
-            rk = min(rk * 4, n_items - 1)
+        out = _assemble_ell(
+            mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,
+            eps, p, sigma,
+        )
+        if out.dropped_reverse_edges == 0 or rk >= n_items - 1:
+            return out
+        # ONE more assembly at the measured max in-degree (an upper bound
+        # on the per-row reverse requirement — the weight stages only
+        # remove candidate edges), instead of a 4×-per-step ladder that
+        # re-runs the full all-gather symmetrization per retry. The kNN
+        # ids are already computed; the bincount is a host pass over the
+        # same [N, k] list the assembly gathers anyway.
+        ids_np = np.asarray(ids)[:n_items].reshape(-1)
+        indeg = np.bincount(ids_np[ids_np >= 0], minlength=n_items)
+        rk = min(max(int(indeg.max()), kk + 1), n_items - 1)
+        est_gb = n_pad * (kk + rk) * 8 / 1e9
+        # Growth is auto's designed success path; WARN only when the
+        # grown footprint is material (hub-heavy corpus at scale).
+        log.log(
+            logging.WARNING if est_gb > 0.5 else logging.INFO,
+            "distributed ELL auto reverse capacity grew to %d slots/row "
+            "(first attempt %d dropped %d reverse edges) — ELL "
+            "ids+weights ≈ %.2f GB across the mesh; pin reverse_k to "
+            "bound memory instead",
+            rk, kk, out.dropped_reverse_edges, est_gb,
+        )
+        return _assemble_ell(
+            mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,
+            eps, p, sigma,
+        )
     rk = kk if reverse_k is None else int(reverse_k)
     return _assemble_ell(
         mesh, axes, nd, ids, n_pad, per, n_items, kk, rk, eps, p, sigma

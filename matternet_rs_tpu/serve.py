@@ -31,19 +31,20 @@ from typing import Optional
 
 import numpy as np
 
-from matternet_rs_tpu.core import ArrowSpace, UndecidableQueryError
+from matternet_rs_tpu.core import (
+    QUANT_TIERS as _QUANT_TIERS,
+    ArrowSpace,
+    UndecidableQueryError,
+)
 from matternet_rs_tpu.graph import GraphLaplacian
 
 log = logging.getLogger(__name__)
 
-# Named scan tiers `ArrowSpace.search_batch` accepts for ``quantized``
-# beyond the bf16-copy bool (core.py): each is passed through verbatim;
-# any other string is rejected at the HTTP edge (400) rather than
-# silently coerced to the bf16 scan.
-_QUANT_TIERS = frozenset(
-    {"int8", "int8_rescored", "int8_auto", "bf16_rescored",
-     "bf16x3_rescored"}
-)
+# _QUANT_TIERS (imported from core.QUANT_TIERS above): the named scan
+# tiers `ArrowSpace.search_batch` accepts for ``quantized`` beyond the
+# bf16-copy bool; unknown strings are rejected at the HTTP edge (400)
+# and by IndexService.search (ValueError) rather than silently coerced
+# to the bf16 scan.
 
 
 @dataclasses.dataclass
@@ -372,9 +373,15 @@ class IndexService:
                approx: bool = False, quantized: bool | str = False
                ) -> list[dict]:
         q = self._validate(query)
-        # quantized is False / True / a named tier string; a blanket
-        # bool() coercion would silently serve tier requests with the
-        # bf16 scan.
+        # quantized is False / True / a named tier string; an unknown
+        # string must raise here (the programmatic path), matching the
+        # HTTP edge's 400 — a blanket bool() coercion would silently
+        # serve mistyped tier requests with the bf16 scan.
+        if isinstance(quantized, str) and quantized not in _QUANT_TIERS:
+            raise ValueError(
+                f"unknown quantized tier {quantized!r}: expected a bool "
+                f"or one of {sorted(_QUANT_TIERS)}"
+            )
         qz = quantized if quantized in _QUANT_TIERS else bool(quantized)
         return self._submit(
             _Pending(q, int(k), float(alpha), bool(approx), "blend",

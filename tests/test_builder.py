@@ -225,3 +225,9 @@ def test_device_resident_rebuild_matches_plain_build(blob):
     # Shape-mismatched device_rows is rejected loudly.
     with pytest.raises(ValueError, match="device_rows shape"):
         small_builder().build(blob, device_rows=jnp.zeros((3, 3), jnp.float32))
+    # A reduced-precision device copy no longer equals `rows` — rejected
+    # rather than silently building the index from rounded data.
+    with pytest.raises(ValueError, match="device_rows dtype"):
+        small_builder().build(
+            blob, device_rows=aspace1.data.astype(jnp.bfloat16)
+        )

@@ -5,6 +5,8 @@ query preparation (incl. undecidable-query error and NaN rejection),
 λ-aware / hybrid / sorted / range search (test_arrow.rs, test_querying_proj.rs).
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -650,3 +652,67 @@ def test_bf16x3_rescored_default_pool_matches_exact(built):
     np.testing.assert_array_equal(np.sort(got_ids, 1), np.sort(ref_ids, 1))
     np.testing.assert_allclose(np.sort(got_sc, 1), np.sort(ref_sc, 1),
                                atol=1e-5)
+
+
+def test_unknown_quantized_tier_raises(built):
+    """A mistyped tier string ("bf16x3", "int8-rescored", ...) must raise
+    at the shared search_batch layer — not silently fall through the tier
+    dispatch to the truthy-string bf16 scan with degraded recall."""
+    from matternet_rs_tpu.core import QUANT_TIERS
+
+    aspace, gl, data = built
+    for bad in ("bf16x3", "int8-rescored", "INT8", "exact", "bf16"):
+        assert bad not in QUANT_TIERS
+        with pytest.raises(ValueError, match="unknown quantized tier"):
+            aspace.search_batch(data[:4], gl, 5, quantized=bad)
+    # Bools and every named tier still dispatch.
+    for ok in (False, True, *QUANT_TIERS):
+        idx, _ = aspace.search_batch(data[:4], gl, 5, quantized=ok)
+        assert idx.shape == (4, 5)
+
+
+def test_lazy_sketch_init_is_race_free(built):
+    """The serving dispatch pool runs two workers concurrently, so the
+    lazy int8/bf16 sketch builds must be single-shot under concurrent
+    first use — without the _sketch_lock both workers would quantize
+    (transient 2× HBM) and could pair a fresh sketch with a stale
+    multiplier."""
+    import threading
+
+    aspace, gl, data = built
+    aspace._data_i8 = aspace._i8_mult = None
+    aspace._data_bf16 = None
+    n_quant, n_bf16 = [0], [0]
+    real_i8, real_bf16 = aspace.enable_int8_scan, aspace.enable_quantized_scan
+
+    def slow_i8():
+        n_quant[0] += 1
+        time.sleep(0.05)         # widen the race window
+        real_i8()
+
+    def slow_bf16():
+        n_bf16[0] += 1
+        time.sleep(0.05)
+        real_bf16()
+
+    aspace.enable_int8_scan = slow_i8
+    aspace.enable_quantized_scan = slow_bf16
+    try:
+        barrier = threading.Barrier(8)
+
+        def worker():
+            barrier.wait()
+            i8, mult = aspace._ensure_int8()
+            assert i8.shape[0] == mult.shape[0] == aspace.nitems
+            assert aspace._scan_corpus(True).shape[0] == aspace.nitems
+
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert n_quant[0] == 1, f"int8 quantize ran {n_quant[0]}×"
+        assert n_bf16[0] == 1, f"bf16 copy ran {n_bf16[0]}×"
+    finally:
+        aspace.enable_int8_scan = real_i8
+        aspace.enable_quantized_scan = real_bf16

@@ -181,3 +181,38 @@ def test_tiled_knn_matches_full_topk():
     same = np.asarray(idx_t) == idx_ref
     ties = np.isclose(np.asarray(nd_t), nd_ref, atol=1e-6)
     assert np.all(same | ties)
+
+
+def test_direct_ell_auto_grows_to_exact_requirement_on_hub(caplog):
+    """Hub corpus (one row is everyone's nearest neighbor → in-degree
+    ≈ n−1 ≫ 2·topk): the auto capacity must jump to the EXACT global
+    requirement in one retry (``_ell_reverse_required``), log the
+    growth, and reproduce the dense union with zero drops."""
+    import logging
+
+    rng = np.random.default_rng(2)
+    n, p = 120, 64
+    hub = np.ones(p, np.float32)
+    # Spokes: strong hub component + near-orthogonal noise, so under the
+    # rectified-cosine metric every spoke's nearest neighbor is the hub
+    # while spoke↔spoke distances are materially larger.
+    sats = (hub[None, :] + rng.normal(0, 0.9, (n - 1, p))).astype(np.float32)
+    nodes = np.concatenate([hub[None, :] * 2.0, sats])
+    params = GraphParams(eps=1.0, k=4, topk=4, sparsity_check=False)
+    dense_gl = lap_ops.build_laplacian_matrix(nodes, params)
+    with caplog.at_level(logging.INFO, logger="matternet_rs_tpu.ops.laplacian"):
+        ell_gl = lap_ops.build_laplacian_ell(nodes, params)
+    W_dense = np.asarray(dense_gl.adjacency())
+    W_ell = np.asarray(ell_gl.adjacency())
+    # The hub's in-degree must actually exceed the 2·topk default for
+    # this fixture to exercise the growth path at all.
+    in_deg_hub = int((W_dense[:, 0] > 1e-12).sum())
+    assert in_deg_hub > 8, f"fixture too weak: hub in-degree {in_deg_hub}"
+    assert any("auto reverse capacity grew" in r.message for r in caplog.records)
+    # Exact union symmetrization: identical support and weights.
+    assert np.array_equal(W_dense > 1e-12, W_ell > 1e-12)
+    np.testing.assert_allclose(W_ell, W_dense, atol=1e-5)
+    # Capacity is the minimal exact requirement, not a power-of-two
+    # overshoot: slots = topk forward + required reverse.
+    e = ell_gl.ell()
+    assert e.weights.shape[1] - 4 <= max(in_deg_hub, 9)

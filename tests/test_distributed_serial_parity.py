@@ -215,3 +215,21 @@ def test_serial_mode_bounded_sample_still_close(corpus, builds):
     c_dist = int(np.asarray(sa.gl.init_data).shape[1])
     assert abs(c_dist - aspace.n_clusters) <= max(4, aspace.n_clusters // 4)
     assert sa.search(X[9], k=3)[0][0] == 9
+
+
+def test_serial_mode_zero_sample_raises_clearly(corpus):
+    """centroid_sample=0 must raise a clear ValueError, not crash inside
+    np.concatenate with an empty parts list."""
+    X, _ = corpus
+    mesh = make_mesh(8)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    with pytest.raises(ValueError, match="at least one sample row"):
+        ShardedArrowSpace.distributed_build(
+            [X[: N // 2], X[N // 2 :]],
+            params,
+            k_clusters=64,
+            radius=25.0,
+            centroids="serial",
+            centroid_sample=0,
+            mesh=mesh,
+        )

@@ -819,3 +819,29 @@ def test_backpressure_coalesces_batches():
     assert m["batch_occupancy"] >= 2.0, m
     assert service.n_batches <= total // 2, (service.n_batches, m)
     assert wall < 6.0, wall
+
+
+def test_programmatic_unknown_tier_raises():
+    """IndexService.search (the programmatic path) must reject a mistyped
+    tier string with ValueError, matching the HTTP edge's 400 — not coerce
+    it to bool and silently serve the bf16 scan."""
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(100, 0.4).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=10, radius=4.0)
+        .with_deterministic_clustering(True)
+    )
+    aspace, gl = b.build(data)
+    service = IndexService(aspace, gl)
+    try:
+        with pytest.raises(ValueError, match="unknown quantized tier"):
+            service.search(data[0], k=3, quantized="bf16x3")
+        # Named tiers and bools still serve.
+        assert len(service.search(data[0], k=3, quantized="int8")) == 3
+        assert len(service.search(data[0], k=3, quantized=True)) == 3
+    finally:
+        service.close()
