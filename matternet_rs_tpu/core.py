@@ -948,6 +948,13 @@ class ArrowSpace:
             else:
                 quantized = "int8_rescored"
 
+        # Both λ-prep modes feed ONE named-tier dispatch below (a prior
+        # revision duplicated the four tier calls per mode, an easy place
+        # for the branches to silently fork): energy mode looks up the
+        # already-normalized sub-centroid λ (mn=0, rng=1 → the fold is an
+        # identity), eigen mode computes raw taumode λ with the
+        # normalization folded into the search jits (no eager
+        # sub/div/clip round-trips).
         if self.sub_centroids is not None and self.subcentroid_lambdas is not None:
             Qe = Q
             if self.extra_reduced_dim or (
@@ -963,42 +970,7 @@ class ArrowSpace:
                 )
             )(Qe)
             raw = q_lams
-            if quantized == "int8":
-                X8, i8m = self._ensure_int8()
-                idx, sc = _batched_search_int8_jit(
-                    X8, i8m, self.data, self.norms, self.lambdas, Q, q_lams,
-                    jnp.float32(0.0), jnp.float32(1.0),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "int8_rescored":
-                X8, i8m = self._ensure_int8()
-                idx, sc = _batched_search_i8r_jit(
-                    X8, i8m, self.data, self.norms, self.lambdas, Q, q_lams,
-                    jnp.float32(0.0), jnp.float32(1.0),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "bf16_rescored":
-                idx, sc = _batched_search_bf16r_jit(
-                    self._scan_corpus(True), self.data, self.norms,
-                    self.lambdas, Q, q_lams,
-                    jnp.float32(0.0), jnp.float32(1.0),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "bf16x3_rescored":
-                idx, sc = _batched_search_b3r_jit(
-                    self.data, self.norms, self.lambdas, Q, q_lams,
-                    jnp.float32(0.0), jnp.float32(1.0),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            else:
-                idx, sc = _batched_search_jit(
-                    self._scan_corpus(quantized), self.norms, self.lambdas,
-                    Q, q_lams, k, alphas, approx,
-                )
+            mn, rng = jnp.float32(0.0), jnp.float32(1.0)
         else:
             graph = self.graph_for_taumode(gl)
             Qw = Q
@@ -1011,51 +983,51 @@ class ArrowSpace:
             raw = taumode_ops.taumode_lambdas_auto(
                 Qw, graph, self.taumode.mode, self.taumode.param
             )
-            # Normalization folded into the search dispatch (no eager
-            # sub/div/clip round-trips).
-            if quantized == "int8":
-                X8, i8m = self._ensure_int8()
-                idx, sc = _batched_search_int8_jit(
-                    X8, i8m, self.data, self.norms, self.lambdas, Q, raw,
-                    jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "int8_rescored":
-                X8, i8m = self._ensure_int8()
-                idx, sc = _batched_search_i8r_jit(
-                    X8, i8m, self.data, self.norms, self.lambdas, Q, raw,
-                    jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "bf16_rescored":
-                idx, sc = _batched_search_bf16r_jit(
-                    self._scan_corpus(True), self.data, self.norms,
-                    self.lambdas, Q, raw,
-                    jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            elif quantized == "bf16x3_rescored":
-                idx, sc = _batched_search_b3r_jit(
-                    self.data, self.norms, self.lambdas, Q, raw,
-                    jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas),
-                    min(k, self.nitems), self._int8_cand(k, candidates),
-                    alphas, approx,
-                )
-            else:
-                idx, sc = _batched_search_normalized_jit(
-                    self._scan_corpus(quantized), self.norms, self.lambdas,
-                    Q, raw,
-                    jnp.float32(self.min_lambdas),
-                    jnp.float32(self.range_lambdas),
-                    k, alphas, approx,
-                )
+            q_lams = raw
+            mn = jnp.float32(self.min_lambdas)
+            rng = jnp.float32(self.range_lambdas)
+
+        if quantized == "int8":
+            X8, i8m = self._ensure_int8()
+            idx, sc = _batched_search_int8_jit(
+                X8, i8m, self.data, self.norms, self.lambdas, Q, q_lams,
+                mn, rng,
+                min(k, self.nitems), self._int8_cand(k, candidates),
+                alphas, approx,
+            )
+        elif quantized == "int8_rescored":
+            X8, i8m = self._ensure_int8()
+            idx, sc = _batched_search_i8r_jit(
+                X8, i8m, self.data, self.norms, self.lambdas, Q, q_lams,
+                mn, rng,
+                min(k, self.nitems), self._int8_cand(k, candidates),
+                alphas, approx,
+            )
+        elif quantized == "bf16_rescored":
+            idx, sc = _batched_search_bf16r_jit(
+                self._scan_corpus(True), self.data, self.norms,
+                self.lambdas, Q, q_lams,
+                mn, rng,
+                min(k, self.nitems), self._int8_cand(k, candidates),
+                alphas, approx,
+            )
+        elif quantized == "bf16x3_rescored":
+            idx, sc = _batched_search_b3r_jit(
+                self.data, self.norms, self.lambdas, Q, q_lams,
+                mn, rng,
+                min(k, self.nitems), self._int8_cand(k, candidates),
+                alphas, approx,
+            )
+        elif self.sub_centroids is not None and self.subcentroid_lambdas is not None:
+            idx, sc = _batched_search_jit(
+                self._scan_corpus(quantized), self.norms, self.lambdas,
+                Q, q_lams, k, alphas, approx,
+            )
+        else:
+            idx, sc = _batched_search_normalized_jit(
+                self._scan_corpus(quantized), self.norms, self.lambdas,
+                Q, raw, mn, rng, k, alphas, approx,
+            )
         # ONE coalesced device→host fetch (jax.device_get async-copies all
         # leaves before waiting): sequential np.asarray calls pay one
         # remote-attachment round-trip EACH, and on a congested tunnel the
