@@ -445,17 +445,30 @@ class ArrowSpace:
     # optional bf16 corpus copy for memory-bound scans (ops/search._scan_dots)
     _data_bf16: Optional[jax.Array] = None
     # optional int8 corpus sketch for the two-stage exact-rescored scan
-    # (quantized="int8"): [N, F] int8 + per-row dequant-to-cosine multiplier
-    _data_i8: Optional[jax.Array] = None
-    _i8_mult: Optional[jax.Array] = None
+    # (quantized="int8"): one (sketch [N, F] int8, per-row dequant-to-cosine
+    # multiplier [N]) tuple — stored as a single attribute so a concurrent
+    # reader can never observe a torn (stale sketch, fresh multiplier) pair
+    # across a re-quantization.
+    _i8_pair: Optional[tuple] = None
     # Guards the lazy sketch builds above: the serving dispatch pool runs
     # two _dispatch workers concurrently (serve.py), so two int8/bf16-tier
     # batches can race _ensure_int8/_scan_corpus — without the lock both
-    # would quantize (transient 2× sketch allocation) and one could pair a
-    # fresh _data_i8 with the other's stale _i8_mult.
+    # would quantize (transient 2× sketch allocation).
     _sketch_lock: threading.Lock = dataclasses.field(
         default_factory=threading.Lock, repr=False, compare=False
     )
+
+    # The lock above is per-process runtime state: exclude it from pickle
+    # and deepcopy (copy.deepcopy routes through __reduce_ex__, which uses
+    # these) and recreate it fresh on the copy.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_sketch_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._sketch_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -531,8 +544,7 @@ class ArrowSpace:
         self.data = jnp.zeros((0, self.nfeatures), jnp.float32)
         self._norms = None
         self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._i8_pair = None
         self.ivf = None
 
     def recompute_lambdas(self, gl: GraphLaplacian) -> None:
@@ -584,8 +596,7 @@ class ArrowSpace:
         inside its equal-λ group)."""
         self._norms = None
         self._data_bf16 = None
-        self._data_i8 = None
-        self._i8_mult = None
+        self._i8_pair = None
         if self.item_norms is not None:
             self.item_norms = jnp.sqrt(jnp.sum(self.data * self.data, axis=1))
 
@@ -810,26 +821,21 @@ class ArrowSpace:
         f32 HBM read for the scan stage, with the final ranking restored
         by an on-device exact rescore of the candidate pool."""
         data_i8, i8_mult = _quantize_rows_device_jit(self.data)
-        # Bind the multiplier BEFORE the sketch: the lock-free fast path in
-        # _ensure_int8 keys its staleness check on _data_i8 alone, so a
-        # concurrent reader must never see a fresh sketch with a stale
-        # multiplier.
-        self._i8_mult = i8_mult
-        self._data_i8 = data_i8
+        # Single atomic attribute write: a concurrent reader sees either the
+        # whole old pair or the whole new pair, never a torn mix.
+        self._i8_pair = (data_i8, i8_mult)
 
     def _ensure_int8(self):
-        if self._data_i8 is None or (
-            self._data_i8.shape[0] != self.data.shape[0]
-        ):
+        pair = self._i8_pair
+        if pair is None or pair[0].shape[0] != self.data.shape[0]:
             # Double-checked under the lock: concurrent dispatch workers
-            # must not each quantize (2× transient HBM) or interleave the
-            # (_data_i8, _i8_mult) pair assignment.
+            # must not each quantize (2× transient HBM).
             with self._sketch_lock:
-                if self._data_i8 is None or (
-                    self._data_i8.shape[0] != self.data.shape[0]
-                ):
+                pair = self._i8_pair
+                if pair is None or pair[0].shape[0] != self.data.shape[0]:
                     self.enable_int8_scan()
-        return self._data_i8, self._i8_mult
+                    pair = self._i8_pair
+        return pair
 
     def _int8_cand(self, k: int, candidates: Optional[int]) -> int:
         """Candidate-pool width for the int8 rescore: pow-2 padded so the

@@ -312,14 +312,27 @@ def _ell_from_knn(nd: jax.Array, idx: jax.Array, eps, p, sigma, rk):
     est_gb = n * (kk + rk_i) * 8 / 1e9
     # Growth to the exact requirement is auto's designed success path —
     # WARN only when the grown footprint materially breaks the O(n·k)
-    # expectation (hub-heavy corpus at scale), INFO otherwise.
-    logging.getLogger(__name__).log(
-        logging.WARNING if est_gb > 0.5 else logging.INFO,
-        "direct-ELL auto reverse capacity grew to %d slots/row (default "
-        "%d, cap %d) for exact union symmetrization — ELL ids+weights "
-        "≈ %.2f GB at n=%d; pin reverse_k to bound memory instead",
-        rk_i, min(2 * kk, cap), cap, est_gb, n,
-    )
+    # expectation (hub-heavy corpus at scale), INFO otherwise. When the
+    # exact requirement exceeds the cap the retry runs AT the cap and
+    # still drops edges — say so (build_laplacian_ell additionally warns
+    # with the realized drop count).
+    if need > cap:
+        logging.getLogger(__name__).warning(
+            "direct-ELL auto reverse capacity CAPPED at %d slots/row "
+            "(exact union symmetrization needs %d > cap %d; weakest "
+            "reverse edges will be dropped) — ELL ids+weights ≈ %.2f GB "
+            "at n=%d; raise the cap via reverse_k for exactness",
+            rk_i, need, cap, est_gb, n,
+        )
+    else:
+        logging.getLogger(__name__).log(
+            logging.WARNING if est_gb > 0.5 else logging.INFO,
+            "direct-ELL auto reverse capacity grew to %d slots/row "
+            "(default %d, cap %d) for exact union symmetrization — ELL "
+            "ids+weights ≈ %.2f GB at n=%d; pin reverse_k to bound "
+            "memory instead",
+            rk_i, min(2 * kk, cap), cap, est_gb, n,
+        )
     return _ell_reverse(w, fwd_ids, w_fwd, n_mutual, rk=rk_i)
 
 

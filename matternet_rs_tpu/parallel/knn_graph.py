@@ -266,11 +266,11 @@ def distributed_knn_ell_laplacian(
         # on the per-row reverse requirement — the weight stages only
         # remove candidate edges), instead of a 4×-per-step ladder that
         # re-runs the full all-gather symmetrization per retry. The kNN
-        # ids are already computed; the bincount is a host pass over the
-        # same [N, k] list the assembly gathers anyway.
-        ids_np = np.asarray(ids)[:n_items].reshape(-1)
-        indeg = np.bincount(ids_np[ids_np >= 0], minlength=n_items)
-        rk = min(max(int(indeg.max()), kk + 1), n_items - 1)
+        # ids are already on device; count in-degrees there and fetch
+        # only the scalar max — materializing the [N_pad, k] global id
+        # list on host is a multi-GB transfer at the ~50M×32 design scale.
+        max_indeg = _max_indegree_device(mesh, axes, ids, n_items)
+        rk = min(max(max_indeg, kk + 1), n_items - 1)
         est_gb = n_pad * (kk + rk) * 8 / 1e9
         # Growth is auto's designed success path; WARN only when the
         # grown footprint is material (hub-heavy corpus at scale).
@@ -290,6 +290,29 @@ def distributed_knn_ell_laplacian(
     return _assemble_ell(
         mesh, axes, nd, ids, n_pad, per, n_items, kk, rk, eps, p, sigma
     )
+
+
+def _max_indegree_device(mesh, axes, ids, n_items: int) -> int:
+    """Max in-degree over the real rows of a row-sharded kNN id list,
+    computed on device: each shard scatter-adds its ids into a [n_items+1]
+    bin vector (pad rows and invalid slots land in the overflow bin), the
+    bins psum across the mesh, and only the scalar max comes to host."""
+    per = int(ids.shape[0]) // int(mesh.devices.size)
+
+    def local_fn(idl):
+        me = _flat_axis_index(axes)
+        my_rows = me * per + jnp.arange(idl.shape[0])
+        real = (my_rows < n_items)[:, None]
+        flat = jnp.where(real & (idl >= 0), idl, n_items).reshape(-1)
+        counts = jnp.zeros(n_items + 1, jnp.int32).at[flat].add(1)
+        counts = jax.lax.psum(counts, axes)
+        return jnp.max(counts[:n_items])
+
+    mapped = shard_map(
+        local_fn, mesh=mesh, in_specs=(P(axes, None),), out_specs=P(),
+        check_vma=False,
+    )
+    return int(jax.jit(mapped)(ids))
 
 
 def _assemble_ell(mesh, axes, nd, ids, n_pad, per, n_items, kk, rk,

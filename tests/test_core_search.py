@@ -556,9 +556,9 @@ def test_int8_scan_scores_are_exact_on_candidates(built):
 def test_int8_cache_invalidated_on_mutation(built):
     aspace, gl, data = built
     aspace._ensure_int8()
-    assert aspace._data_i8 is not None
+    assert aspace._i8_pair is not None
     aspace.set_item(5, np.asarray(data[5]) * 1.5)
-    assert aspace._data_i8 is None
+    assert aspace._i8_pair is None
     aspace.recompute_lambdas(gl)
     # Restore the fixture for later tests.
     aspace.set_item(5, np.asarray(data[5]))
@@ -680,7 +680,7 @@ def test_lazy_sketch_init_is_race_free(built):
     import threading
 
     aspace, gl, data = built
-    aspace._data_i8 = aspace._i8_mult = None
+    aspace._i8_pair = None
     aspace._data_bf16 = None
     n_quant, n_bf16 = [0], [0]
     real_i8, real_bf16 = aspace.enable_int8_scan, aspace.enable_quantized_scan
@@ -716,3 +716,26 @@ def test_lazy_sketch_init_is_race_free(built):
     finally:
         aspace.enable_int8_scan = real_i8
         aspace.enable_quantized_scan = real_bf16
+
+
+def test_deepcopy_and_pickle_roundtrip(built):
+    """Regression (round-4): the _sketch_lock runtime field must not break
+    copy.deepcopy / pickle of a built ArrowSpace (threading.Lock is
+    unpicklable; __getstate__/__setstate__ exclude it and recreate it)."""
+    import copy
+    import pickle
+
+    aspace, gl, data = built
+    aspace._ensure_int8()  # populate the lazy sketch caches too
+    dup = copy.deepcopy(aspace)
+    assert dup is not aspace
+    assert dup._sketch_lock is not aspace._sketch_lock
+
+    idx_a, _ = aspace.search_batch(data[:3], gl, 5)
+    idx_b, _ = dup.search_batch(data[:3], gl, 5)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+
+    rt = pickle.loads(pickle.dumps(aspace))
+    assert rt._sketch_lock is not aspace._sketch_lock
+    idx_c, _ = rt.search_batch(data[:3], gl, 5)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_c))
