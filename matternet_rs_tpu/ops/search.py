@@ -483,6 +483,7 @@ def fused_scan_rescored(
     alphas: jax.Array,
     t: int = DEFAULT_TILE,
     scan_rn: jax.Array | None = None,
+    mask_from: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Maxima-first reduced-precision scan + exact slab rescore — the
     rescored tiers' TPU fast path (VERDICT r3 #3's "bf16-pass scoring +
@@ -515,6 +516,13 @@ def fused_scan_rescored(
 
     Caller must have checked :func:`fused_rescored_path`. ``alphas`` may
     be scalar or ``[B]``. Returns ``(idx [B, k], scores [B, k])``.
+
+    ``mask_from`` (traced int32 scalar, optional): rows with local index
+    ≥ ``mask_from`` are masked to -inf at BOTH stages — the scan maxima
+    (so padded sub-tiles are never selected) and the exact rescore (so a
+    padded row sharing a slab with real rows cannot rank). This is the
+    sharded path's zero-padding contract (``parallel/search.py``);
+    single-device callers leave it ``None`` and pay nothing.
     """
     from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
 
@@ -528,7 +536,7 @@ def fused_scan_rescored(
 
     submax = tmf.tilemax_only(
         Xscan, norms, lambdas, queries, query_lambdas, a, tile=t,
-        subs=RESCORE_SUBS, rn=scan_rn,
+        subs=RESCORE_SUBS, rn=scan_rn, mask_from=mask_from,
     )                                                            # [B, ns]
     c = min(ns, max(kk + 4, -(-cand // ts)))
     # Selection stays lax.top_k: a Pallas c-sweep max-extract kernel was
@@ -564,6 +572,10 @@ def fused_scan_rescored(
                 jnp.arange(n0, n, dtype=jnp.int32)[None, :], (b, n - n0)
             ),
         ], axis=1)
+    if mask_from is not None:
+        # Rescore-stage pad mask: a padded row inside a selected slab (or
+        # the ragged tail) would otherwise score cos=0 + λ-sim and rank.
+        s = jnp.where(gidx < jnp.asarray(mask_from, jnp.int32), s, -jnp.inf)
     top, pos = jax.lax.top_k(s, kk)
     return jnp.take_along_axis(gidx, pos, axis=1), top
 

@@ -333,6 +333,160 @@ def make_sharded_search_batch(mesh, n_items: int, k: int):
     return jax.jit(mapped)
 
 
+def make_sharded_search_batch_quantized(
+    mesh, n_items: int, k: int, cand: int, tier: str
+):
+    """Batched distributed search through the QUANTIZED tier ladder
+    (VERDICT r4 #3): per-shard reduced-precision scan → per-shard EXACT
+    rescore of the selected candidates → all-gather top-k merge of the
+    exact scores. Because every per-shard score that reaches the merge is
+    an exact f32 HIGHEST rescore (the single-chip rescored-tier
+    contract, PARITY.md "Rescored tiers"), the merge itself is exact —
+    sharding changes candidate RECALL only (and upward: ``cand``
+    candidates are selected per SHARD, so the global pool is D× the
+    single-chip pool at the same ``cand``).
+
+    ``tier``:
+
+    * ``"int8_rescored"`` — per-shard int8 sketch scan (lossless bf16
+      upcast, quarter HBM read); on the TPU fused envelope the
+      maxima-first Pallas producer + ring-DMA slab rescore
+      (:func:`ops.search.fused_scan_rescored` with the shard's pad rows
+      masked in-kernel via ``mask_from``), else the pool-cut fallback.
+    * ``"int8"`` — per-shard int8 scan with per-CANDIDATE pool-cut
+      selection (finer than slabs, the higher-recall int8 rung).
+    * ``"bf16x3_rescored"`` — per-shard bf16x3 scan of the f32 shard
+      (~f32-grade selection, no sketch copy), fused when supported.
+
+    ``cand`` is the PER-SHARD candidate width (static). Scalar-or-[B]
+    ``alphas`` ride traced, as in the single-chip tiers."""
+    from matternet_rs_tpu.ops.search import (
+        _batched_scores,
+        fused_rescored_path,
+        fused_scan_rescored,
+        tilemax_topk,
+    )
+
+    if tier not in ("int8", "int8_rescored", "bf16x3_rescored"):
+        raise ValueError(
+            f"sharded quantized tier must be 'int8', 'int8_rescored' or "
+            f"'bf16x3_rescored', got {tier!r}"
+        )
+    int8_scan = tier in ("int8", "int8_rescored")
+    axes = tuple(mesh.axis_names)
+    joint = axes if len(axes) > 1 else axes[0]
+
+    def _body(Xl, X8l, multl, nl, ll, Q, QL, alphas):
+        n_local = Xl.shape[0]
+        b = Q.shape[0]
+        kk = min(k, n_local)
+        cc = max(min(cand, n_local), kk)
+        row0 = flat_axis_index(joint) * n_local
+        # Zero-pad mask: rows with global id >= n_items must not rank.
+        mask_from = jnp.clip(
+            jnp.int32(n_items) - jnp.int32(row0), 0, n_local
+        )
+        use_fused = tier != "int8" and fused_rescored_path(
+            n_local, Xl.shape[1], b, kk, cc
+        )
+        if use_fused:
+            Xscan = X8l if int8_scan else Xl
+            top, idx = fused_scan_rescored(
+                Xscan, Xl, nl, ll, Q, QL, kk, cc, alphas,
+                scan_rn=multl if int8_scan else None,
+                mask_from=mask_from,
+            )
+        else:
+            # Pool-cut fallback (CPU meshes, tiny shards, tier="int8"):
+            # reduced-precision scan → top-cc pool → exact HIGHEST
+            # rescore — the same two-stage structure as the single-chip
+            # non-fused tiers (core._int8_poolcut_scan).
+            qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))               # [B]
+            if int8_scan:
+                dots = jnp.dot(
+                    Q.astype(jnp.bfloat16), X8l.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                )                                                # [B, n_local]
+                cos = jnp.clip(
+                    dots * multl[None, :]
+                    / jnp.maximum(qn[:, None], 1e-12),
+                    -1.0, 1.0,
+                )
+            else:
+                dots = jnp.dot(
+                    Q, Xl.T, precision=jax.lax.Precision.HIGH,
+                    preferred_element_type=jnp.float32,
+                )
+                cos = _guarded_cosine(dots, nl[None, :] * qn[:, None])
+            a_col = jnp.broadcast_to(
+                jnp.asarray(alphas, jnp.float32), (b,)
+            )[:, None]
+            scores = _blend(cos, ll[None, :], QL[:, None], a_col)
+            valid = (row0 + jnp.arange(n_local))[None, :] < n_items
+            scores = jnp.where(valid, scores, -jnp.inf)
+            if n_local >= TILEMAX_MIN_N:
+                _, cidx = tilemax_topk(scores, cc)               # [B, cc]
+            else:
+                _, cidx = jax.lax.top_k(scores, cc)
+            XU = Xl[cidx]                                        # [B, cc, F]
+            d2 = jnp.einsum(
+                "bf,bcf->bc", Q, XU,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            cos2 = _guarded_cosine(d2, nl[cidx] * qn[:, None])
+            s2 = _blend(cos2, ll[cidx], QL[:, None], a_col)
+            # Re-mask: an exact rescore of a padded zero row is cos=0 +
+            # λ-sim, not -inf.
+            s2 = jnp.where(
+                row0 + cidx < n_items, s2, -jnp.inf
+            )
+            top, sel = jax.lax.top_k(s2, kk)
+            idx = jnp.take_along_axis(cidx, sel, axis=1)
+        gidx = idx + row0
+
+        all_s = jax.lax.all_gather(top, joint)                   # [D, B, kk]
+        all_i = jax.lax.all_gather(gidx, joint)
+        d = all_s.shape[0]
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(-1, d * kk)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(-1, d * kk)
+        # Deterministic (score desc, id asc) re-rank — exact on the
+        # rescored (parity-grade) scores, same as the exact batch merge.
+        id_order = jnp.argsort(all_i, axis=1)
+        all_s = jnp.take_along_axis(all_s, id_order, axis=1)
+        all_i = jnp.take_along_axis(all_i, id_order, axis=1)
+        sel = jnp.argsort(-all_s, axis=1, stable=True)[:, : min(k, d * kk)]
+        return (
+            jnp.take_along_axis(all_i, sel, axis=1),
+            jnp.take_along_axis(all_s, sel, axis=1),
+        )
+
+    item_spec = P(joint)
+    if int8_scan:
+        local_fn = _body
+        in_specs = (
+            P(joint, None), P(joint, None), item_spec, item_spec,
+            item_spec, P(), P(), P(),
+        )
+    else:
+        # No sketch operands for the f32-scan tier — the closure takes
+        # only the shard arrays (callers never allocate dummies).
+        def local_fn(Xl, nl, ll, Q, QL, alphas):
+            return _body(Xl, None, None, nl, ll, Q, QL, alphas)
+
+        in_specs = (
+            P(joint, None), item_spec, item_spec, P(), P(), P(),
+        )
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_hybrid_search(mesh, n_items: int, k: int):
     """Distributed hybrid search (core.rs:1197-1323 semantics, exact):
     candidate set = λ-score top-k ∪ {cos > 0.9999} ∪ {GLOBAL argmax cos};

@@ -1,0 +1,137 @@
+"""Sharded quantized tier ladder (VERDICT r4 #3): the single-chip
+rescored tiers on the mesh — per-shard reduced-precision scan + per-shard
+exact rescore + all-gather merge of exact scores.
+
+Contract under test (PARITY.md "Rescored tiers", extended to the mesh):
+returned scores are ALWAYS exact (parity-grade f32 HIGHEST rescores);
+sharding and scan precision affect candidate recall only. With the
+``candidates=per-shard-N`` escape hatch every tier reproduces the exact
+distributed search.
+"""
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.builder import ArrowSpaceBuilder
+from matternet_rs_tpu.parallel.index import ShardedArrowSpace
+from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+TIERS = ("int8", "int8_rescored", "bf16x3_rescored")
+
+
+@pytest.fixture(scope="module")
+def built():
+    data = make_gaussian_blob(600, 0.4).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=16, radius=4.0)
+        .with_deterministic_clustering(True)
+    )
+    aspace, gl = b.build(data)
+    sharded = ShardedArrowSpace.from_arrowspace(aspace, gl, n_devices=4)
+    return aspace, gl, data, sharded
+
+
+def _exact_score_table(aspace, gl, queries, k_all, alpha=0.7):
+    """id → exact blended score per query row, from the serial exact scan."""
+    idx, sc = aspace.search_batch(queries, gl, k_all, alpha=alpha)
+    return [
+        {int(i): float(s) for i, s in zip(row_i, row_s)}
+        for row_i, row_s in zip(idx, sc)
+    ]
+
+
+@pytest.mark.parametrize("tier", TIERS)
+def test_scores_are_exact_for_returned_ids(built, tier):
+    aspace, gl, data, sharded = built
+    rng = np.random.default_rng(7)
+    Q = data[rng.choice(len(data), 8, replace=False)]
+    tables = _exact_score_table(aspace, gl, Q, k_all=len(data))
+    idx, sc = sharded.search_batch(Q, k=10, quantized=tier)
+    assert idx.shape == (8, 10)
+    for r in range(8):
+        for i, s in zip(idx[r], sc[r]):
+            assert int(i) >= 0
+            # Parity-grade: the returned score equals the exact blended
+            # score of that item (rescore is f32 HIGHEST on both paths).
+            assert s == pytest.approx(tables[r][int(i)], abs=2e-5)
+
+
+@pytest.mark.parametrize("tier", TIERS)
+def test_full_candidates_escape_hatch_is_exact(built, tier):
+    """candidates = per-shard rows ⇒ the scan stage cannot drop anything
+    ⇒ ids AND scores equal the exact distributed search."""
+    aspace, gl, data, sharded = built
+    rng = np.random.default_rng(3)
+    Q = data[rng.choice(len(data), 8, replace=False)]
+    n_local = int(sharded.X.shape[0]) // 4
+    idx_e, sc_e = sharded.search_batch(Q, k=10)
+    idx_q, sc_q = sharded.search_batch(
+        Q, k=10, quantized=tier, candidates=n_local
+    )
+    np.testing.assert_array_equal(idx_q, idx_e)
+    np.testing.assert_allclose(sc_q, sc_e, atol=2e-5)
+
+
+@pytest.mark.parametrize("tier", TIERS)
+def test_recall_vs_exact(built, tier):
+    """Default candidate width: high recall on the blob fixture (the
+    per-shard pool is D× the single-chip pool at equal ``candidates``)."""
+    aspace, gl, data, sharded = built
+    rng = np.random.default_rng(11)
+    Q = data[rng.choice(len(data), 16, replace=False)]
+    idx_e, _ = sharded.search_batch(Q, k=10)
+    idx_q, _ = sharded.search_batch(Q, k=10, quantized=tier)
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(idx_e, idx_q)
+    )
+    assert hits / idx_e.size >= 0.9
+
+
+def test_int8_auto_routes(built):
+    aspace, gl, data, sharded = built
+    Q = data[:4]
+    idx, sc = sharded.search_batch(Q, k=5, quantized="int8_auto")
+    assert idx.shape == (4, 5)
+    # Small batch routes to int8_rescored; the compiled closure is cached
+    # under that tier's key.
+    assert any(
+        k[0] == "batchq" and k[1] == "int8_rescored"
+        for k in sharded._search_cache
+    )
+
+
+def test_unsupported_tiers_raise(built):
+    aspace, gl, data, sharded = built
+    with pytest.raises(ValueError, match="not supported"):
+        sharded.search_batch(data[:2], k=3, quantized=True)
+    with pytest.raises(ValueError, match="bf16_rescored"):
+        sharded.search_batch(data[:2], k=3, quantized="bf16_rescored")
+
+
+def test_multislice_mesh_tier(built):
+    from matternet_rs_tpu.parallel.mesh import make_mesh_2d
+
+    aspace, gl, data, sharded = built
+    mesh = make_mesh_2d(2, 4)
+    sh2 = ShardedArrowSpace.from_arrowspace(aspace, gl, mesh=mesh)
+    rng = np.random.default_rng(5)
+    Q = data[rng.choice(len(data), 8, replace=False)]
+    tables = _exact_score_table(aspace, gl, Q, k_all=len(data))
+    idx, sc = sh2.search_batch(Q, k=8, quantized="int8_rescored")
+    for r in range(8):
+        for i, s in zip(idx[r], sc[r]):
+            assert s == pytest.approx(tables[r][int(i)], abs=2e-5)
+
+
+def test_sketch_reuse_and_shape_guard(built):
+    """The per-shard int8 sketch is built once and cached."""
+    aspace, gl, data, sharded = built
+    p1 = sharded._ensure_int8()
+    p2 = sharded._ensure_int8()
+    assert p1 is p2
+    assert p1[0].shape == sharded.X.shape
+    assert p1[0].dtype == np.int8

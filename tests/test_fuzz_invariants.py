@@ -413,3 +413,190 @@ def test_random_fused_wide_f_tie_corpus(f, seed, monkeypatch):
             sref[row][ids], sref[row][q_rows[row]], rtol=0, atol=tol
         ).any()
         assert self_ok
+
+
+def _patch_rescored_interpret(monkeypatch):
+    """Route the maxima-first rescored pipeline through interpret-mode
+    Pallas on CPU: kernels in interpret mode, the TPU-platform gate in
+    ``tilemax_only_supported`` replaced by its shape-only checks."""
+    import functools
+
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    monkeypatch.setattr(
+        tmf, "tilemax_only",
+        functools.partial(tmf.tilemax_only, interpret=True),
+    )
+    monkeypatch.setattr(
+        tmf, "slab_dots_ring",
+        functools.partial(tmf.slab_dots_ring, interpret=True),
+    )
+
+    def cpu_tilemax_only_supported(nn, ff, bb, tile, subs=tmf.SUBS):
+        return (
+            nn >= tile and ff <= tmf.MAX_FUSED_F_WIDE
+            and tmf.MIN_FUSED_B <= bb <= tmf.MAX_FUSED_B
+            and tile % (subs * 128) == 0
+        )
+
+    monkeypatch.setattr(
+        tmf, "tilemax_only_supported", cpu_tilemax_only_supported
+    )
+
+
+def _tie_corpus(rng, n, f):
+    """Coordinate-quantized integer corpus with exact duplicate rows
+    scattered across slab boundaries — massive exact-score tie groups at
+    sub-tile granularity (the rescored tiers' selection unit)."""
+    levels = int(rng.choice([2, 3]))
+    X = rng.integers(-levels, levels + 1, (n, f)).astype(np.float32)
+    X[rng.integers(0, n, n // 4)] = X[rng.integers(0, n, n // 4)]
+    lams = (rng.integers(0, 4, n) / 4.0).astype(np.float32)
+    return X, lams
+
+
+@pytest.mark.parametrize(
+    "tier,seed", [("bf16x3", 0), ("bf16x3", 1), ("int8", 2), ("int8", 3)]
+)
+def test_random_fused_rescored_tie_corpus(tier, seed, monkeypatch):
+    """VERDICT r4 #4: adversarial-tie fuzz for the maxima-first rescored
+    selection (``ops/search.fused_scan_rescored`` — the sub-tile maxima
+    producer + ring-DMA slab rescore behind ``quantized="int8_rescored"``
+    and ``"bf16x3_rescored"``), interpret-mode Pallas on CPU.
+
+    PARITY.md "Rescored tiers" contract asserted row-for-row:
+    (a) EVERY returned score equals the exact flat blended score of that
+        id — returned scores are always exact, for both scan precisions;
+    (b) every returned id clears the flat k-th score minus the tier's
+        scan-precision margin (approximation is candidate recall ONLY);
+    (c) bf16x3 on an integer corpus has EXACT scan dots, so under
+        engineered sub-tile tie floods the returned score multiset must
+        equal flat top_k's (ids may tie-substitute — the documented
+        contract);
+    (d) indices distinct/in-range; exact-row self-queries recover
+        themselves or an identically-scoring duplicate."""
+    import jax
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops import search as so
+
+    rng = np.random.default_rng(600 + seed)
+    n = int(rng.integers(so.FUSED_TILEMAX_MIN_N + 1, 40_000))
+    f = int(rng.choice([16, 32, 64]))
+    b, k = 16, int(rng.choice([5, 10]))
+    X, lams = _tie_corpus(rng, n, f)
+    norms = np.linalg.norm(X, axis=1).astype(np.float32)
+    q_rows = rng.integers(0, n, b)
+    Q = X[q_rows].copy()
+    qls = lams[q_rows].copy()
+    alphas = np.full(b, 0.7, np.float32)
+
+    _patch_rescored_interpret(monkeypatch)
+    cand = max(4 * k, 32)
+    # The routing predicate must ADMIT this shape or the test is vacuous.
+    assert so.fused_rescored_path(n, f, b, k, cand)
+
+    Xd = jnp.asarray(X)
+    if tier == "int8":
+        from matternet_rs_tpu.core import _quantize_rows_device_jit
+
+        Xscan, scan_rn = _quantize_rows_device_jit(Xd)
+        margin = 0.03          # int8 per-row-absmax grid ≈ 0.8% rel dots
+    else:
+        Xscan, scan_rn = Xd, None
+        margin = 2e-5          # exact integer dots + ~2ulp rn epilogue
+    idx, top = so.fused_scan_rescored(
+        Xscan, Xd, jnp.asarray(norms), jnp.asarray(lams),
+        jnp.asarray(Q), jnp.asarray(qls), k, cand, jnp.asarray(alphas),
+        scan_rn=scan_rn,
+    )
+    idx, top = np.asarray(idx), np.asarray(top)
+
+    sref = np.asarray(so._batched_scores(
+        Xd, jnp.asarray(norms), jnp.asarray(lams), jnp.asarray(Q),
+        jnp.asarray(qls), jnp.asarray(alphas),
+    ))
+    ft, _ = jax.lax.top_k(jnp.asarray(sref), k)
+    ft = np.asarray(ft)
+
+    tol = 2e-5
+    for row in range(b):
+        ids = idx[row]
+        # (d) distinct, in-range.
+        assert len(set(ids.tolist())) == len(ids)
+        assert (0 <= ids).all() and (ids < n).all()
+        # (a) returned-score EXACTNESS: rescored == flat exact per id.
+        np.testing.assert_allclose(
+            top[row], sref[row][ids], rtol=1e-6, atol=tol
+        )
+        # (b) candidate-recall-only: every id clears flat's k-th score
+        # minus the scan-precision margin.
+        assert (sref[row][ids] >= ft[row][-1] - margin - tol).all()
+        # (c) exact-scan tier: score multiset equality under tie floods.
+        if tier == "bf16x3":
+            np.testing.assert_allclose(top[row], ft[row], rtol=0, atol=tol)
+        # Self-query recovery (or an identically-scoring duplicate).
+        assert q_rows[row] in ids.tolist() or np.isclose(
+            sref[row][ids], sref[row][q_rows[row]], rtol=0,
+            atol=margin + tol,
+        ).any()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_rescored_mask_from_pad_rows(seed, monkeypatch):
+    """The sharded path's zero-pad contract on the rescored pipeline
+    (``mask_from``): padded rows engineered to be ATTRACTIVE unmasked
+    (λ equal to the query λ ⇒ blended score (1−α)·1 = 0.3 at cos 0)
+    must never be returned, and the real rows' contract (score
+    exactness + tie-flood multiset) must hold unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from matternet_rs_tpu.ops import search as so
+
+    rng = np.random.default_rng(700 + seed)
+    n = int(rng.integers(so.FUSED_TILEMAX_MIN_N + 1, 38_000))
+    f = int(rng.choice([16, 32]))
+    b, k = 16, 10
+    X, lams = _tie_corpus(rng, n, f)
+    q_rows = rng.integers(0, n, b)
+    Q = X[q_rows].copy()
+    qls = lams[q_rows].copy()
+
+    pad = int(rng.integers(1, 3000))
+    Xp = np.concatenate([X, np.zeros((pad, f), np.float32)])
+    # Adversarial pad λ: exactly the first query's λ.
+    lamsp = np.concatenate([lams, np.full(pad, qls[0], np.float32)])
+    normsp = np.linalg.norm(Xp, axis=1).astype(np.float32)
+    alphas = np.full(b, 0.7, np.float32)
+
+    _patch_rescored_interpret(monkeypatch)
+    cand = max(4 * k, 32)
+    assert so.fused_rescored_path(n + pad, f, b, k, cand)
+
+    idx, top = so.fused_scan_rescored(
+        jnp.asarray(Xp), jnp.asarray(Xp), jnp.asarray(normsp),
+        jnp.asarray(lamsp), jnp.asarray(Q), jnp.asarray(qls), k, cand,
+        jnp.asarray(alphas), mask_from=jnp.int32(n),
+    )
+    idx, top = np.asarray(idx), np.asarray(top)
+
+    sref = np.asarray(so._batched_scores(
+        jnp.asarray(X), jnp.asarray(np.linalg.norm(X, axis=1).astype(np.float32)),
+        jnp.asarray(lams), jnp.asarray(Q), jnp.asarray(qls),
+        jnp.asarray(alphas),
+    ))
+    ft, _ = jax.lax.top_k(jnp.asarray(sref), k)
+    ft = np.asarray(ft)
+
+    tol = 2e-5
+    for row in range(b):
+        ids = idx[row]
+        # No padded id may EVER be returned.
+        assert (ids < n).all(), f"pad row leaked: {ids[ids >= n]}"
+        assert (0 <= ids).all() and len(set(ids.tolist())) == len(ids)
+        np.testing.assert_allclose(
+            top[row], sref[row][ids], rtol=1e-6, atol=tol
+        )
+        # Real-row tie-flood multiset contract, unchanged by the padding.
+        np.testing.assert_allclose(top[row], ft[row], rtol=0, atol=tol)
