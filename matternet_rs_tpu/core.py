@@ -55,9 +55,18 @@ TILEMAX_MIN_N = search_ops.TILEMAX_MIN_N
 # ("bf16x3", "int8-rescored", ...) must raise, not silently fall through
 # the tier dispatch to the truthy-string bf16 scan with degraded recall.
 QUANT_TIERS = frozenset(
-    {"int8", "int8_auto", "int8_rescored", "bf16_rescored",
+    {"auto", "int8", "int8_auto", "int8_rescored", "bf16_rescored",
      "bf16x3_rescored"}
 )
+
+# Tiers that are measurably DOMINATED on the common (clustered) corpus
+# shape and therefore gated behind an explicit override (VERDICT r4 #7):
+# bf16_rescored measured recall@10 0.55 on the clustered 1M fixture while
+# int8_rescored was simultaneously faster (2.36 vs 2.37-2.83 ms), 2x the
+# recall (0.875) and half the sketch bytes. It survives only as a
+# spread/normalized-corpus comparison rung — reachable with
+# allow_low_recall=True, never by default.
+LOW_RECALL_TIERS = frozenset({"bf16_rescored"})
 
 
 def _routed_batched_search(X, norms, lams, Q, q_lams, k, alphas, approx):
@@ -866,6 +875,7 @@ class ArrowSpace:
         self, queries, gl: GraphLaplacian, k: int, alpha: float = 0.7,
         approx: bool = False, return_raw: bool = False,
         quantized: bool | str = False, candidates: Optional[int] = None,
+        recall_target: float = 0.95, allow_low_recall: bool = False,
     ):
         """Batched query path: fused λ preparation for all queries (one
         taumode dispatch, or one nearest-sub-centroid matmul in energy
@@ -911,6 +921,15 @@ class ArrowSpace:
         parity-grade scores; the only approximation is scan-precision
         recall at the sub-tile selection boundary.
 
+        ``"auto"`` routes on ``recall_target`` and the batch size over
+        the measured ladder: recall_target ≥ 0.99 → bf16x3_rescored
+        (measured recall 1.0, 1.13× exact, no sketch); otherwise the
+        int8 rungs with the 1024-query crossover. ``"bf16_rescored"``
+        is GATED (``allow_low_recall=True`` required): it is dominated
+        by int8_rescored on clustered corpora (recall 0.55 vs 0.875 at
+        equal-or-better speed — VERDICT r4 #7) and is kept only as the
+        spread/normalized-corpus comparison rung.
+
         Perf note for ``"int8"``: pair it with ``approx=True`` (the
         measured 2.4 ms/256q configuration at 1M×128 — candidate stage
         via ``approx_max_k`` at recall 0.95, absorbed by the exact
@@ -928,6 +947,16 @@ class ArrowSpace:
                 f"unknown quantized tier {quantized!r}: expected a bool or "
                 f"one of {sorted(QUANT_TIERS)}"
             )
+        if quantized in LOW_RECALL_TIERS and not allow_low_recall:
+            raise ValueError(
+                f"quantized tier {quantized!r} is dominated on clustered "
+                "corpora (measured recall@10 0.55 at 1M vs int8_rescored's "
+                "0.875 at equal-or-better speed and half the sketch "
+                "memory — DESIGN.md 'Rescored tiers'). Use "
+                "'int8_rescored', 'bf16x3_rescored' or 'auto'; pass "
+                "allow_low_recall=True only for spread/normalized corpora "
+                "where one-pass bf16 rounding is known to be benign."
+            )
         Q = jnp.asarray(queries, jnp.float32)
         if Q.ndim == 1:
             Q = Q[None, :]
@@ -940,6 +969,24 @@ class ArrowSpace:
             Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
         alphas = _alpha_vector(alpha, b_pad)
 
+        if quantized == "auto":
+            # Recall-target-aware routing over the MEASURED ladder
+            # (VERDICT r4 #7 — the int8_auto crossover generalized):
+            # * recall_target ≥ 0.99 → bf16x3_rescored: the only
+            #   faster-than-exact rung measured at recall 1.0 on the
+            #   clustered 1M fixture (1.13× exact), and it needs no
+            #   sketch copy.
+            # * throughput mode (default 0.95): the int8 ladder — the
+            #   fastest rungs at their measured recalls (0.875 below the
+            #   1024-query crossover, 0.9875 pool-cut above it). The
+            #   int8 sketch builds lazily on first use (N·(F+4) bytes);
+            #   callers that must avoid the copy pick bf16x3 explicitly.
+            if recall_target >= 0.99:
+                quantized = "bf16x3_rescored"
+            elif b_pad >= 1024:
+                quantized, approx = "int8", True
+            else:
+                quantized = "int8_rescored"
         if quantized == "int8_auto":
             # Measured batch-size crossover (TUNING "speed ladder",
             # scripts/probe_int8_fused.py): below ~1024 queries the

@@ -80,16 +80,21 @@ class EigenIndex(_FittedMixin):
     def query_batch(
         self, Q, k: int = 10, alpha: Optional[float] = None,
         approx: bool = False, quantized: bool | str = False,
-        candidates: Optional[int] = None,
+        candidates: Optional[int] = None, recall_target: float = 0.95,
+        allow_low_recall: bool = False,
     ):
         """Batched serving path with the full tier ladder
-        (``quantized``: False / True / "int8" / "int8_rescored" /
-        "int8_auto" / "bf16_rescored" / "bf16x3_rescored" — TUNING.md).
+        (``quantized``: False / True / "auto" / "int8" /
+        "int8_rescored" / "int8_auto" / "bf16x3_rescored" — TUNING.md;
+        ``"auto"`` routes on ``recall_target`` and batch size over the
+        measured ladder, and the dominated ``"bf16_rescored"`` rung
+        needs ``allow_low_recall=True`` — core.search_batch).
         Returns ``(indices [B, k], scores [B, k])``."""
         self._check_fitted()
         return self.aspace.search_batch(
             Q, self.gl, k, alpha if alpha is not None else self.alpha,
             approx=approx, quantized=quantized, candidates=candidates,
+            recall_target=recall_target, allow_low_recall=allow_low_recall,
         )
 
 

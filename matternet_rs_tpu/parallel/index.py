@@ -387,6 +387,7 @@ class ShardedArrowSpace:
     def search_batch(
         self, queries, k: int, alpha: float = 0.7,
         quantized: bool | str = False, candidates: int | None = None,
+        recall_target: float = 0.95,
     ):
         """Batched distributed search: fused query-λ preparation (one
         taumode dispatch against the replicated graph) + per-shard batch
@@ -403,9 +404,11 @@ class ShardedArrowSpace:
         the exact scores — returned scores are parity-grade, the only
         approximation is per-shard candidate recall (≥ the single-chip
         tier's at equal ``candidates``: the global pool is D× wider).
-        ``"int8_auto"`` applies the measured batch-size crossover
-        (core.search_batch). The dominated ``bf16_rescored`` rung and the
-        bare bf16-scan ``True`` are deliberately NOT offered here."""
+        ``"int8_auto"`` applies the measured batch-size crossover and
+        ``"auto"`` additionally routes on ``recall_target``
+        (core.search_batch semantics). The dominated ``bf16_rescored``
+        rung and the bare bf16-scan ``True`` are deliberately NOT
+        offered here."""
         from matternet_rs_tpu.parallel.search import (
             make_sharded_search_batch,
             make_sharded_search_batch_quantized,
@@ -431,7 +434,7 @@ class ShardedArrowSpace:
             )
             return np.asarray(idx), np.asarray(sc)
 
-        sharded_tiers = ("int8", "int8_auto", "int8_rescored",
+        sharded_tiers = ("auto", "int8", "int8_auto", "int8_rescored",
                          "bf16x3_rescored")
         if quantized not in sharded_tiers:
             raise ValueError(
@@ -447,7 +450,13 @@ class ShardedArrowSpace:
         if b_pad != b:
             Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
             q_lams = jnp.pad(jnp.asarray(q_lams), (0, b_pad - b))
-        if quantized == "int8_auto":
+        if quantized == "auto":
+            # Same recall-target-aware routing as core.search_batch.
+            if recall_target >= 0.99:
+                quantized = "bf16x3_rescored"
+            else:
+                quantized = "int8" if b_pad >= 1024 else "int8_rescored"
+        elif quantized == "int8_auto":
             quantized = "int8" if b_pad >= 1024 else "int8_rescored"
         n_local = int(self.X.shape[0]) // int(self.mesh.devices.size)
         c = candidates if candidates is not None else max(4 * k, 32)

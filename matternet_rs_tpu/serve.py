@@ -32,6 +32,7 @@ from typing import Optional
 import numpy as np
 
 from matternet_rs_tpu.core import (
+    LOW_RECALL_TIERS as _LOW_RECALL_TIERS,
     QUANT_TIERS as _QUANT_TIERS,
     ArrowSpace,
     UndecidableQueryError,
@@ -40,11 +41,20 @@ from matternet_rs_tpu.graph import GraphLaplacian
 
 log = logging.getLogger(__name__)
 
-# _QUANT_TIERS (imported from core.QUANT_TIERS above): the named scan
-# tiers `ArrowSpace.search_batch` accepts for ``quantized`` beyond the
-# bf16-copy bool; unknown strings are rejected at the HTTP edge (400)
-# and by IndexService.search (ValueError) rather than silently coerced
-# to the bf16 scan.
+# The named scan tiers the SERVICE accepts for ``quantized`` beyond the
+# bf16-copy bool: core's ladder minus the gated low-recall rungs —
+# serving has no allow_low_recall override (VERDICT r4 #7: a tier with
+# measured recall 0.55 must not be reachable over HTTP). Unknown strings
+# are rejected at the HTTP edge (400) and by IndexService.search
+# (ValueError) rather than silently coerced to the bf16 scan.
+_SERVE_TIERS = frozenset(_QUANT_TIERS - _LOW_RECALL_TIERS)
+
+
+class ServiceOverloadedError(RuntimeError):
+    """Admission control (VERDICT r4 #8): raised by ``_submit`` when the
+    request queue exceeds ``max_queue_depth`` — mapped to HTTP 429 at the
+    edge. Shedding at admission keeps the queue-wait tail bounded instead
+    of letting every accepted request pay the full backlog."""
 
 
 @dataclasses.dataclass
@@ -87,20 +97,35 @@ class IndexService:
 
     def __init__(self, aspace: ArrowSpace, gl: GraphLaplacian,
                  batch_window_ms: float = 2.0, max_batch: int = 256,
-                 energy_candidates=None):
+                 energy_candidates=None,
+                 max_queue_depth: Optional[int] = None):
         self.aspace = aspace
         self.gl = gl
         self._nfeatures = aspace.nfeatures
         # Banded two-stage energy dispatch: int window, "auto", or None for
         # the single-pass full scan (energymaps.search_energy_batch).
         self.energy_candidates = energy_candidates
-        self._init_batching(batch_window_ms, max_batch)
+        self._init_batching(batch_window_ms, max_batch, max_queue_depth)
 
-    def _init_batching(self, batch_window_ms: float, max_batch: int) -> None:
+    def _init_batching(self, batch_window_ms: float, max_batch: int,
+                       max_queue_depth: Optional[int] = None) -> None:
         import concurrent.futures
 
         self.batch_window_s = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        # Admission bound (VERDICT r4 #8): None = accept everything (the
+        # prior behavior); an int sheds with ServiceOverloadedError (HTTP
+        # 429) once the UNDISPATCHED queue reaches this depth. Queue depth
+        # is the direct measure of the wait tail: every queued request
+        # pays ~depth/throughput of latency before its batch even forms.
+        self.max_queue_depth = max_queue_depth
+        # Backlog threshold above which the collector skips its batching
+        # window: if this many requests are already waiting when a
+        # dispatch slot frees, arrivals have been coalescing for a full
+        # dispatch already — waiting the window only adds tail latency.
+        self.adaptive_min_backlog = 8
+        self.queue_depth_peak = 0
+        self.n_shed = 0
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -182,9 +207,17 @@ class IndexService:
             n_q, n_b = self.n_queries, self.n_batches
             n = min(self._lat_n, len(self._lat_ring))
             lat = np.sort(self._lat_ring[:n], axis=0) if n else None
+            depth, peak, shed = (
+                len(self._queue), self.queue_depth_peak, self.n_shed,
+            )
         out = {
             "batch_occupancy": round(n_q / n_b, 2) if n_b else None,
             "latency_window": n,
+            # Backlog visibility (VERDICT r4 #8): current undispatched
+            # depth, the peak since reset, and admission-control sheds.
+            "queue_depth": depth,
+            "queue_depth_peak": peak,
+            "requests_shed": shed,
         }
         if lat is not None:
             for col, tag in ((0, "latency"), (1, "queue_wait"), (2, "dispatch")):
@@ -204,6 +237,8 @@ class IndexService:
             self.n_queries = 0
             self.n_batches = 0
             self._lat_n = 0
+            self.queue_depth_peak = 0
+            self.n_shed = 0
 
     # ------------------------------------------------------------------
     # micro-batching
@@ -212,7 +247,17 @@ class IndexService:
         with self._cv:
             if self._closed:
                 raise RuntimeError("index service is closed")
+            depth = len(self._queue)
+            if (self.max_queue_depth is not None
+                    and depth >= self.max_queue_depth):
+                self.n_shed += 1
+                raise ServiceOverloadedError(
+                    f"queue depth {depth} at the admission bound "
+                    f"({self.max_queue_depth}); retry with backoff"
+                )
             self._queue.append(pending)
+            if depth + 1 > self.queue_depth_peak:
+                self.queue_depth_peak = depth + 1
             self._cv.notify()
         pending.done.wait()
         if pending.error is not None:
@@ -234,13 +279,18 @@ class IndexService:
                     return
                 # Collect until the window elapses OR a full batch is ready
                 # (a burst of max_batch requests dispatches immediately —
-                # no fixed latency floor under sustained load).
-                deadline = time.monotonic() + self.batch_window_s
-                while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    self._cv.wait(timeout=remaining)
+                # no fixed latency floor under sustained load). ADAPTIVE
+                # under backlog (VERDICT r4 #8): when ≥ adaptive_min_backlog
+                # requests are already queued at slot acquisition, arrivals
+                # coalesced during the previous dispatch — cut immediately,
+                # the window would only add tail latency.
+                if len(self._queue) < self.adaptive_min_backlog:
+                    deadline = time.monotonic() + self.batch_window_s
+                    while len(self._queue) < self.max_batch and not self._closed:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(timeout=remaining)
                 batch, self._queue = self._queue[: self.max_batch * 4], \
                     self._queue[self.max_batch * 4:]
             # Group WITHOUT alpha: the batched kernel takes a traced
@@ -377,12 +427,13 @@ class IndexService:
         # string must raise here (the programmatic path), matching the
         # HTTP edge's 400 — a blanket bool() coercion would silently
         # serve mistyped tier requests with the bf16 scan.
-        if isinstance(quantized, str) and quantized not in _QUANT_TIERS:
+        if isinstance(quantized, str) and quantized not in _SERVE_TIERS:
             raise ValueError(
-                f"unknown quantized tier {quantized!r}: expected a bool "
-                f"or one of {sorted(_QUANT_TIERS)}"
+                f"unknown or unserved quantized tier {quantized!r}: "
+                f"expected a bool or one of {sorted(_SERVE_TIERS)} "
+                "(gated low-recall tiers are not servable)"
             )
-        qz = quantized if quantized in _QUANT_TIERS else bool(quantized)
+        qz = quantized if quantized in _SERVE_TIERS else bool(quantized)
         return self._submit(
             _Pending(q, int(k), float(alpha), bool(approx), "blend",
                      quantized=qz)
@@ -412,7 +463,8 @@ class StreamingIndexService(IndexService):
 
     def __init__(self, index, batch_window_ms: float = 2.0,
                  max_batch: int = 256, sketch: bool = True,
-                 candidates: Optional[int] = None, mesh=None):
+                 candidates: Optional[int] = None, mesh=None,
+                 max_queue_depth: Optional[int] = None):
         self.index = index
         self.use_sketch = sketch
         self.candidates = candidates
@@ -432,7 +484,7 @@ class StreamingIndexService(IndexService):
             index.build_sketch()     # pay the one-time upload up front
             self._sketch_search = index.search_batch_sketch
             self._energy_search = index.search_energy_batch_sketch
-        self._init_batching(batch_window_ms, max_batch)
+        self._init_batching(batch_window_ms, max_batch, max_queue_depth)
 
     @classmethod
     def from_store(cls, directory, **kwargs) -> "StreamingIndexService":
@@ -491,11 +543,14 @@ class StreamingIndexService(IndexService):
 
 def make_handler(service: IndexService):
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   headers: dict | None = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for name, val in (headers or {}).items():
+                self.send_header(name, val)
             self.end_headers()
             self.wfile.write(body)
 
@@ -531,12 +586,12 @@ def make_handler(service: IndexService):
             except (TypeError, ValueError):
                 return self._reply(400, {"error": "'alpha' must be a number"})
             qz = doc.get("quantized", False)
-            if isinstance(qz, str) and qz not in _QUANT_TIERS:
+            if isinstance(qz, str) and qz not in _SERVE_TIERS:
                 return self._reply(400, {
-                    "error": f"unknown quantized tier {qz!r}; "
-                             f"one of {sorted(_QUANT_TIERS)} or a bool"
+                    "error": f"unknown or unserved quantized tier {qz!r}; "
+                             f"one of {sorted(_SERVE_TIERS)} or a bool"
                 })
-            if qz not in _QUANT_TIERS:   # False / True / named tier
+            if qz not in _SERVE_TIERS:   # False / True / named tier
                 qz = bool(qz)
 
             try:
@@ -554,6 +609,13 @@ def make_handler(service: IndexService):
                     return self._reply(404, {"error": f"unknown path {self.path}"})
             except UndecidableQueryError as exc:
                 return self._reply(422, {"error": str(exc)})
+            except ServiceOverloadedError as exc:
+                # Admission control: the client should back off and retry
+                # (429 + Retry-After, the standard shed contract).
+                return self._reply(
+                    429, {"error": str(exc)},
+                    headers={"Retry-After": "1"},
+                )
             except ValueError as exc:
                 return self._reply(400, {"error": str(exc)})
             self._reply(200, {"results": results})

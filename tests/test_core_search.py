@@ -593,7 +593,8 @@ def test_bf16_rescored_full_pool_matches_f32_exactly(built):
     Q = data[[3, 17, 41, 66]]
     ref_ids, ref_sc = aspace.search_batch(Q, gl, 5)
     got_ids, got_sc = aspace.search_batch(
-        Q, gl, 5, quantized="bf16_rescored", candidates=len(data)
+        Q, gl, 5, quantized="bf16_rescored", candidates=len(data),
+        allow_low_recall=True,
     )
     np.testing.assert_array_equal(got_ids, ref_ids)
     np.testing.assert_allclose(got_sc, ref_sc, atol=1e-5)
@@ -602,7 +603,9 @@ def test_bf16_rescored_full_pool_matches_f32_exactly(built):
 def test_bf16_rescored_default_pool_self_top1_and_overlap(built):
     aspace, gl, data = built
     Q = data[:16]
-    got_ids, _ = aspace.search_batch(Q, gl, 5, quantized="bf16_rescored")
+    got_ids, _ = aspace.search_batch(
+        Q, gl, 5, quantized="bf16_rescored", allow_low_recall=True
+    )
     assert np.all(got_ids[:, 0] == np.arange(16))
     ref_ids, _ = aspace.search_batch(Q, gl, 5)
     overlap = np.mean([
@@ -619,7 +622,7 @@ def test_bf16_rescored_scores_are_exact_on_candidates(built):
     aspace, gl, data = built
     q = data[29]
     got_ids, got_sc = aspace.search_batch(
-        q, gl, 8, quantized="bf16_rescored"
+        q, gl, 8, quantized="bf16_rescored", allow_low_recall=True
     )
     ql = aspace.prepare_query_item(q, gl)
     exact = dict(aspace.search_lambda_aware(q, ql, len(data)))
@@ -665,10 +668,65 @@ def test_unknown_quantized_tier_raises(built):
         assert bad not in QUANT_TIERS
         with pytest.raises(ValueError, match="unknown quantized tier"):
             aspace.search_batch(data[:4], gl, 5, quantized=bad)
-    # Bools and every named tier still dispatch.
+    # Bools and every named tier still dispatch (the gated low-recall
+    # tier with its explicit override).
+    from matternet_rs_tpu.core import LOW_RECALL_TIERS
+
     for ok in (False, True, *QUANT_TIERS):
-        idx, _ = aspace.search_batch(data[:4], gl, 5, quantized=ok)
+        idx, _ = aspace.search_batch(
+            data[:4], gl, 5, quantized=ok,
+            allow_low_recall=ok in LOW_RECALL_TIERS,
+        )
         assert idx.shape == (4, 5)
+
+
+def test_dominated_tier_gated(built):
+    """VERDICT r4 #7: the dominated bf16_rescored rung (measured recall
+    0.55 on the clustered fixture) must NOT be reachable without an
+    explicit override — and the error must say what to use instead."""
+    aspace, gl, data = built
+    with pytest.raises(ValueError, match="dominated"):
+        aspace.search_batch(data[:4], gl, 5, quantized="bf16_rescored")
+    # The override works.
+    idx, _ = aspace.search_batch(
+        data[:4], gl, 5, quantized="bf16_rescored", allow_low_recall=True
+    )
+    assert idx.shape == (4, 5)
+
+
+def test_auto_tier_routes_on_recall_target(built, monkeypatch):
+    """``quantized="auto"`` (VERDICT r4 #7): recall_target ≥ 0.99 must
+    route to bf16x3_rescored (measured recall 1.0); the throughput
+    default routes the int8 ladder with the 1024-query crossover."""
+    import matternet_rs_tpu.core as core_mod
+
+    aspace, gl, data = built
+    calls = []
+
+    real_b3r = core_mod._batched_search_b3r_jit
+    real_i8r = core_mod._batched_search_i8r_jit
+    real_i8 = core_mod._batched_search_int8_jit
+    monkeypatch.setattr(
+        core_mod, "_batched_search_b3r_jit",
+        lambda *a, **kw: calls.append("b3r") or real_b3r(*a, **kw),
+    )
+    monkeypatch.setattr(
+        core_mod, "_batched_search_i8r_jit",
+        lambda *a, **kw: calls.append("i8r") or real_i8r(*a, **kw),
+    )
+    monkeypatch.setattr(
+        core_mod, "_batched_search_int8_jit",
+        lambda *a, **kw: calls.append("i8") or real_i8(*a, **kw),
+    )
+
+    aspace.search_batch(data[:4], gl, 5, quantized="auto",
+                        recall_target=0.99)
+    assert calls[-1] == "b3r"
+    aspace.search_batch(data[:4], gl, 5, quantized="auto")
+    assert calls[-1] == "i8r"
+    big = np.repeat(data[:64], 16, axis=0)          # 1024 queries
+    aspace.search_batch(big, gl, 5, quantized="auto")
+    assert calls[-1] == "i8"
 
 
 def test_lazy_sketch_init_is_race_free(built):

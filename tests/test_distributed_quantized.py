@@ -104,6 +104,21 @@ def test_int8_auto_routes(built):
     )
 
 
+def test_auto_tier_recall_target_routes(built):
+    """``"auto"`` on the mesh (VERDICT r4 #7): recall_target ≥ 0.99 must
+    route to the bf16x3 scan; the throughput default takes the int8
+    ladder (same rules as core.search_batch)."""
+    aspace, gl, data, sharded = built
+    idx, _ = sharded.search_batch(
+        data[:4], k=5, quantized="auto", recall_target=0.99
+    )
+    assert idx.shape == (4, 5)
+    assert any(
+        k[0] == "batchq" and k[1] == "bf16x3_rescored"
+        for k in sharded._search_cache
+    )
+
+
 def test_unsupported_tiers_raise(built):
     aspace, gl, data, sharded = built
     with pytest.raises(ValueError, match="not supported"):

@@ -21,8 +21,8 @@ def test_eigen_index_query_batch_tiers():
     tier match the single-query path."""
     data = make_gaussian_blob(150, 0.4).astype(np.float32)
     idx = EigenIndex(eps=1.0, k=6, max_clusters=12, radius=4.0).fit(data)
-    for tier in (False, True, "int8", "int8_rescored", "int8_auto",
-                 "bf16x3_rescored"):
+    for tier in (False, True, "auto", "int8", "int8_rescored",
+                 "int8_auto", "bf16x3_rescored"):
         ids, sc = idx.query_batch(data[:8], k=5, quantized=tier)
         assert ids.shape == (8, 5)
         assert (ids[:, 0] == np.arange(8)).all(), tier

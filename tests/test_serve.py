@@ -647,8 +647,9 @@ def test_int8_quantized_reaches_dispatch(server):
                 "query": d2[3].tolist(), "k": 3, "quantized": True,
             })
             assert code == 200 and seen[-1] is True
-            # round-4 tier values pass the edge verbatim too
-            for tier in ("int8_rescored", "int8_auto"):
+            # round-4/5 tier values pass the edge verbatim too
+            for tier in ("int8_rescored", "int8_auto", "auto",
+                         "bf16x3_rescored"):
                 code, _ = _post(base2 + "/search", {
                     "query": d2[3].tolist(), "k": 3, "quantized": tier,
                 })
@@ -658,6 +659,13 @@ def test_int8_quantized_reaches_dispatch(server):
                 "query": d2[3].tolist(), "k": 3, "quantized": "int9",
             })
             assert code == 400
+            # the gated low-recall tier is NOT servable (VERDICT r4 #7 —
+            # no allow_low_recall override exists over HTTP)
+            code, doc3 = _post(base2 + "/search", {
+                "query": d2[3].tolist(), "k": 3,
+                "quantized": "bf16_rescored",
+            })
+            assert code == 400 and "unserved" in doc3["error"]
         finally:
             srv.shutdown()
             svc.close()
@@ -838,10 +846,161 @@ def test_programmatic_unknown_tier_raises():
     aspace, gl = b.build(data)
     service = IndexService(aspace, gl)
     try:
-        with pytest.raises(ValueError, match="unknown quantized tier"):
+        with pytest.raises(ValueError, match="unknown or unserved"):
             service.search(data[0], k=3, quantized="bf16x3")
+        # The gated low-recall tier is not servable either (r4 #7).
+        with pytest.raises(ValueError, match="unknown or unserved"):
+            service.search(data[0], k=3, quantized="bf16_rescored")
         # Named tiers and bools still serve.
         assert len(service.search(data[0], k=3, quantized="int8")) == 3
         assert len(service.search(data[0], k=3, quantized=True)) == 3
     finally:
         service.close()
+
+
+# ---------------------------------------------------------------------------
+# Overload shaping (VERDICT r4 #8): queue-depth telemetry, adaptive window
+# skip under backlog, admission control (429).
+# ---------------------------------------------------------------------------
+def _tiny_service(**kwargs):
+    from matternet_rs_tpu.utils.fixtures import make_gaussian_blob
+
+    data = make_gaussian_blob(80, 0.4).astype(np.float32)
+    b = (
+        ArrowSpaceBuilder()
+        .with_lambda_graph(1.0, 6)
+        .with_sparsity_check(False)
+        .with_cluster_params(max_clusters=8, radius=4.0)
+        .with_deterministic_clustering(True)
+    )
+    aspace, gl = b.build(data)
+    return IndexService(aspace, gl, **kwargs), data
+
+
+def test_queue_depth_metrics_present():
+    svc, data = _tiny_service()
+    try:
+        svc.search(data[0], k=3)
+        m = svc.metrics()
+        assert m["queue_depth"] == 0            # drained after the reply
+        assert m["queue_depth_peak"] >= 1
+        assert m["requests_shed"] == 0
+        svc.reset_metrics()
+        assert svc.metrics()["queue_depth_peak"] == 0
+    finally:
+        svc.close()
+
+
+def _blocked_backlog(svc, data, n, release, threads):
+    """Block the dispatch path, then build a deterministic backlog: the 2
+    dispatch slots absorb the first two one-request batches; the rest sit
+    undispatched in the queue."""
+    import threading as th
+    import time as t
+
+    orig = svc._run_batch
+
+    def blocking(*a, **kw):
+        release.wait(timeout=30)
+        return orig(*a, **kw)
+
+    svc._run_batch = blocking
+    results = []
+
+    def client(i):
+        try:
+            results.append(("ok", svc.search(data[i % len(data)], k=3)))
+        except Exception as exc:  # noqa: BLE001
+            results.append(("err", exc))
+
+    for i in range(n):
+        thr = th.Thread(target=client, args=(i,), daemon=True)
+        thr.start()
+        threads.append(thr)
+        # Serialize arrivals so batches are cut one-request-wide until
+        # both slots fill, making the final queue depth deterministic.
+        deadline = t.monotonic() + 5.0
+        while t.monotonic() < deadline:
+            with svc._cv:
+                qd = len(svc._queue)
+            if qd + min(i + 1, 2) >= i + 1:
+                break
+            t.sleep(0.005)
+        t.sleep(0.05)
+    return results
+
+
+def test_admission_control_sheds_past_bound():
+    import threading as th
+
+    from matternet_rs_tpu.serve import ServiceOverloadedError
+
+    svc, data = _tiny_service(max_queue_depth=2, batch_window_ms=1.0)
+    release, threads = th.Event(), []
+    try:
+        results = _blocked_backlog(svc, data, 4, release, threads)
+        # Queue now holds 2 (depth == bound): the next submit must shed.
+        with pytest.raises(ServiceOverloadedError, match="queue depth"):
+            svc.search(data[7], k=3)
+        assert svc.metrics()["requests_shed"] == 1
+        release.set()
+        for thr in threads:
+            thr.join(timeout=30)
+        # Every ACCEPTED request completed fine.
+        assert len(results) == 4
+        assert all(tag == "ok" for tag, _ in results), results
+        assert svc.metrics()["queue_depth_peak"] == 2
+    finally:
+        release.set()
+        svc.close()
+
+
+def test_adaptive_window_skips_under_backlog():
+    """With a huge batching window (5 s) and a backlog ≥
+    adaptive_min_backlog at slot acquisition, the collector must cut
+    immediately — total completion far under one window proves the skip
+    (without it, draining the backlog would cost a window per batch)."""
+    import threading as th
+    import time as t
+
+    svc, data = _tiny_service(batch_window_ms=5000.0)
+    svc.adaptive_min_backlog = 1
+    release, threads = th.Event(), []
+    try:
+        _blocked_backlog(svc, data, 6, release, threads)
+        t0 = t.monotonic()
+        release.set()
+        for thr in threads:
+            thr.join(timeout=30)
+        assert t.monotonic() - t0 < 3.0, (
+            "backlog drain waited the batching window despite "
+            "adaptive_min_backlog"
+        )
+    finally:
+        release.set()
+        svc.close()
+
+
+def test_http_429_on_overload():
+    import threading as th
+
+    from matternet_rs_tpu.serve import serve as _serve
+
+    svc, data = _tiny_service(max_queue_depth=1, batch_window_ms=1.0)
+    release, threads = th.Event(), []
+    srv = _serve(svc, port=0, block=False)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _blocked_backlog(svc, data, 3, release, threads)
+        code, doc = _post(base + "/search", {
+            "query": data[0].tolist(), "k": 3,
+        })
+        assert code == 429
+        assert "queue depth" in doc["error"]
+        release.set()
+        for thr in threads:
+            thr.join(timeout=30)
+    finally:
+        release.set()
+        srv.shutdown()
+        svc.close()
