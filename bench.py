@@ -1465,6 +1465,35 @@ def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
             dt = (time.perf_counter() - t0) / reps
             sk[f"unrefined_qps_batch{bsz}"] = round(bsz / dt, 1)
             sk[f"unrefined_ms_batch{bsz}"] = round(dt * 1e3, 1)
+
+        # Round-5 maxima-first sketch scan — the measured NEGATIVE
+        # (DESIGN.md "Negative result: maxima-first on the sketch
+        # tier"): the default rows above use the carry scan; re-measure
+        # the same unrefined shapes with the opt-in maxima-first path
+        # FORCED so the (negative) kernel delta stays an in-artifact
+        # measurement each round, not prose.
+        idx.sketch_maxfirst = True
+        sk["maxfirst_admissible"] = bool(idx._sketch_fused_ok(256, 10, 64))
+        if sk["maxfirst_admissible"]:
+            _mark("ooc: maxfirst before/after")
+            try:
+                for bsz in (256, 1024):
+                    QB = np.repeat(Q, max(1, bsz // len(Q)), axis=0)[:bsz]
+                    idx.search_batch_sketch(QB, 10, refine=False)  # warm
+                    t0 = time.perf_counter()
+                    reps = 3
+                    for _ in range(reps):
+                        idx.search_batch_sketch(QB, 10, refine=False)
+                    dt = (time.perf_counter() - t0) / reps
+                    sk[f"maxfirst_unrefined_qps_batch{bsz}"] = round(
+                        bsz / dt, 1
+                    )
+                    sk[f"maxfirst_vs_carry_batch{bsz}"] = round(
+                        sk[f"maxfirst_unrefined_qps_batch{bsz}"]
+                        / sk[f"unrefined_qps_batch{bsz}"], 2,
+                    )
+            finally:
+                idx.sketch_maxfirst = False
         out["resident_sketch"] = sk
 
         # ---- 8-virtual-device distributed build from a store ------------

@@ -206,6 +206,97 @@ def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng,
     )
 
 
+@jax.jit
+def _sketch_flatten_jit(X8s, mults, lams, mn, rng):
+    """Flat ``[nb·blk, F_pad]`` views of the stacked sketch + the λ
+    column NORMALIZED once (the maxima-first producer consumes
+    normalized λ; re-normalizing [N] per batch would add an N-read/write
+    pass to every dispatch). Reshapes are layout-free; F is additionally
+    zero-padded up to a multiple of 128 when unaligned — Mosaic's DMA
+    lane tiling requires it for the ring slab reader (zero columns
+    contribute 0 to every dot, queries pad to match at dispatch). The
+    normalized λ (4 B/row) and, for unaligned F only, the padded int8
+    copy are the new allocations; ``_sketch_fused_ok`` bounds the
+    latter."""
+    nb, blk, f = X8s.shape
+    f_pad = -(-f // 128) * 128
+    lam_n = jnp.clip((lams.reshape(nb * blk) - mn) / rng, 0.0, 1.0)
+    X8f = X8s.reshape(nb * blk, f)
+    if f_pad != f:
+        X8f = jnp.pad(X8f, ((0, 0), (0, f_pad - f)))
+    return X8f, mults.reshape(nb * blk), lam_n
+
+
+@functools.partial(jax.jit, static_argnames=("rows_out", "kfinal"))
+def _sketch_maxfirst_topk(X8f, mult_f, lam_f, Q, q_lams, alphas, rows_out,
+                          kfinal, n_items):
+    """Maxima-first int8 sketch scan (VERDICT r4 #5 — the round-4
+    ``int8_rescored`` kernel applied to the resident-sketch serving
+    tier): ONE MXU pass over the lossless bf16 upcast of the flat int8
+    sketch emits per-128-row-slab score maxima (``tilemax_only`` with
+    the dequant multiplier riding the epilogue's ``rn`` — no [B, N]
+    score write, no per-block top-k carry), then every row of the top
+    slabs is rescored AT SKETCH PRECISION from the resident int8 rows
+    (a [B, c·128, F] HBM gather — trivial next to the scan) and the
+    top-``kk`` selected. Replaces ``scan_sketch_blocks``'s per-block
+    approx_max_k + concat + merge pipeline, whose selection machinery
+    is the measured difference between 93k and 150k sketch QPS at
+    1M/B=1024 (DESIGN.md "Rescored tiers, maxima-first").
+
+    Same contract as the carry scan: returned scores carry int8/bf16
+    quantization; candidate recall is governed by ``cand`` (slab-granular
+    here — the exact disk rescore downstream absorbs it, measured in
+    bench/tests). Rows ≥ ``n_items`` (suffix padding) are masked at both
+    stages. Caller guarantees the fused envelope via
+    ``StreamingIndex._sketch_fused_ok``.
+
+    ``rows_out``: candidate rows returned per query (the refine stage's
+    ``C``); ``kfinal``: the FINAL top-k — it sizes the slab budget
+    ``c = max(kfinal+4, ceil(rows_out/128))`` exactly like the
+    in-memory tier (the true top-k rows occupy ≤ kfinal slabs, so the
+    +4 margin covers scan-precision maxima reordering; ``c·128 ≥
+    rows_out`` holds by construction)."""
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+    from matternet_rs_tpu.ops.search import DEFAULT_TILE, RESCORE_SUBS
+
+    b = Q.shape[0]
+    n, f = X8f.shape
+    t = DEFAULT_TILE
+    ts = t // RESCORE_SUBS
+    ns = (n // t) * RESCORE_SUBS
+    a = jnp.broadcast_to(jnp.asarray(alphas, jnp.float32), (b,))
+
+    submax = tmf.tilemax_only(
+        X8f, mult_f, lam_f, Q, q_lams, a, tile=t, subs=RESCORE_SUBS,
+        rn=mult_f, mask_from=jnp.asarray(n_items, jnp.int32),
+    )                                                            # [B, ns]
+    c = min(ns, max(kfinal + 4, -(-rows_out // ts)))
+    _, sel = jax.lax.top_k(submax, c)
+    sel = jnp.sort(sel, axis=1)                                  # id-ordered
+
+    # Slab rescore through the ring-DMA reader (8 outstanding HBM→VMEM
+    # slab copies, int8 rows upcast losslessly in-kernel): an XLA
+    # row-index gather + batched-GEMV einsum here measured 24.9 ms vs
+    # the carry scan's 2.8 ms at 1M×96/B=256 — the same latency-bound
+    # gather wall the in-memory tier hit (probe v5/v6).
+    d = tmf.slab_dots_ring(X8f, Q, sel, ts)                      # [B, c, ts]
+    qn = jnp.sqrt(jnp.sum(Q * Q, axis=-1))
+    mult_s = jnp.take(mult_f.reshape(ns, ts), sel, axis=0)       # [B, c, ts]
+    lam_s = jnp.take(lam_f.reshape(ns, ts), sel, axis=0)
+    cos = jnp.clip(
+        d * mult_s / jnp.maximum(qn[:, None, None], 1e-12), -1.0, 1.0
+    )
+    s = _blend(cos, lam_s, q_lams[:, None, None], a[:, None, None])
+    s = s.reshape(b, c * ts)
+    gidx = (
+        sel[:, :, None] * ts + jnp.arange(ts, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, c * ts)                                         # [B, c·ts]
+    s = jnp.where(gidx < n_items, s, -jnp.inf)
+    top, pos = jax.lax.top_k(s, min(rows_out, c * ts))
+    gidx = jnp.take_along_axis(gidx, pos, axis=1)
+    return top, jnp.where(top > -jnp.inf, gidx, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("kk",))
 def _refine_energy_topk(XU, lamU, Q, q_lams, mn, rng, valid_u, kk):
     """Exact energy-mode rescore of the fetched candidate union
@@ -307,6 +398,27 @@ class StreamingIndex:
     # valids [nb] int32). Session state, not meta.
     _sketch: Optional[tuple] = dataclasses.field(
         default=None, repr=False, compare=False
+    )
+    # Flat views + normalized λ for the maxima-first scan (lazy, derived
+    # from _sketch) and whether the stacked layout pads ONLY at the
+    # suffix (flat row index == global id for real rows — the fused
+    # path's precondition).
+    _sketch_flat: Optional[tuple] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _sketch_suffix_pad: bool = dataclasses.field(
+        default=False, repr=False, compare=False
+    )
+    # Opt-in knob for the maxima-first sketch scan — default OFF: the
+    # carry scan measured FASTER at every batch size at 1M×96 (B=8/256/
+    # 1024: 1.05/2.05/5.62 ms vs maxima-first's 1.40/2.41/7.07) because
+    # the sketch scan is already one bf16 MXU pass + hardware
+    # approx_max_k; maxima-first only adds slab-selection + ring
+    # overhead here (DESIGN.md "Negative result: maxima-first on the
+    # sketch tier"). Kept implemented+tested for shapes/hardware where
+    # the balance may differ; the bench measures both each round.
+    sketch_maxfirst: bool = dataclasses.field(
+        default=False, repr=False, compare=False
     )
 
     # ------------------------------------------------------------------
@@ -915,7 +1027,58 @@ class StreamingIndex:
             jax.device_put(validh),
         )
         jax.block_until_ready(self._sketch[0])
+        self._sketch_flat = None
+        # Suffix-pad check for the maxima-first fast path: every block
+        # before the first partial one must be full (sequential streaming
+        # guarantees this; a custom nb_pad layout would not), so the flat
+        # [nb·blk] row index equals the global id for all real rows.
+        blk = X8h.shape[1]
+        partial_seen = False
+        ok = True
+        for v in validh.tolist():
+            if partial_seen and v > 0:
+                ok = False
+                break
+            if v < blk:
+                partial_seen = True
+        self._sketch_suffix_pad = ok
         return self._sketch
+
+    def _sketch_fused_ok(self, b_pad: int, kk: int, cand: int) -> bool:
+        """Envelope for the maxima-first sketch scan: suffix-only
+        padding, tile-divisible flat length, the shared rescored-path
+        predicate (TPU platform, batch multiple of 8, slab budget, F
+        lane alignment — satisfied here by padding F up), and an HBM
+        guard for the F-padded flat copy (unaligned F needs a second
+        int8 copy; at the 100M×96 stretch that would not fit beside the
+        stacked sketch, so that shape stays on the carry scan)."""
+        if not self.sketch_maxfirst:
+            return False                 # measured negative — see field doc
+        if self._sketch is None or not self._sketch_suffix_pad:
+            return False
+        from matternet_rs_tpu.ops.search import (
+            DEFAULT_TILE,
+            fused_rescored_path,
+        )
+
+        nb, blk, f = self._sketch[0].shape
+        n = nb * blk
+        f_pad = -(-f // 128) * 128
+        if f_pad != f and n * f_pad > 4 * 1024**3:
+            return False
+        return n % DEFAULT_TILE == 0 and fused_rescored_path(
+            n, f_pad, b_pad, kk, cand
+        )
+
+    def _sketch_flat_views(self):
+        if self._sketch_flat is None:
+            X8s, mults, lams, _valids = self._sketch
+            self._sketch_flat = _sketch_flatten_jit(
+                X8s, mults, lams,
+                jnp.float32(self.min_lambdas),
+                jnp.float32(self.range_lambdas),
+            )
+        return self._sketch_flat
 
     def search_batch_sketch(
         self, queries, k: int, alpha: float = 0.7,
@@ -959,10 +1122,37 @@ class StreamingIndex:
         mn = jnp.float32(self.min_lambdas)
         rng = jnp.float32(self.range_lambdas)
 
-        X8s, mults, lams, valids = self._sketch
-        best_s, best_i = _sketch_scan_topk(
-            X8s, mults, lams, valids, Q, q_lams, al, mn, rng, kk=C
-        )
+        # Maxima-first fast path (VERDICT r4 #5): one Pallas pass of
+        # slab maxima + resident-slab rescore replaces the per-block
+        # carry scan when the envelope holds (pad B to a multiple of 8 —
+        # pow-2, so serving batch sizes share compiled programs).
+        b_pad = max(8, 1 << max(b - 1, 1).bit_length())
+        if self._sketch_fused_ok(b_pad, kk, C):
+            Qp = Q if b_pad == b else jnp.pad(Q, ((0, b_pad - b), (0, 0)))
+            qlp = (
+                q_lams if b_pad == b
+                else jnp.pad(jnp.asarray(q_lams), (0, b_pad - b))
+            )
+            a_vec = jnp.broadcast_to(
+                jnp.asarray(alpha, jnp.float32).reshape(-1), (b,)
+            ) if np.ndim(alpha) else jnp.full((b,), alpha, jnp.float32)
+            if b_pad != b:
+                a_vec = jnp.pad(a_vec, (0, b_pad - b))
+            X8f, mult_f, lam_f = self._sketch_flat_views()
+            if X8f.shape[1] != Qp.shape[1]:
+                # F padded up to the 128-lane tile: zero query columns
+                # leave every dot unchanged.
+                Qp = jnp.pad(Qp, ((0, 0), (0, X8f.shape[1] - Qp.shape[1])))
+            best_s, best_i = _sketch_maxfirst_topk(
+                X8f, mult_f, lam_f, Qp, qlp, a_vec, rows_out=C,
+                kfinal=kk, n_items=jnp.int32(self.n_items),
+            )
+            best_s, best_i = best_s[:b], best_i[:b]
+        else:
+            X8s, mults, lams, valids = self._sketch
+            best_s, best_i = _sketch_scan_topk(
+                X8s, mults, lams, valids, Q, q_lams, al, mn, rng, kk=C
+            )
         if not refine:
             # Slice on device; only [B, k] crosses the wire.
             return (

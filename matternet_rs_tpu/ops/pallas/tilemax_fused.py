@@ -356,7 +356,8 @@ def tilemax_only_supported(n: int, f: int, b: int, tile: int,
 DMA_RING_DEPTH = 8
 
 
-def _make_kernel_slab_dots_ring(c: int, ts: int, depth: int, nslabs: int):
+def _make_kernel_slab_dots_ring(c: int, ts: int, depth: int, nslabs: int,
+                                int8_rows: bool = False):
     def kern(sel_ref, x_hbm, q_ref, d_ref, xbuf, sems):
         def dma(idx, slot):
             return pltpu.make_async_copy(
@@ -373,11 +374,22 @@ def _make_kernel_slab_dots_ring(c: int, ts: int, depth: int, nslabs: int):
             dma(i, slot).wait()
             qi = i // c
             q8 = q_ref[pl.ds((qi // 8) * 8, 8), :]           # [8, F]
-            dots8 = jax.lax.dot_general(
-                q8, xbuf[slot], (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                                # [8, ts]
+            if int8_rows:
+                # int8 slab rows (the resident-sketch tier): LOSSLESS
+                # bf16 upcast, one MXU pass — the same contract as the
+                # maxima-first scan's int8 mode (_scan_dots_kernel).
+                dots8 = jax.lax.dot_general(
+                    q8.astype(jnp.bfloat16),
+                    xbuf[slot].astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dots8 = jax.lax.dot_general(
+                    q8, xbuf[slot], (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                            # [8, ts]
             rowm = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
                     == jax.lax.rem(qi, 8))
             d_ref[:, pl.ds(i * ts, ts)] = jnp.sum(
@@ -415,7 +427,9 @@ def slab_dots_ring(
     the corpus stays in HBM (``memory_space=ANY``) and one grid step
     drives the whole gather from an in-kernel ``fori_loop``.
 
-    ``X [n, F]`` f32, ``sel [B, c]`` int32 sub-tile ids (rows
+    ``X [n, F]`` f32 — or int8 (the resident-sketch tier): int8 slabs
+    ride a lossless bf16 upcast in the kernel's dot, and the DMA moves a
+    quarter of the f32 bytes. ``sel [B, c]`` int32 sub-tile ids (rows
     ``[sel·ts, (sel+1)·ts)`` all in-bounds), B a multiple of 8 (the
     query block is sliced 8-wide and the row extracted by iota mask —
     M=8 is the Mosaic minimum and costs the same MXU time as a padded
@@ -445,12 +459,14 @@ def slab_dots_ring(
         out_specs=pl.BlockSpec((1, nslabs * ts), lambda i, s: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((depth, ts, f), jnp.float32),
+            pltpu.VMEM((depth, ts, f), X.dtype),
             pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel_slab_dots_ring(c, ts, depth, nslabs),
+        _make_kernel_slab_dots_ring(
+            c, ts, depth, nslabs, int8_rows=X.dtype == jnp.int8
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, nslabs * ts), jnp.float32),
         interpret=interpret,
@@ -458,8 +474,8 @@ def slab_dots_ring(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=None if interpret else pl.CostEstimate(
-            flops=6 * b * c * ts * f,
-            bytes_accessed=b * c * ts * f * 4 + b * f * 4,
+            flops=(2 if X.dtype == jnp.int8 else 6) * b * c * ts * f,
+            bytes_accessed=b * c * ts * f * X.dtype.itemsize + b * f * 4,
             transcendentals=0,
         ),
     )(sel_flat, X, queries)

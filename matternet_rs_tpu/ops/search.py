@@ -464,6 +464,12 @@ def fused_rescored_path(
     return (
         n >= FUSED_TILEMAX_MIN_N
         and b % 8 == 0                   # slab_dots_ring's 8-query blocks
+        and f % 128 == 0                 # Mosaic DMA lane-tiling: a slab
+        # slice of an [n, f] memref needs f aligned to the 128-lane tile
+        # (measured: F=96 int8 fails AOT with "Slice shape along
+        # dimension 1 must be aligned to tiling (128)"); unaligned-F
+        # callers take the pool-cut fallback (the sketch tier pads F up
+        # instead — index/streaming._sketch_flatten_jit)
         and not _tilemax_degenerate(n, kk, tile)
         and tmf.tilemax_only_supported(n, f, b, tile, subs=RESCORE_SUBS)
         and c <= MAX_RESCORE_SLABS

@@ -482,7 +482,7 @@ def test_random_fused_rescored_tie_corpus(tier, seed, monkeypatch):
 
     rng = np.random.default_rng(600 + seed)
     n = int(rng.integers(so.FUSED_TILEMAX_MIN_N + 1, 40_000))
-    f = int(rng.choice([16, 32, 64]))
+    f = 128          # the slab ring's lane-aligned envelope (f % 128 == 0)
     b, k = 16, int(rng.choice([5, 10]))
     X, lams = _tie_corpus(rng, n, f)
     norms = np.linalg.norm(X, axis=1).astype(np.float32)
@@ -556,7 +556,7 @@ def test_fused_rescored_mask_from_pad_rows(seed, monkeypatch):
 
     rng = np.random.default_rng(700 + seed)
     n = int(rng.integers(so.FUSED_TILEMAX_MIN_N + 1, 38_000))
-    f = int(rng.choice([16, 32]))
+    f = 128          # lane-aligned envelope (f % 128 == 0)
     b, k = 16, 10
     X, lams = _tie_corpus(rng, n, f)
     q_rows = rng.integers(0, n, b)

@@ -1,0 +1,146 @@
+"""Maxima-first resident-sketch scan (VERDICT r4 #5): the round-4
+int8_rescored kernel routed into the out-of-core serving tier
+(``index/streaming._sketch_maxfirst_topk``), interpret-mode Pallas on CPU.
+
+Contract: identical to the carry scan's — returned sketch-mode scores
+carry int8/bf16 quantization; ``refine=True`` rescores exactly from disk,
+so with a wide candidate pool the refined results equal the carry-scan
+path's refined results row for row.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+from matternet_rs_tpu.graph import GraphParams
+from matternet_rs_tpu.index.streaming import StreamingIndex
+from matternet_rs_tpu.storage import shards as shard_store
+
+N, F, K = 34_000, 32, 10
+BLK = 4096            # nb=9, flat 36864 = 18 tiles of 2048 — suffix pad
+
+
+@pytest.fixture(scope="module")
+def index(tmp_path_factory):
+    d = tmp_path_factory.mktemp("maxfirst_store")
+    rng = np.random.default_rng(19)
+    centers = rng.normal(size=(8, F)) * 4.0
+    data = (
+        centers[rng.integers(0, 8, N)] + rng.normal(size=(N, F))
+    ).astype(np.float32)
+    shard_store.write_shards(data, d, rows_per_shard=9000)
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    idx = StreamingIndex.build_from_store(
+        d, params, max_clusters=16, radius=20.0, block_rows=BLK,
+        sample_rows=4096,
+    )
+    idx.build_sketch(persist=False)
+    # The maxima-first path is a measured NEGATIVE at the production
+    # shape (carry scan faster at every B — DESIGN.md); it stays
+    # implemented behind this opt-in and these tests pin its contract.
+    idx.sketch_maxfirst = True
+    return idx, data
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    from matternet_rs_tpu.ops.pallas import tilemax_fused as tmf
+
+    monkeypatch.setattr(
+        tmf, "tilemax_only",
+        functools.partial(tmf.tilemax_only, interpret=True),
+    )
+    monkeypatch.setattr(
+        tmf, "slab_dots_ring",
+        functools.partial(tmf.slab_dots_ring, interpret=True),
+    )
+
+    def cpu_supported(nn, ff, bb, tile, subs=tmf.SUBS):
+        return (
+            nn >= tile and ff <= tmf.MAX_FUSED_F_WIDE
+            and tmf.MIN_FUSED_B <= bb <= tmf.MAX_FUSED_B
+            and tile % (subs * 128) == 0
+        )
+
+    monkeypatch.setattr(tmf, "tilemax_only_supported", cpu_supported)
+
+
+def test_envelope_admits_and_suffix_pad_detected(index, interpret_pallas):
+    idx, _ = index
+    assert idx._sketch_suffix_pad
+    assert idx._sketch_fused_ok(16, K, 256)
+    # Off-envelope shapes refuse: giant candidate pool (slab budget).
+    assert not idx._sketch_fused_ok(16, K, 10**6)
+
+
+def test_refined_matches_carry_scan_path(index, interpret_pallas, monkeypatch):
+    """refine=True: both paths rescore EXACTLY from disk, so scores are
+    parity-grade on whatever candidates each scan surfaces; the only
+    permitted deviation is slab-granular candidate recall (the in-memory
+    int8_rescored tier's contract — 0.875 measured at 1M). Asserted:
+    high id overlap, identical scores where ids agree, and the fused
+    path's scores never EXCEED the carry path's (its candidates are a
+    recall-limited subset of the same exact ranking)."""
+    idx, data = index
+    rng = np.random.default_rng(3)
+    Q = data[rng.choice(N, 16, replace=False)]
+
+    ids_f, sc_f = idx.search_batch_sketch(Q, K, candidates=512)
+    # Force the carry-scan path for the reference run.
+    monkeypatch.setattr(
+        StreamingIndex, "_sketch_fused_ok", lambda self, *a: False
+    )
+    ids_c, sc_c = idx.search_batch_sketch(Q, K, candidates=512)
+    same = ids_f == ids_c
+    assert same.mean() >= 0.95, f"slab-recall overlap {same.mean():.3f}"
+    np.testing.assert_allclose(
+        sc_f[same], sc_c[same], atol=1e-5
+    )
+    assert (sc_f <= sc_c + 1e-5).all()
+
+
+def test_sketch_only_serving_self_recovery(index, interpret_pallas):
+    """refine=False (the 100M-stretch serving mode): exact-row
+    self-queries recover themselves from the maxima-first scan, and
+    sketch-mode scores agree with the carry scan's dequant formula."""
+    idx, data = index
+    rng = np.random.default_rng(5)
+    rows = rng.choice(N, 16, replace=False)
+    Q = data[rows]
+    ids, sc = idx.search_batch_sketch(Q, K, candidates=128, refine=False)
+    assert (ids[:, 0] == rows).all()
+    assert np.isfinite(sc[:, 0]).all()
+    # Self-score ≈ 1·α + λ-sim·(1−α) at int8 precision.
+    assert (sc[:, 0] > 0.95).all()
+
+
+def test_single_query_and_odd_batch_pad(index, interpret_pallas):
+    """B=1 and non-multiple-of-8 batches pad to the envelope and trim."""
+    idx, data = index
+    res = idx.search_sketch(data[77], K, candidates=128)
+    assert res[0][0] == 77
+    ids, _ = idx.search_batch_sketch(data[[1, 2, 3]], K, candidates=128)
+    assert ids.shape == (3, K)
+    assert (ids[:, 0] == [1, 2, 3]).all()
+
+
+def test_carry_scan_still_used_off_envelope(index):
+    """Without the interpret patches the platform gate keeps CPU on the
+    carry scan — the fused path must never route on CPU silently."""
+    idx, data = index
+    assert not idx._sketch_fused_ok(16, K, 256)
+    ids, _ = idx.search_batch_sketch(data[:8], K, candidates=128)
+    assert (ids[:, 0] == np.arange(8)).all()
+
+
+def test_default_is_carry_scan(index, interpret_pallas):
+    """The opt-in default: without sketch_maxfirst=True the envelope
+    refuses even when the kernels would be admissible (the measured
+    negative is the default policy)."""
+    idx, data = index
+    idx.sketch_maxfirst = False
+    try:
+        assert not idx._sketch_fused_ok(16, K, 256)
+    finally:
+        idx.sketch_maxfirst = True
