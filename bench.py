@@ -1189,6 +1189,28 @@ def bench_1m(jax, jnp, extra):
                 dt[tag]["recall_at_10_vs_exact"] = rec
             else:
                 c1m.setdefault("recall_at_10_vs_exact", {})[tag] = rec
+        # Exact-grade throughput headline (VERDICT r4 #4 done-criterion):
+        # bf16x3_rescored's tie behavior is fuzz-pinned (adversarial
+        # sub-tile tie floods assert score-multiset equality with flat
+        # top-k — test_fuzz_invariants.py), so when this run ALSO
+        # measures it at recall 1.0 and faster than exact, it is the
+        # exact-grade headline row, recorded as such.
+        b3 = dt.get("bf16x3_rescored", {})
+        ex = dt.get("exact_f32", {})
+        if (
+            b3.get("recall_at_10_vs_exact") == 1.0
+            and ex.get("device_ms_per_batch_256q")
+            and b3.get("device_ms_per_batch_256q")
+        ):
+            c1m["exact_grade_headline"] = {
+                "tier": "bf16x3_rescored",
+                "device_qps": b3["device_qps"],
+                "speedup_vs_exact": round(
+                    ex["device_ms_per_batch_256q"]
+                    / b3["device_ms_per_batch_256q"], 3,
+                ),
+                "basis": "recall 1.0 this run + fuzz-pinned tie contract",
+            }
     except Exception as exc:  # noqa: BLE001
         c1m["error_rescored_recall"] = repr(exc)[:200]
     _emit(extra)

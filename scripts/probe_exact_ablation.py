@@ -68,8 +68,13 @@ def staged(X, norms, lams, Q, qls, alphas, stage, kk):
 
 
 def measure(run, args, n_batches=32):
-    outs = [run(*args) for _ in range(2)]        # warm + cache
-    jax.block_until_ready(outs[-1])
+    jax.block_until_ready(run(*args))            # compile
+    # Settle: a short throwaway pipelined window first — the FIRST timed
+    # window after a compile measured wildly high on this tunnel
+    # (2.6 s/call once; cache publication / program upload effects).
+    for _ in range(4):
+        run(*args)
+    float(jnp.sum(run(*args)))
     t0 = time.perf_counter()
     outs = [run(*args) for _ in range(n_batches)]
     # Trailing scalar download is the barrier (block_until_ready is not
