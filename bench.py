@@ -1275,9 +1275,11 @@ def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
     # actually run is recorded in the row's n_items.
     if "BENCH_OOC_N" in os.environ:
         N = int(os.environ["BENCH_OOC_N"])
-    elif remaining_s > 900:
+    elif remaining_s > 1100:
+        # 10M measured 1044 s on this sandbox (r5 rehearsal: store write
+        # + resume + streamed search + sketch build + before/after rows).
         N = 10_000_000
-    elif remaining_s > 420:
+    elif remaining_s > 500:
         N = 2_500_000
     else:
         N = 1_000_000
@@ -1488,34 +1490,42 @@ def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
             sk[f"unrefined_qps_batch{bsz}"] = round(bsz / dt, 1)
             sk[f"unrefined_ms_batch{bsz}"] = round(dt * 1e3, 1)
 
-        # Round-5 maxima-first sketch scan — the measured NEGATIVE
-        # (DESIGN.md "Negative result: maxima-first on the sketch
-        # tier"): the default rows above use the carry scan; re-measure
-        # the same unrefined shapes with the opt-in maxima-first path
-        # FORCED so the (negative) kernel delta stays an in-artifact
-        # measurement each round, not prose.
+        # Round-5 maxima-first sketch scan — the measured SCALE
+        # CROSSOVER (DESIGN.md): the default rows above use the AUTO
+        # policy (maxima-first from MAXFIRST_MIN_ROWS flat rows, carry
+        # below). Measure BOTH paths forced at the same shapes so the
+        # crossover stays an in-artifact measurement each round.
         idx.sketch_maxfirst = True
         sk["maxfirst_admissible"] = bool(idx._sketch_fused_ok(256, 10, 64))
+        sk["default_engages_maxfirst"] = (
+            sk["maxfirst_admissible"]
+            and N >= streaming_mod.MAXFIRST_MIN_ROWS
+        )
         if sk["maxfirst_admissible"]:
-            _mark("ooc: maxfirst before/after")
+            _mark("ooc: maxfirst/carry before-after")
             try:
-                for bsz in (256, 1024):
-                    QB = np.repeat(Q, max(1, bsz // len(Q)), axis=0)[:bsz]
-                    idx.search_batch_sketch(QB, 10, refine=False)  # warm
-                    t0 = time.perf_counter()
-                    reps = 3
-                    for _ in range(reps):
+                for forced, tag in ((True, "maxfirst"), (False, "carry")):
+                    idx.sketch_maxfirst = forced
+                    for bsz in (256, 1024):
+                        QB = np.repeat(
+                            Q, max(1, bsz // len(Q)), axis=0
+                        )[:bsz]
                         idx.search_batch_sketch(QB, 10, refine=False)
-                    dt = (time.perf_counter() - t0) / reps
-                    sk[f"maxfirst_unrefined_qps_batch{bsz}"] = round(
-                        bsz / dt, 1
-                    )
+                        t0 = time.perf_counter()
+                        reps = 3
+                        for _ in range(reps):
+                            idx.search_batch_sketch(QB, 10, refine=False)
+                        dt = (time.perf_counter() - t0) / reps
+                        sk[f"{tag}_unrefined_qps_batch{bsz}"] = round(
+                            bsz / dt, 1
+                        )
+                for bsz in (256, 1024):
                     sk[f"maxfirst_vs_carry_batch{bsz}"] = round(
                         sk[f"maxfirst_unrefined_qps_batch{bsz}"]
-                        / sk[f"unrefined_qps_batch{bsz}"], 2,
+                        / sk[f"carry_unrefined_qps_batch{bsz}"], 2,
                     )
             finally:
-                idx.sketch_maxfirst = False
+                idx.sketch_maxfirst = None       # restore AUTO
         out["resident_sketch"] = sk
 
         # ---- 8-virtual-device distributed build from a store ------------
@@ -1790,8 +1800,19 @@ def main():
     # as the exact-f32 device row lands). The 10k device-time rows are
     # cheap but transport-sensitive, so they come after the must-haves.
     def _ooc(jx, jn, ex):
+        # Hand ooc only the budget NOT reserved for the sections after it
+        # (r5 rehearsal: a fast cached 1m left remaining=1078s, ooc
+        # self-scaled to 10M, ran 1044s, and every later section was
+        # gate-skipped — the scale choice must see the true leftover).
+        reserve = sum(
+            expected_cost_s[n]
+            for n in ("device_time_10k", "distparity", "serve_burst",
+                      "largef", "energy", "energy_banded", "spectral",
+                      "blend")
+        )
         return bench_out_of_core_10m(
-            jx, jn, ex, remaining_s=budget_s - (time.perf_counter() - t_start)
+            jx, jn, ex,
+            remaining_s=budget_s - (time.perf_counter() - t_start) - reserve,
         )
 
     # Expected per-section wall cost (seconds), seeded from the round-2/3/4
@@ -1802,7 +1823,8 @@ def main():
     expected_cost_s = {
         "1m": 420.0,
         "build100k": 120.0,
-        "ooc": 120.0,            # self-scales to its remaining_s argument
+        "ooc": 300.0,            # self-scales to its remaining_s argument
+        # (minus the later sections' reserve); 1M-scale floor ~250 s
         "device_time_10k": 90.0,
         "distparity": 150.0,
         "serve_burst": 70.0,

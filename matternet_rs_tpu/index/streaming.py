@@ -45,6 +45,13 @@ GRAPH_ELL_FILE = "graph_ell.npz"
 ENERGY_FILE = "energy.npz"
 SKETCH_FILE = "sketch.bin"            # int8 [N, F] row-quantized corpus
 SKETCH_META_FILE = "sketch_meta.npz"  # per-row dequant multiplier
+
+# Scale crossover for the maxima-first sketch scan in AUTO mode
+# (sketch_maxfirst=None): measured LOSING at 1M flat rows (carry scan
+# 0.79× faster) and WINNING at 10M (+10–13% serving QPS) — the carry
+# scan's per-block top-k carry scales with the block count while the
+# maxima-first selection cost is ~flat in N. See DESIGN.md.
+MAXFIRST_MIN_ROWS = 4_000_000
 DEFAULT_BLOCK_ROWS = 131_072
 
 
@@ -409,16 +416,17 @@ class StreamingIndex:
     _sketch_suffix_pad: bool = dataclasses.field(
         default=False, repr=False, compare=False
     )
-    # Opt-in knob for the maxima-first sketch scan — default OFF: the
-    # carry scan measured FASTER at every batch size at 1M×96 (B=8/256/
-    # 1024: 1.05/2.05/5.62 ms vs maxima-first's 1.40/2.41/7.07) because
-    # the sketch scan is already one bf16 MXU pass + hardware
-    # approx_max_k; maxima-first only adds slab-selection + ring
-    # overhead here (DESIGN.md "Negative result: maxima-first on the
-    # sketch tier"). Kept implemented+tested for shapes/hardware where
-    # the balance may differ; the bench measures both each round.
-    sketch_maxfirst: bool = dataclasses.field(
-        default=False, repr=False, compare=False
+    # Maxima-first sketch scan policy — None = AUTO by the measured
+    # scale crossover (DESIGN.md "Maxima-first on the sketch tier: a
+    # scale crossover"): at 1M×96 the carry scan wins every batch size
+    # (B=8/256/1024: 1.05/2.05/5.62 ms vs 1.40/2.41/7.07 — one bf16
+    # pass + hardware approx_max_k is already near-optimal and
+    # maxima-first only adds slab/ring overhead), but at 10M the carry
+    # scan's per-block top-k machinery scales with the block count and
+    # maxima-first WINS (+13%/+10% serving QPS at B=256/1024, r5 bench).
+    # Auto engages at ≥ MAXFIRST_MIN_ROWS flat rows; True/False force.
+    sketch_maxfirst: Optional[bool] = dataclasses.field(
+        default=None, repr=False, compare=False
     )
 
     # ------------------------------------------------------------------
@@ -1052,8 +1060,8 @@ class StreamingIndex:
         guard for the F-padded flat copy (unaligned F needs a second
         int8 copy; at the 100M×96 stretch that would not fit beside the
         stacked sketch, so that shape stays on the carry scan)."""
-        if not self.sketch_maxfirst:
-            return False                 # measured negative — see field doc
+        if self.sketch_maxfirst is False:
+            return False
         if self._sketch is None or not self._sketch_suffix_pad:
             return False
         from matternet_rs_tpu.ops.search import (
@@ -1063,6 +1071,8 @@ class StreamingIndex:
 
         nb, blk, f = self._sketch[0].shape
         n = nb * blk
+        if self.sketch_maxfirst is None and n < MAXFIRST_MIN_ROWS:
+            return False                 # auto: below the measured crossover
         f_pad = -(-f // 128) * 128
         if f_pad != f and n * f_pad > 4 * 1024**3:
             return False

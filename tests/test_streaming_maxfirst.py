@@ -134,13 +134,18 @@ def test_carry_scan_still_used_off_envelope(index):
     assert (ids[:, 0] == np.arange(8)).all()
 
 
-def test_default_is_carry_scan(index, interpret_pallas):
-    """The opt-in default: without sketch_maxfirst=True the envelope
-    refuses even when the kernels would be admissible (the measured
-    negative is the default policy)."""
+def test_auto_policy_scale_crossover(index, interpret_pallas):
+    """The AUTO default (sketch_maxfirst=None) follows the measured
+    scale crossover: below MAXFIRST_MIN_ROWS flat rows the carry scan
+    is faster and auto must refuse; False forces carry at any scale."""
+    from matternet_rs_tpu.index.streaming import MAXFIRST_MIN_ROWS
+
     idx, data = index
-    idx.sketch_maxfirst = False
+    assert N < MAXFIRST_MIN_ROWS        # this fixture sits below it
     try:
+        idx.sketch_maxfirst = None
+        assert not idx._sketch_fused_ok(16, K, 256)
+        idx.sketch_maxfirst = False
         assert not idx._sketch_fused_ok(16, K, 256)
     finally:
         idx.sketch_maxfirst = True
