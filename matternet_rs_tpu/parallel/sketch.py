@@ -45,21 +45,31 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False):
+def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False,
+                             maxfirst: bool = False, kfinal: int = 10):
     """Compile the mesh-sharded sketch scan: every device runs the
     single-chip block scan over its local blocks (global ids via its row
     base), then one ``all_gather`` + deterministic re-rank yields the
     replicated global top-``kk``. ``energy=True`` scans energy-mode
     semantics (negated-ascending convention — see
-    :func:`scan_sketch_blocks`; callers flip the sign)."""
+    :func:`scan_sketch_blocks`; callers flip the sign).
+
+    ``maxfirst=True`` (blend mode only) routes each device's LOCAL scan
+    through the maxima-first kernel instead of the block-carry scan
+    (``index/streaming._sketch_maxfirst_topk`` — one Pallas slab-maxima
+    pass + ring-DMA rescore at sketch precision): the winning side of
+    the measured scale crossover at ≥4M rows per device, which is
+    precisely the regime this sharded tier exists for (a sketch that
+    needs sharding holds ≥10M rows/chip). ``kfinal`` sizes its slab
+    budget. Caller guarantees the envelope via
+    :meth:`ShardedSketch._maxfirst_ok` (per-device suffix padding,
+    tile-divisible local length, F lane alignment, batch %8)."""
     axes = tuple(mesh.axis_names)
     joint = axes if len(axes) > 1 else axes[0]
+    if maxfirst and energy:
+        raise ValueError("maxfirst scan is blend-mode only")
 
-    def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha, mn, rng):
-        best_s, best_i = scan_sketch_blocks(
-            X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk,
-            base[0], energy=energy,
-        )                                                      # [B, kk]
+    def _merge(best_s, best_i):
         all_s = jax.lax.all_gather(best_s, joint)              # [D, B, kk]
         all_i = jax.lax.all_gather(best_i, joint)
         d = all_s.shape[0]
@@ -77,6 +87,40 @@ def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False):
             jnp.take_along_axis(all_s, sel, axis=1),
             jnp.take_along_axis(all_i, sel, axis=1),
         )
+
+    if maxfirst:
+        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha,
+                     mn, rng):
+            from matternet_rs_tpu.index.streaming import (
+                _sketch_maxfirst_topk,
+            )
+
+            nb_l, blk, f = X8s.shape
+            n_l = nb_l * blk
+            b = Q.shape[0]
+            lam_f = jnp.clip(
+                (lams.reshape(n_l) - mn) / rng, 0.0, 1.0
+            )
+            a = jnp.broadcast_to(
+                jnp.asarray(alpha, jnp.float32).reshape(-1), (b,)
+            )
+            # Per-device suffix padding (caller-checked): local flat
+            # index == global id − base, and rows ≥ Σvalids mask.
+            top, idx = _sketch_maxfirst_topk(
+                X8s.reshape(n_l, f), mults.reshape(n_l), lam_f,
+                Q, q_lams, a, rows_out=kk, kfinal=kfinal,
+                n_items=jnp.sum(valids),
+            )
+            gidx = jnp.where(idx >= 0, idx + base[0], -1)
+            return _merge(top, gidx)
+    else:
+        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha,
+                     mn, rng):
+            best_s, best_i = scan_sketch_blocks(
+                X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk,
+                base[0], energy=energy,
+            )                                                  # [B, kk]
+            return _merge(best_s, best_i)
 
     blk_spec = P(joint)  # leading (block) axis sharded
     mapped = shard_map(
@@ -100,9 +144,14 @@ class ShardedSketch:
     HBM. Wraps a built :class:`StreamingIndex` (disk layout, λ stats,
     query preparation, exact refine) and replaces only the scan tier."""
 
-    def __init__(self, index: StreamingIndex, mesh):
+    def __init__(self, index: StreamingIndex, mesh,
+                 sketch_maxfirst: bool | None = None):
         self.index = index
         self.mesh = mesh
+        # Local-scan policy: None = AUTO by the measured per-device scale
+        # crossover (index/streaming.MAXFIRST_MIN_ROWS); True/False force
+        # the maxima-first / block-carry local scan.
+        self.sketch_maxfirst = sketch_maxfirst
         d = int(mesh.devices.size)
         # Pad the block count to a device multiple AT ALLOCATION TIME
         # (zero blocks: valid=0 ⇒ every row masks to -inf and the running
@@ -138,7 +187,22 @@ class ShardedSketch:
             jax.device_put(bases, sh1),
         )
         jax.block_until_ready(self._shards[0])
-        self._scan_cache: dict[int, callable] = {}
+        self._scan_cache: dict[tuple, callable] = {}
+        # Per-DEVICE suffix padding: every device's blocks full except a
+        # suffix on the globally-last partial device — the maxima-first
+        # local scan's precondition (local flat index == global − base).
+        bpd = self.blocks_per_device
+        ok = True
+        partial_seen = False
+        for v in validh.tolist():
+            if partial_seen and v > 0:
+                ok = False
+                break
+            if v < blk:
+                partial_seen = True
+        self._suffix_pad = ok and all(
+            int(bases[i]) == i * bpd * blk for i in range(d)
+        )
 
     @property
     def hbm_bytes_per_device(self) -> int:
@@ -148,13 +212,36 @@ class ShardedSketch:
         )
         return tot // int(self.mesh.devices.size)
 
-    def _scan(self, kk: int, energy: bool = False):
-        key = (kk, energy)
+    def _scan(self, kk: int, energy: bool = False, maxfirst: bool = False,
+              kfinal: int = 10):
+        key = (kk, energy, maxfirst, kfinal if maxfirst else 0)
         fn = self._scan_cache.get(key)
         if fn is None:
-            fn = make_sharded_sketch_scan(self.mesh, kk, energy=energy)
+            fn = make_sharded_sketch_scan(
+                self.mesh, kk, energy=energy, maxfirst=maxfirst,
+                kfinal=kfinal,
+            )
             self._scan_cache[key] = fn
         return fn
+
+    def _maxfirst_ok(self, b_pad: int, kfinal: int, cand: int) -> bool:
+        """Envelope + policy for the maxima-first LOCAL scan — the
+        per-device mirror of ``StreamingIndex._sketch_fused_ok``."""
+        if self.sketch_maxfirst is False or not self._suffix_pad:
+            return False
+        from matternet_rs_tpu.index.streaming import MAXFIRST_MIN_ROWS
+        from matternet_rs_tpu.ops.search import (
+            DEFAULT_TILE,
+            fused_rescored_path,
+        )
+
+        nb, blk, f = self._shards[0].shape
+        n_l = (nb // int(self.mesh.devices.size)) * blk
+        if self.sketch_maxfirst is None and n_l < MAXFIRST_MIN_ROWS:
+            return False                 # auto: below the crossover
+        return n_l % DEFAULT_TILE == 0 and fused_rescored_path(
+            n_l, f, b_pad, kfinal, cand
+        )
 
     def search_batch(
         self, queries, k: int, alpha: float = 0.7,
@@ -185,9 +272,27 @@ class ShardedSketch:
         mn = jnp.float32(idx.min_lambdas)
         rng = jnp.float32(idx.range_lambdas)
 
-        best_s, best_i = self._scan(C)(
-            *self._shards, Q, q_lams, al, mn, rng
-        )
+        b = Q.shape[0]
+        b_pad = max(8, 1 << max(b - 1, 1).bit_length())
+        if self._maxfirst_ok(b_pad, kk, C):
+            Qp = Q if b_pad == b else jnp.pad(Q, ((0, b_pad - b), (0, 0)))
+            qlp = (
+                q_lams if b_pad == b
+                else jnp.pad(jnp.asarray(q_lams), (0, b_pad - b))
+            )
+            a_vec = jnp.broadcast_to(
+                jnp.asarray(alpha, jnp.float32).reshape(-1), (b,)
+            )
+            if b_pad != b:
+                a_vec = jnp.pad(a_vec, (0, b_pad - b))
+            best_s, best_i = self._scan(C, maxfirst=True, kfinal=kk)(
+                *self._shards, Qp, qlp, a_vec, mn, rng
+            )
+            best_s, best_i = best_s[:b], best_i[:b]
+        else:
+            best_s, best_i = self._scan(C)(
+                *self._shards, Q, q_lams, al, mn, rng
+            )
         if not refine:
             return (
                 np.asarray(best_i[:, :kk]).astype(np.int64),
