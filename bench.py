@@ -606,6 +606,42 @@ def bench_serve_burst(jax, jnp, aspace, gl, data, extra):
             "mixed_traffic": "k in {5,10}, alpha U(0.5,0.9), 30% approx",
             **{k: v for k, v in m.items() if v is not None},
         }
+        # 256-client phase (VERDICT r4 #8: re-run at 64 AND 256 clients):
+        # same 2048-request mix at 4x the concurrency — shows whether the
+        # adaptive batching keeps QPS scaling (bigger batches) and what
+        # the unshaped wait tail costs when nothing sheds.
+        service.reset_metrics()
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(256) as ex:
+            codes = list(ex.map(one, range(n_req)))
+        wall = time.perf_counter() - t0
+        m = service.metrics()
+        extra["serve_burst"]["clients_256"] = {
+            "ok": sum(c == 200 for c in codes),
+            "wall_s": round(wall, 2),
+            "http_qps": round(n_req / wall, 1),
+            **{k: v for k, v in m.items() if v is not None},
+        }
+        # Admission-control phase: engage the queue-depth bound (live
+        # attribute, read under the cv at submit) and drive the same 256
+        # clients — records how much load sheds as HTTP 429 vs completes,
+        # and the completed requests' percentiles under the bound.
+        service.max_queue_depth = 64
+        service.reset_metrics()
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(256) as ex:
+            codes = list(ex.map(one, range(1024)))
+        wall = time.perf_counter() - t0
+        m = service.metrics()
+        extra["serve_burst"]["admission_256c_depth64"] = {
+            "n_requests": 1024,
+            "ok": sum(c == 200 for c in codes),
+            "shed_429": sum(c == 429 for c in codes),
+            "wall_s": round(wall, 2),
+            "accepted_qps": round(sum(c == 200 for c in codes) / wall, 1),
+            **{k: v for k, v in m.items() if v is not None},
+        }
+        service.max_queue_depth = None
     finally:
         srv.shutdown()
         service.close()
@@ -1831,7 +1867,7 @@ def main():
         # (minus the later sections' reserve); 1M-scale floor ~250 s
         "device_time_10k": 90.0,
         "distparity": 150.0,
-        "serve_burst": 70.0,
+        "serve_burst": 130.0,   # 64c + 256c + admission phases (round 5)
         "largef": 260.0,         # trimmed NumPy-f64 rows (round 5)
         "energy": 60.0,
         "energy_banded": 200.0,

@@ -150,6 +150,8 @@ def cmd_build_distributed(args) -> None:
     sa = ss.distributed_build_from_store(
         args.store_dir, params, k_clusters=args.k_clusters,
         n_devices=args.n_devices, lloyd_iters=args.lloyd_iters,
+        centroids=args.centroids, radius=args.cluster_radius,
+        centroid_sample=args.centroid_sample,
     )
     info = {
         "status": "built",
@@ -306,6 +308,17 @@ def main(argv=None) -> None:
     pd.add_argument("--k", type=int, default=6)
     pd.add_argument("--n-devices", type=int, default=None)
     pd.add_argument("--lloyd-iters", type=int, default=10)
+    pd.add_argument(
+        "--centroids", choices=["serial", "lloyd"], default="serial",
+        help="stage-1 semantics: 'serial' = exact serial-builder parity "
+             "(host-streamed sample), 'lloyd' = mesh-reduced scale escape",
+    )
+    pd.add_argument("--cluster-radius", type=float, default=25.0)
+    pd.add_argument(
+        "--centroid-sample", type=int, default=None,
+        help="bound the host-side serial-clustering sample (default: all "
+             "rows — exact parity with the serial builder)",
+    )
     pd.add_argument("--query", default=None, help=".npy query to run after build")
     pd.add_argument("--topk", type=int, default=10)
     pd.add_argument(

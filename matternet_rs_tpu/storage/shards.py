@@ -188,13 +188,30 @@ def shard_items_from_store(mesh, directory):
 def distributed_build_from_store(
     directory, graph_params, k_clusters: int, taumode=None,
     n_devices: int | None = None, mesh=None, lloyd_iters: int = 10,
+    centroids: str = "serial", radius: float = 25.0,
+    centroid_sample: int | None = None, sample_block_rows: int = 65536,
 ):
-    """Fully distributed build streamed from the shard store — stage 1 runs
-    as psum-reduced Lloyd over the mesh; nothing N-sized on the host."""
+    """Fully distributed build streamed from the shard store.
+
+    ``centroids`` selects the stage-1 semantics, mirroring
+    ``ShardedArrowSpace.distributed_build`` (same defaults, so the two
+    builds are λ- and ranking-identical on the same data):
+
+    * ``"serial"`` (default) — the serial builder's radius-gated
+      incremental scan (clustering.rs:574-932 semantics, native C++
+      fast path) over the first ``centroid_sample`` rows streamed
+      host-side in store order (default: all rows — identical to the
+      serial builder's visit order, exact ranking parity). The sample
+      is materialized on the host for stage 1 only; for stores far
+      beyond host RAM, bound it with ``centroid_sample`` or use
+      ``"lloyd"``.
+    * ``"lloyd"`` — psum-reduced Lloyd over the mesh-sharded items;
+      nothing N-sized ever exists on one host (the scale escape, at
+      the cost of centroid divergence from the serial builder).
+    """
     from matternet_rs_tpu.core import TAUDEFAULT
     from matternet_rs_tpu.graph import GraphLaplacian
     from matternet_rs_tpu.ops import laplacian as lap_ops
-    from matternet_rs_tpu.parallel.clustering import distributed_lloyd
     from matternet_rs_tpu.parallel.index import (
         ShardedArrowSpace,
         _normalize_sharded_lambdas,
@@ -209,8 +226,42 @@ def distributed_build_from_store(
         mesh = make_mesh(n_devices)
     Xs, n = shard_items_from_store(mesh, directory)
 
-    cents, counts, _ = distributed_lloyd(mesh, Xs, n, k_clusters, iters=lloyd_iters)
-    cents = cents[counts > 0]
+    if centroids == "serial":
+        from matternet_rs_tpu.clustering import incremental_clustering
+
+        budget = n if centroid_sample is None else min(centroid_sample, n)
+        if budget <= 0:
+            raise ValueError(
+                "centroids='serial' needs at least one sample row: "
+                f"centroid_sample={centroid_sample!r} over {n} items"
+            )
+        parts, got = [], 0
+        reader = stream_blocks(directory, sample_block_rows)
+        try:
+            for blk in reader:
+                if got >= budget:
+                    break
+                take = blk[: budget - got]
+                parts.append(np.array(take, np.float32))
+                got += len(take)
+        finally:
+            reader.close()
+        sample = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        out = incremental_clustering(
+            sample, max_clusters=k_clusters, radius=radius
+        )
+        cents = out.centroids
+    elif centroids == "lloyd":
+        from matternet_rs_tpu.parallel.clustering import distributed_lloyd
+
+        cents, counts, _ = distributed_lloyd(
+            mesh, Xs, n, k_clusters, iters=lloyd_iters
+        )
+        cents = cents[counts > 0]
+    else:
+        raise ValueError(
+            f"centroids must be 'lloyd' or 'serial', got {centroids!r}"
+        )
     gl = lap_ops.build_laplacian_from_k_cluster(
         jnp.asarray(cents), graph_params, n_items=n
     )

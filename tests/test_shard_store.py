@@ -127,6 +127,34 @@ def test_distributed_build_from_store_end_to_end(store):
     )
 
 
+def test_distributed_build_from_store_modes(store):
+    """The store build mirrors distributed_build's stage-1 modes: 'serial'
+    (default, exact parity — asserted end-to-end above) streams a host
+    sample with an optional bound; 'lloyd' stays the nothing-N-sized scale
+    escape; small sample blocks hit the multi-block concat path."""
+    X, d, _ = store
+    params = GraphParams(eps=1.0, k=6, topk=6, sparsity_check=False)
+    sa_l = ss.distributed_build_from_store(
+        d, params, k_clusters=10, n_devices=8, centroids="lloyd"
+    )
+    assert sa_l.n_items == 5000
+    assert sa_l.search(X[7], k=3)[0][0] == 7
+    # Bounded sample + tiny stream blocks (forces concat + early close).
+    sa_b = ss.distributed_build_from_store(
+        d, params, k_clusters=10, n_devices=8,
+        centroid_sample=1500, sample_block_rows=512,
+    )
+    assert sa_b.search(X[3], k=3)[0][0] == 3
+    with pytest.raises(ValueError, match="at least one sample row"):
+        ss.distributed_build_from_store(
+            d, params, k_clusters=10, n_devices=8, centroid_sample=0
+        )
+    with pytest.raises(ValueError, match="centroids must be"):
+        ss.distributed_build_from_store(
+            d, params, k_clusters=10, n_devices=8, centroids="nope"
+        )
+
+
 def test_reader_exhaustion_keeps_raising_stopiteration(store):
     """Padding-only devices probe past the end: every next() after
     exhaustion must raise StopIteration (native reader regression)."""
