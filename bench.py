@@ -1531,8 +1531,13 @@ def bench_out_of_core_10m(jax, jnp, extra, remaining_s: float = 1e9):
         # policy (maxima-first from MAXFIRST_MIN_ROWS flat rows, carry
         # below). Measure BOTH paths forced at the same shapes so the
         # crossover stays an in-artifact measurement each round.
-        idx.sketch_maxfirst = True
-        sk["maxfirst_admissible"] = bool(idx._sketch_fused_ok(256, 10, 64))
+        try:
+            idx.sketch_maxfirst = True
+            sk["maxfirst_admissible"] = bool(
+                idx._sketch_fused_ok(256, 10, 64)
+            )
+        finally:
+            idx.sketch_maxfirst = None       # probe must not leak a force
         sk["default_engages_maxfirst"] = (
             sk["maxfirst_admissible"]
             and N >= streaming_mod.MAXFIRST_MIN_ROWS

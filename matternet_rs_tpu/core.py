@@ -922,8 +922,11 @@ class ArrowSpace:
         recall at the sub-tile selection boundary.
 
         ``"auto"`` routes on ``recall_target`` and the batch size over
-        the measured ladder: recall_target ≥ 0.99 → bf16x3_rescored
-        (measured recall 1.0, 1.13× exact, no sketch); otherwise the
+        the measured ladder, picking the fastest tier whose MEASURED
+        recall still meets the target (never silently below it):
+        target > 0.9875 → bf16x3_rescored (measured recall 1.0, 1.13×
+        exact, no sketch); target > 0.875 (incl. the 0.95 default) →
+        int8 pool-cut (+approx, recall 0.9875); at or below 0.875 the
         int8 rungs with the 1024-query crossover. ``"bf16_rescored"``
         is GATED (``allow_low_recall=True`` required): it is dominated
         by int8_rescored on clustered corpora (recall 0.55 vs 0.875 at
@@ -971,19 +974,26 @@ class ArrowSpace:
 
         if quantized == "auto":
             # Recall-target-aware routing over the MEASURED ladder
-            # (VERDICT r4 #7 — the int8_auto crossover generalized):
-            # * recall_target ≥ 0.99 → bf16x3_rescored: the only
-            #   faster-than-exact rung measured at recall 1.0 on the
-            #   clustered 1M fixture (1.13× exact), and it needs no
-            #   sketch copy.
-            # * throughput mode (default 0.95): the int8 ladder — the
-            #   fastest rungs at their measured recalls (0.875 below the
-            #   1024-query crossover, 0.9875 pool-cut above it). The
-            #   int8 sketch builds lazily on first use (N·(F+4) bytes);
-            #   callers that must avoid the copy pick bf16x3 explicitly.
-            if recall_target >= 0.99:
+            # (VERDICT r4 #7 — the int8_auto crossover generalized).
+            # Each rung is the FASTEST tier whose measured recall@10 on
+            # the clustered 1M fixture still meets the requested target —
+            # the target is honored, never silently under-served:
+            # * target > 0.9875 → bf16x3_rescored: the only
+            #   faster-than-exact rung measured at recall 1.0 (1.13×
+            #   exact), and it needs no sketch copy.
+            # * 0.875 < target ≤ 0.9875 → int8 pool-cut (+approx, its
+            #   measured configuration): recall 0.9875 at every batch
+            #   size, and from the 1024-query crossover it is also the
+            #   outright fastest rung (~720 GB/s score-plane crossing).
+            # * target ≤ 0.875 → int8_rescored below the crossover
+            #   (fastest B≤512 rung, recall 0.875); the pool-cut above
+            #   it (faster AND higher recall at B≥1024).
+            # The int8 sketch builds lazily on first use (N·(F+4)
+            # bytes); callers that must avoid the copy pick bf16x3
+            # explicitly.
+            if recall_target > 0.9875:
                 quantized = "bf16x3_rescored"
-            elif b_pad >= 1024:
+            elif recall_target > 0.875 or b_pad >= 1024:
                 quantized, approx = "int8", True
             else:
                 quantized = "int8_rescored"
@@ -1000,6 +1010,15 @@ class ArrowSpace:
                 quantized, approx = "int8", True
             else:
                 quantized = "int8_rescored"
+        if quantized in ("int8_rescored", "bf16_rescored",
+                         "bf16x3_rescored") and b_pad < 8:
+            # The fused maxima-first producer requires b % 8 == 0; the
+            # extra padded rows ride the same MXU sublane tile, so the
+            # floor is ~free while a 1-4 query batch would otherwise
+            # silently fall back to the XLA two-stage path.
+            Q = jnp.pad(Q, ((0, 8 - b_pad), (0, 0)))
+            alphas = _alpha_vector(alphas, 8)
+            b_pad = 8
 
         # Both λ-prep modes feed ONE named-tier dispatch below (a prior
         # revision duplicated the four tier calls per mode, an easy place

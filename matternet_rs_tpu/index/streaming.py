@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -213,18 +214,37 @@ def _sketch_scan_topk(X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng,
     )
 
 
+def suffix_padded(validh, blk: int) -> bool:
+    """True when every block before the first partial one is full — the
+    maxima-first fast path's precondition (flat ``[nb·blk]`` row index ==
+    global id for all real rows). Shared by the single-chip sketch
+    (``build_sketch``) and the mesh-sharded one
+    (``parallel/sketch.ShardedSketch``): the invariant is the id-mapping
+    correctness condition for BOTH, so there is exactly one
+    implementation of it."""
+    partial_seen = False
+    for v in np.asarray(validh).tolist():
+        if partial_seen and v > 0:
+            return False
+        if v < blk:
+            partial_seen = True
+    return True
+
+
 @jax.jit
 def _sketch_flatten_jit(X8s, mults, lams, mn, rng):
     """Flat ``[nb·blk, F_pad]`` views of the stacked sketch + the λ
     column NORMALIZED once (the maxima-first producer consumes
     normalized λ; re-normalizing [N] per batch would add an N-read/write
-    pass to every dispatch). Reshapes are layout-free; F is additionally
-    zero-padded up to a multiple of 128 when unaligned — Mosaic's DMA
-    lane tiling requires it for the ring slab reader (zero columns
-    contribute 0 to every dot, queries pad to match at dispatch). The
-    normalized λ (4 B/row) and, for unaligned F only, the padded int8
-    copy are the new allocations; ``_sketch_fused_ok`` bounds the
-    latter."""
+    pass to every dispatch). F is additionally zero-padded up to a
+    multiple of 128 when unaligned — Mosaic's DMA lane tiling requires
+    it for the ring slab reader (zero columns contribute 0 to every
+    dot, queries pad to match at dispatch). Because jit outputs cannot
+    alias inputs, the flat ``[n, f_pad]`` int8 buffer is a NEW resident
+    allocation for every F (even aligned, where the reshape is
+    layout-free inside the program but the result is still a distinct
+    buffer), plus the normalized λ (4 B/row); ``_sketch_fused_ok``
+    bounds the copy."""
     nb, blk, f = X8s.shape
     f_pad = -(-f // 128) * 128
     lam_n = jnp.clip((lams.reshape(nb * blk) - mn) / rng, 0.0, 1.0)
@@ -413,6 +433,14 @@ class StreamingIndex:
     _sketch_flat: Optional[tuple] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    # Guards the lazy flatten above: the serving dispatch pool runs two
+    # workers concurrently (serve.py), so two sketch-tier batches can race
+    # _sketch_flat_views — without the lock both would run the N-sized
+    # flatten (transient 2× flat-copy allocation on an HBM budget already
+    # holding the stacked sketch). Same pattern as ArrowSpace._sketch_lock.
+    _sketch_flat_lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
     _sketch_suffix_pad: bool = dataclasses.field(
         default=False, repr=False, compare=False
     )
@@ -428,6 +456,18 @@ class StreamingIndex:
     sketch_maxfirst: Optional[bool] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+
+    # The lock is per-process runtime state: exclude it from pickle and
+    # deepcopy (which route through __reduce_ex__) and recreate it fresh
+    # on the copy — same contract as ArrowSpace._sketch_lock.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_sketch_flat_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._sketch_flat_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -1036,20 +1076,9 @@ class StreamingIndex:
         )
         jax.block_until_ready(self._sketch[0])
         self._sketch_flat = None
-        # Suffix-pad check for the maxima-first fast path: every block
-        # before the first partial one must be full (sequential streaming
-        # guarantees this; a custom nb_pad layout would not), so the flat
-        # [nb·blk] row index equals the global id for all real rows.
-        blk = X8h.shape[1]
-        partial_seen = False
-        ok = True
-        for v in validh.tolist():
-            if partial_seen and v > 0:
-                ok = False
-                break
-            if v < blk:
-                partial_seen = True
-        self._sketch_suffix_pad = ok
+        # Suffix-pad check for the maxima-first fast path (sequential
+        # streaming guarantees it; a custom nb_pad layout would not).
+        self._sketch_suffix_pad = suffix_padded(validh, X8h.shape[1])
         return self._sketch
 
     def _sketch_fused_ok(self, b_pad: int, kk: int, cand: int) -> bool:
@@ -1057,9 +1086,12 @@ class StreamingIndex:
         padding, tile-divisible flat length, the shared rescored-path
         predicate (TPU platform, batch multiple of 8, slab budget, F
         lane alignment — satisfied here by padding F up), and an HBM
-        guard for the F-padded flat copy (unaligned F needs a second
-        int8 copy; at the 100M×96 stretch that would not fit beside the
-        stacked sketch, so that shape stays on the carry scan)."""
+        guard for the flat copy. The flatten is a jit whose outputs
+        cannot alias its inputs, so it allocates a SECOND resident
+        ``[n, f_pad]`` int8 buffer for every F, aligned or not (plus the
+        normalized-λ column); at the 100M×96 stretch that would not fit
+        beside the stacked sketch, so such shapes stay on the carry
+        scan."""
         if self.sketch_maxfirst is False:
             return False
         if self._sketch is None or not self._sketch_suffix_pad:
@@ -1074,21 +1106,25 @@ class StreamingIndex:
         if self.sketch_maxfirst is None and n < MAXFIRST_MIN_ROWS:
             return False                 # auto: below the measured crossover
         f_pad = -(-f // 128) * 128
-        if f_pad != f and n * f_pad > 4 * 1024**3:
+        if n * f_pad > 4 * 1024**3:
             return False
         return n % DEFAULT_TILE == 0 and fused_rescored_path(
             n, f_pad, b_pad, kk, cand
         )
 
     def _sketch_flat_views(self):
-        if self._sketch_flat is None:
-            X8s, mults, lams, _valids = self._sketch
-            self._sketch_flat = _sketch_flatten_jit(
-                X8s, mults, lams,
-                jnp.float32(self.min_lambdas),
-                jnp.float32(self.range_lambdas),
-            )
-        return self._sketch_flat
+        flat = self._sketch_flat          # lock-free fast path (one read)
+        if flat is not None:
+            return flat
+        with self._sketch_flat_lock:
+            if self._sketch_flat is None:
+                X8s, mults, lams, _valids = self._sketch
+                self._sketch_flat = _sketch_flatten_jit(
+                    X8s, mults, lams,
+                    jnp.float32(self.min_lambdas),
+                    jnp.float32(self.range_lambdas),
+                )
+            return self._sketch_flat
 
     def search_batch_sketch(
         self, queries, k: int, alpha: float = 0.7,

@@ -444,18 +444,24 @@ class ShardedArrowSpace:
                 "core.search_batch — and is not offered on the mesh)"
             )
         b = Q.shape[0]
-        # Pad the batch to a power of two (shared compiled programs across
-        # serving batch sizes; the fused producer needs b % 8 == 0).
-        b_pad = 1 << max(b - 1, 1).bit_length() if b > 1 else 1
+        # Pad the batch to a power of two, floored at 8 (shared compiled
+        # programs across serving batch sizes; the fused maxima-first
+        # producer requires b % 8 == 0 — a bare pow-2 pad of a 2-4 query
+        # batch would silently lose the fused path to the pool-cut
+        # fallback).
+        b_pad = max(8, 1 << max(b - 1, 1).bit_length())
         if b_pad != b:
             Q = jnp.pad(Q, ((0, b_pad - b), (0, 0)))
             q_lams = jnp.pad(jnp.asarray(q_lams), (0, b_pad - b))
         if quantized == "auto":
-            # Same recall-target-aware routing as core.search_batch.
-            if recall_target >= 0.99:
+            # Same recall-target-aware routing as core.search_batch: the
+            # fastest tier whose measured recall meets the target.
+            if recall_target > 0.9875:
                 quantized = "bf16x3_rescored"
+            elif recall_target > 0.875 or b_pad >= 1024:
+                quantized = "int8"
             else:
-                quantized = "int8" if b_pad >= 1024 else "int8_rescored"
+                quantized = "int8_rescored"
         elif quantized == "int8_auto":
             quantized = "int8" if b_pad >= 1024 else "int8_rescored"
         n_local = int(self.X.shape[0]) // int(self.mesh.devices.size)

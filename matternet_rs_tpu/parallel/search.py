@@ -361,7 +361,6 @@ def make_sharded_search_batch_quantized(
     ``cand`` is the PER-SHARD candidate width (static). Scalar-or-[B]
     ``alphas`` ride traced, as in the single-chip tiers."""
     from matternet_rs_tpu.ops.search import (
-        _batched_scores,
         fused_rescored_path,
         fused_scan_rescored,
         tilemax_topk,

