@@ -72,6 +72,19 @@ def test_cli_shard_write_and_build_distributed(tmp_path, capsys):
     assert doc["n_items"] == 600 and doc["n_devices"] == 4
     assert doc["query_top"][0]["index"] == 7
 
+    # Stage-1 mode flags (round 5): lloyd scale-escape + bounded serial
+    # sample both build and answer the self-query.
+    main(["build-distributed", str(store), "--k-clusters", "8",
+          "--n-devices", "4", "--centroids", "lloyd",
+          "--query", str(q_path), "--topk", "5"])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["query_top"][0]["index"] == 7
+    main(["build-distributed", str(store), "--k-clusters", "8",
+          "--n-devices", "4", "--centroid-sample", "300",
+          "--query", str(q_path), "--topk", "5"])
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["query_top"][0]["index"] == 7
+
 
 def test_cli_streaming_build_and_search(data_file, tmp_path, capsys):
     data_path, q_path, data = data_file

@@ -105,16 +105,34 @@ def test_int8_auto_routes(built):
 
 
 def test_auto_tier_recall_target_routes(built):
-    """``"auto"`` on the mesh (VERDICT r4 #7): recall_target ≥ 0.99 must
-    route to the bf16x3 scan; the throughput default takes the int8
-    ladder (same rules as core.search_batch)."""
+    """``"auto"`` on the mesh (VERDICT r4 #7): the routing must pick the
+    fastest tier whose MEASURED recall meets the target — same rules as
+    core.search_batch, never silently below the target."""
     aspace, gl, data, sharded = built
+    sharded._search_cache.clear()
     idx, _ = sharded.search_batch(
         data[:4], k=5, quantized="auto", recall_target=0.99
     )
     assert idx.shape == (4, 5)
     assert any(
         k[0] == "batchq" and k[1] == "bf16x3_rescored"
+        for k in sharded._search_cache
+    )
+    # Default target 0.95: int8_rescored (0.875 measured) would silently
+    # under-serve it — the pool-cut (0.9875) is the honest rung.
+    sharded._search_cache.clear()
+    idx, _ = sharded.search_batch(data[:4], k=5, quantized="auto")
+    assert (idx[:, 0] == np.arange(4)).all()
+    assert any(
+        k[0] == "batchq" and k[1] == "int8" for k in sharded._search_cache
+    )
+    # Explicitly recall-tolerant target unlocks the fastest small-batch
+    # rung.
+    sharded._search_cache.clear()
+    sharded.search_batch(data[:4], k=5, quantized="auto",
+                         recall_target=0.8)
+    assert any(
+        k[0] == "batchq" and k[1] == "int8_rescored"
         for k in sharded._search_cache
     )
 

@@ -246,3 +246,21 @@ def test_streaming_index_deepcopy_and_pickle_roundtrip(index):
     assert d._sketch_flat_lock is not None
     assert d._sketch_flat_lock is not idx._sketch_flat_lock
     assert d.n_items == idx.n_items
+
+
+def test_suffix_padded_unit():
+    """The shared suffix-pad invariant helper (one implementation for the
+    single-chip sketch and the sharded one): full-then-partial-then-empty
+    layouts pass; any real block after a partial one fails."""
+    from matternet_rs_tpu.index.streaming import suffix_padded
+
+    blk = 4
+    assert suffix_padded([4, 4, 4], blk)            # all full
+    assert suffix_padded([4, 4, 2], blk)            # trailing partial
+    assert suffix_padded([4, 2, 0], blk)            # partial then empty pad
+    assert suffix_padded([4, 0, 0], blk)            # empty pad blocks
+    assert suffix_padded([2], blk)                  # single partial
+    assert suffix_padded([], blk)                   # degenerate
+    assert not suffix_padded([4, 2, 4], blk)        # real rows after partial
+    assert not suffix_padded([2, 4], blk)
+    assert not suffix_padded([4, 0, 2], blk)        # rows after an empty
