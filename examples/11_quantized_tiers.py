@@ -73,6 +73,7 @@ def main():
     )
     np.testing.assert_array_equal(idx_full, idx_exact)
     print("candidates=N escape hatch: bit-equal to exact")
+    return idx_full
 
 
 if __name__ == "__main__":
