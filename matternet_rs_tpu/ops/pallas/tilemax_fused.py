@@ -175,9 +175,15 @@ def _scan_dots_kernel(q, x):
     qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
     xhi = x.astype(jnp.bfloat16)
     xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Both cross terms ride ONE K=2F contraction ([qhi|qlo]·[xlo|xhi]):
+    # the MXU accumulates all 2F products in f32 — same math as summing
+    # the two K=F dots (the tiers' contract is precision, not bitwise),
+    # one fewer MXU dispatch per tile.
     cross = jax.lax.dot_general(
-        qhi, xlo, dn, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(qlo, xhi, dn, preferred_element_type=jnp.float32)
+        jnp.concatenate([qhi, qlo], axis=1),
+        jnp.concatenate([xlo, xhi], axis=1),
+        dn, preferred_element_type=jnp.float32,
+    )
     return cross + jax.lax.dot_general(
         qhi, xhi, dn, preferred_element_type=jnp.float32
     )
